@@ -1,0 +1,73 @@
+"""Query registry — the declared operator inventory.
+
+Every operator the engine claims (SURVEY.md §2 IDs plus extension IDs) is
+registered here as a :class:`QuerySpec`:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the PySpark implementation, run by
+  the driver at sf0.01.
+- ``sql`` — the equivalent ANSI SQL for the DuckDB oracle (``None`` for
+  non-SQL-expressible ops, which get a rows-only check).
+
+``__spark_entry__.py`` exposes this registry through the driver contract.
+
+Determinism discipline (so value-hashes match bit-for-bit):
+
+- Sums/avgs over ``double`` columns are computed over ``DECIMAL`` casts
+  (exact, order-independent arithmetic) and cast back to ``DOUBLE`` — both
+  engines then produce the identical IEEE value regardless of partition
+  order. Plain ``SUM(double)`` would differ in low bits between engines.
+- Any top-k ordering includes a unique tie-break key.
+- No wall-clock (``current_timestamp``) in any checked query; time anchors
+  are literals (the reference's wall-clock CDC cursor is reproduced as an
+  explicit parameter instead — see ``operators/cdc.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None = None, doc: str = ""):
+    """Decorator: register a query implementation under a SURVEY §2 ID."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs (imports the operator modules on first use)."""
+    import etl_to_iceberg_spark.operators.relational  # noqa: F401
+    import etl_to_iceberg_spark.operators.cdc_queries  # noqa: F401
+    import etl_to_iceberg_spark.operators.table_queries  # noqa: F401
+    import etl_to_iceberg_spark.ext.queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in all_specs().items() if spec.sql is not None}

@@ -1,0 +1,111 @@
+"""File-dataset sources (parquet / ORC / CSV / JSON).
+
+Replaces the reference's WebHDFS walk + per-file ORC reads
+(``/root/reference/airflow-plugins/hdfs_to_iceberg/hooks.py:86-112``,
+``hdfs_to_iceberg_operator.py:125-150,268-287``) with Spark-native reads:
+
+- Spark's own recursive listing + schema merge replaces the manual file walk
+  (distributed listing on the driver/executors, not a Python REST loop).
+- Hive-style ``col=value`` partition directories are discovered natively and
+  become partition-pruned columns — replacing the reference's path-string
+  parsing (``hdfs_to_iceberg_operator.py:84-123``). A filter on the partition
+  column prunes at the FILE LISTING level, which at 100 TB is the difference
+  between touching one day and touching the lake.
+- Per-file metadata (size/mtime/path) comes from the ``_metadata`` hidden
+  column instead of a REST stat per file
+  (``hdfs_to_iceberg/hooks.py:114-136``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_FORMATS = {"parquet", "orc", "csv", "json", "text", "avro"}
+
+
+def read_files(
+    spark: SparkSession,
+    path: str | list[str],
+    fmt: str = "parquet",
+    *,
+    schema: str | None = None,
+    recursive: bool = True,
+    partition_filter: str | None = None,
+    columns: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a file dataset as one DataFrame.
+
+    ``partition_filter`` (e.g. ``"dt >= '2024-01-01'"``) and ``columns``
+    are applied immediately so Catalyst prunes partitions and columns at the
+    scan — equivalent to the reference's manual partition-directory filtering
+    (``hdfs_to_iceberg_operator.py:119-121``) but driven by the file index.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {sorted(_FORMATS)}")
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "false")  # keep partition discovery
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if partition_filter:
+        df = df.where(partition_filter)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str | list[str], **kw) -> DataFrame:
+    return read_files(spark, path, "parquet", **kw)
+
+
+def read_orc(spark: SparkSession, path: str | list[str], **kw) -> DataFrame:
+    return read_files(spark, path, "orc", **kw)
+
+
+def list_data_files(
+    spark: SparkSession, path: str | list[str], fmt: str = "parquet"
+) -> DataFrame:
+    """Distinct data files under ``path`` with size and mtime.
+
+    Distributed replacement for the reference's recursive WebHDFS listing +
+    per-file ``get_file_info`` (``hdfs_to_iceberg/hooks.py:86-136``): one
+    metadata-only scan, no data columns read.
+    Returns columns ``file_path, file_size, file_modification_time``.
+    """
+    return (
+        read_files(spark, path, fmt)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+            F.col("_metadata.file_modification_time").alias("file_modification_time"),
+        )
+        .distinct()
+    )
+
+
+def file_metadata(df: DataFrame) -> DataFrame:
+    """Attach per-row provenance columns from the hidden ``_metadata`` struct
+    (ref analogue: ``meta_file_info``, ``hdfs_to_iceberg/hooks.py:114-136``)."""
+    return df.withColumns(
+        {
+            "file_path": F.col("_metadata.file_path"),
+            "file_size": F.col("_metadata.file_size"),
+            "file_modification_time": F.col("_metadata.file_modification_time"),
+        }
+    )
+
+
+def partition_values_from_path(df: DataFrame, column: str, pattern: str) -> DataFrame:
+    """Extract a partition value from the physical file path, for datasets
+    whose layout is not Hive-style (ref: ``fn_path_parse``,
+    ``hdfs_to_iceberg_operator.py:84-101``).
+
+    ``pattern`` is a regex with one capture group, e.g. ``r"dt=([^/]+)"``.
+    """
+    return df.withColumn(
+        column, F.regexp_extract(F.col("_metadata.file_path"), pattern, 1)
+    )
