@@ -1,0 +1,86 @@
+"""Warehouse catalog: namespace/table addressing over the snapshot format.
+
+Mirrors the reference's catalog manager surface
+(``/root/reference/airflow-plugins/utils/catalog_manager.py:29-69``):
+load-or-create namespace, load-or-create table, identity partition specs —
+addressed as ``namespace.table`` under one warehouse root. With the Iceberg
+runtime jar present, prefer Spark's ``ice`` catalog (session.py) and plain
+SQL DDL; this class is the jar-less equivalent plus the hermetic test path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from etl_to_iceberg_spark.tables.format import IceTable
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+
+    def _split(self, identifier: str) -> tuple[str, str]:
+        parts = identifier.split(".")
+        if len(parts) == 1:
+            return "default", parts[0]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        raise ValueError(f"identifier must be [namespace.]table, got {identifier!r}")
+
+    # -- namespaces (ref: catalog_manager.py:41-54) ------------------------
+
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if os.path.exists(os.path.join(ns_dir, d, "_meta", "version-hint.txt"))
+        )
+
+    # -- tables ------------------------------------------------------------
+
+    def table(self, identifier: str) -> IceTable:
+        ns, name = self._split(identifier)
+        self.create_namespace(ns)
+        return IceTable(self.spark, os.path.join(self.warehouse, ns, name))
+
+    def table_exists(self, identifier: str) -> bool:
+        ns, name = self._split(identifier)
+        return IceTable(
+            self.spark, os.path.join(self.warehouse, ns, name)
+        ).exists()
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+    ) -> IceTable:
+        """CREATE TABLE IF NOT EXISTS with explicit schema + identity
+        partition spec (ref: catalog_manager.py:57-69 builds identity
+        PartitionFields; days/bucket transforms are a config extension)."""
+        return self.table(identifier).get_or_create(schema, partition_by)
+
+    def drop_table(self, identifier: str) -> None:
+        ns, name = self._split(identifier)
+        path = os.path.join(self.warehouse, ns, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)

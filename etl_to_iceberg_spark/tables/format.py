@@ -1,0 +1,486 @@
+"""Snapshot-log managed tables over Parquet ("icetable").
+
+The reference's sink is Apache Iceberg (append / overwrite / promised
+upsert / snapshots / compaction / expiry — SURVEY.md §2.1, §2.9). With the
+Iceberg runtime jar on the classpath the engine uses the real thing via the
+``ice`` catalog configured in :mod:`etl_to_iceberg_spark.session`; this
+module provides the same table semantics Spark-natively, so the engine is
+complete in jar-less environments and its MERGE/maintenance logic is
+testable hermetically.
+
+Design (a deliberately small subset of the Iceberg spec):
+
+- A table is a directory: ``warehouse/<namespace>/<table>/``
+
+  - ``_meta/snap-<version>.json`` — one manifest per committed snapshot:
+    operation, parent version, wall-clock ms, schema JSON, partition
+    columns, and the FULL list of data files (path + basePath + row count).
+  - ``_meta/version-hint.txt`` — current version, updated by atomic rename
+    (single-writer; a real multi-writer deployment uses Iceberg's catalog
+    for optimistic commit, which is exactly why the catalog exists).
+  - ``data/v<version>/`` — files written BY that commit (possibly
+    Hive-partitioned below). Commits never touch other commits' files, so
+    every snapshot is immutable and time travel is just reading an older
+    manifest.
+
+- Reads reconstruct a snapshot by grouping its file entries by basePath
+  (needed for partition-column recovery) and unioning the per-group scans.
+  Filters and projections push through the union into every scan, so
+  partition pruning works exactly as on a plain parquet table.
+
+- MERGE (and DELETE) are copy-on-write with FILE-LEVEL PRUNING: only data
+  files that actually contain affected keys are rewritten; untouched files
+  carry over to the new snapshot by reference. At 100 TB this is the
+  difference between rewriting a few GB and rewriting the lake — same
+  strategy as Iceberg's copy-on-write MERGE.
+
+Reference parity notes: the reference stubs real upsert
+(``oracle_to_iceberg_cdc_operator.py:211-221`` overwrites the whole table;
+``hdfs_to_iceberg_cdc_operator.py:361-367`` has the MERGE TODO) and stubs
+rollback/cherry-pick (``iceberg_snapshot_operator.py:158-187``). Here all
+of them are implemented; the documented semantics are the spec.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+_META = "_meta"
+_HINT = "version-hint.txt"
+
+
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+@dataclass
+class FileEntry:
+    path: str  # absolute local path
+    base: str  # basePath for partition-column recovery
+    rows: int | None = None
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "base": self.base, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(path=d["path"], base=d["base"], rows=d.get("rows"))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    timestamp_ms: int
+    operation: str  # create | append | overwrite | merge | delete | replace | rollback
+    schema_json: str
+    partition_by: list[str]
+    files: list[FileEntry]
+    summary: dict = field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int | None:
+        if any(f.rows is None for f in self.files):
+            return None
+        return sum(f.rows for f in self.files)
+
+
+class IceTable:
+    """One managed table. Obtain via :class:`etl_to_iceberg_spark.tables.catalog.Catalog`."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, _META)
+
+    # -- metadata ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, _HINT))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, _HINT)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.meta_dir, f"snap-{v}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot {v} of table {self.location} does not exist (expired or never committed)"
+            )
+        with open(p) as f:
+            d = json.load(f)
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            schema_json=d["schema"],
+            partition_by=d["partition_by"],
+            files=[FileEntry.from_json(x) for x in d["files"]],
+            summary=d.get("summary", {}),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(self.meta_dir, "snap-*.json")),
+            key=lambda x: int(os.path.basename(x)[5:-5]),
+        ):
+            with open(p) as f:
+                d = json.load(f)
+            out.append(
+                Snapshot(
+                    version=d["version"],
+                    parent=d["parent"],
+                    timestamp_ms=d["timestamp_ms"],
+                    operation=d["operation"],
+                    schema_json=d["schema"],
+                    partition_by=d["partition_by"],
+                    files=[FileEntry.from_json(x) for x in d["files"]],
+                    summary=d.get("summary", {}),
+                )
+            )
+        return out
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.snapshot().schema_json))
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """Current or time-travel read (ref: cdc_flashback — the reference
+        stubs AS-OF at ``oracle_to_iceberg_cdc_operator.py:195-201``)."""
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ms, not both")
+            eligible = [s for s in self.snapshots() if s.timestamp_ms <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            version = eligible[-1].version
+        snap = self.snapshot(version)
+        return self._read_snapshot(snap)
+
+    def _read_snapshot(self, snap: Snapshot) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if not snap.files:
+            return self.spark.createDataFrame([], schema)
+        by_base: dict[str, list[str]] = {}
+        for fe in snap.files:
+            by_base.setdefault(fe.base, []).append(fe.path)
+        parts: list[DataFrame] = []
+        for base, paths in sorted(by_base.items()):
+            reader = self.spark.read.option("basePath", base)
+            parts.append(reader.parquet(*sorted(paths)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        # Column order per table schema (partition cols land last on read).
+        return df.select(*[f.name for f in schema.fields])
+
+    def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows ADDED between two snapshots — the Spark/Iceberg analogue of
+        the reference's SCN-delta read (``cdc_scn_delta``, SURVEY §2.8):
+        only files committed by append/merge snapshots in the range are
+        scanned, no diffing of row contents."""
+        to_version = self.current_version() if to_version is None else to_version
+        base_files = {fe.path for fe in self.snapshot(from_version).files}
+        snaps = [s for s in self.snapshots() if from_version < s.version <= to_version]
+        new_entries: list[FileEntry] = []
+        seen: set[str] = set(base_files)
+        for s in snaps:
+            for fe in s.files:
+                if fe.path not in seen:
+                    seen.add(fe.path)
+                    new_entries.append(fe)
+        snap = self.snapshot(to_version)
+        pseudo = Snapshot(
+            version=to_version,
+            parent=from_version,
+            timestamp_ms=snap.timestamp_ms,
+            operation="incremental",
+            schema_json=snap.schema_json,
+            partition_by=snap.partition_by,
+            files=new_entries,
+        )
+        return self._read_snapshot(pseudo)
+
+    # -- write path --------------------------------------------------------
+
+    def _next_version(self) -> int:
+        return self.current_version() + 1 if self.exists() else 1
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[FileEntry],
+        schema: T.StructType,
+        partition_by: list[str],
+        summary: dict | None = None,
+    ) -> Snapshot:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        version = self._next_version()
+        parent = self.current_version() if self.exists() else None
+        snap = Snapshot(
+            version=version,
+            parent=parent,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_by=partition_by,
+            files=files,
+            summary=summary or {},
+        )
+        with open(os.path.join(self.meta_dir, f"snap-{version}.json"), "w") as f:
+            json.dump(
+                {
+                    "version": snap.version,
+                    "parent": snap.parent,
+                    "timestamp_ms": snap.timestamp_ms,
+                    "operation": snap.operation,
+                    "schema": snap.schema_json,
+                    "partition_by": snap.partition_by,
+                    "files": [fe.to_json() for fe in snap.files],
+                    "summary": snap.summary,
+                },
+                f,
+            )
+        # Atomic pointer flip: readers see the old or the new snapshot,
+        # never a partial state (fixes the reference's chunked
+        # overwrite-then-append race, oracle_to_iceberg_operator.py:267-282).
+        tmp = os.path.join(self.meta_dir, _HINT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.meta_dir, _HINT))
+        return snap
+
+    def _write_data(
+        self, df: DataFrame, version: int, partition_by: list[str]
+    ) -> list[FileEntry]:
+        out_dir = os.path.join(self.location, "data", f"v{version}")
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
+        return self._list_written(out_dir)
+
+    @staticmethod
+    def _list_written(out_dir: str) -> list[FileEntry]:
+        import pyarrow.parquet as pq
+
+        entries = []
+        for p in sorted(
+            glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        ):
+            try:
+                rows = pq.read_metadata(p).num_rows  # footer-only, O(KB)
+            except Exception:
+                rows = None
+            entries.append(FileEntry(path=os.path.abspath(p), base=out_dir, rows=rows))
+        return entries
+
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
+        """Create the table from a DataFrame (ref: auto-creation on first
+        write, ``oracle_to_iceberg_operator.py:209-244``)."""
+        if self.exists():
+            raise FileExistsError(f"table already exists at {self.location}")
+        partition_by = [c.lower() for c in (partition_by or [])]
+        files = self._write_data(df, 1, partition_by)
+        return self._commit("create", files, df.schema, partition_by)
+
+    def _partition_spec(self) -> list[str]:
+        return self.snapshot().partition_by if self.exists() else []
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Append (ref: sink_iceberg_append, ``oracle_to_iceberg_operator.py:121-122,147-155``).
+        New files only; prior snapshot's files carried by reference."""
+        if not self.exists():
+            return self.create(df)
+        spec = self._partition_spec()
+        version = self._next_version()
+        new_files = self._write_data(df, version, spec)
+        prev = self.snapshot()
+        return self._commit("append", prev.files + new_files, self.schema(), spec)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
+        """Atomic replace (ref: sink_iceberg_overwrite,
+        ``hdfs_to_iceberg_cdc_operator.py:363-367``) — one snapshot commit,
+        no visible truncate-then-append window."""
+        spec = [c.lower() for c in partition_by] if partition_by else self._partition_spec()
+        version = self._next_version()
+        files = self._write_data(df, version, spec)
+        return self._commit("overwrite", files, df.schema, spec)
+
+    def get_or_create(
+        self, schema: T.StructType, partition_by: list[str] | None = None
+    ) -> "IceTable":
+        """DDL surface: CREATE TABLE IF NOT EXISTS with an explicit schema
+        (ref: ddl_create_table_auto, ``catalog_manager.py:41-54``)."""
+        if not self.exists():
+            empty = self.spark.createDataFrame([], schema)
+            self.create(empty, partition_by)
+        return self
+
+    # -- merge / delete (copy-on-write with file pruning) ------------------
+
+    def _file_path_col(self) -> F.Column:
+        return F.col("_metadata.file_path")
+
+    def _read_with_path(self, snap: Snapshot) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_base: dict[str, list[str]] = {}
+        for fe in snap.files:
+            by_base.setdefault(fe.base, []).append(fe.path)
+        parts = []
+        for base, paths in sorted(by_base.items()):
+            parts.append(
+                self.spark.read.option("basePath", base)
+                .parquet(*sorted(paths))
+                .withColumn("__file", F.col("_metadata.file_path"))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df.select(*[f.name for f in schema.fields], "__file")
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        dedup_order_by: list[str] | None = None,
+        delete_matched_when: str | None = None,
+    ) -> Snapshot:
+        """MERGE INTO target USING source ON keys
+        WHEN MATCHED [AND delete_matched_when] THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *.
+
+        The real upsert the reference documents but stubs with a full-table
+        overwrite (``README.md:594-606`` vs
+        ``oracle_to_iceberg_cdc_operator.py:211-221``).
+
+        Scale strategy (same shape as Iceberg copy-on-write):
+
+        1. Source is deduped per key first (latest by ``dedup_order_by``) —
+           the ``row_number``-window dedup the reference's docs promise.
+        2. One semi-join of target-with-file-path against source keys finds
+           the data files that contain ANY matched key; only the distinct
+           file list (metadata-sized) reaches the driver.
+        3. Only those files are rewritten (their unmatched rows preserved,
+           matched rows replaced/deleted); every untouched file moves to the
+           new snapshot by reference. A 100 TB table with a 1 GB delta
+           rewrites ~the files the delta touches, not the table.
+        """
+        keys = [k.lower() for k in keys]
+        if dedup_order_by:
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in dedup_order_by]
+            )
+            source = (
+                source.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            source = source.dropDuplicates(keys)
+
+        if not self.exists():
+            return self.create(source)
+        snap = self.snapshot()
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        source = source.select(*cols).cache()
+
+        target = self._read_with_path(snap)
+        touched = (
+            target.join(source.select(*keys), on=keys, how="left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_files = {_strip_scheme(r["__file"]) for r in touched}
+
+        untouched_entries = [
+            fe for fe in snap.files if os.path.abspath(fe.path) not in touched_files
+        ]
+        touched_entries = [
+            fe for fe in snap.files if os.path.abspath(fe.path) in touched_files
+        ]
+
+        # Rewrite = unmatched rows of touched files + (filtered) source rows.
+        version = self._next_version()
+        if touched_entries:
+            sub = Snapshot(
+                version=snap.version,
+                parent=snap.parent,
+                timestamp_ms=snap.timestamp_ms,
+                operation="subset",
+                schema_json=snap.schema_json,
+                partition_by=snap.partition_by,
+                files=touched_entries,
+            )
+            keep = self._read_snapshot(sub).join(source, on=keys, how="left_anti")
+        else:
+            keep = None
+
+        incoming = source
+        if delete_matched_when is not None:
+            # Matched keys satisfying the predicate are deleted, i.e. simply
+            # not re-inserted; unmatched source rows still insert.
+            matched_keys = source.join(target.select(*keys).distinct(), on=keys, how="left_semi")
+            deletions = matched_keys.where(delete_matched_when).select(*keys)
+            incoming = source.join(deletions, on=keys, how="left_anti")
+
+        rewrite = incoming if keep is None else keep.unionByName(incoming)
+        new_files = self._write_data(rewrite.select(*cols), version, snap.partition_by)
+        source.unpersist()
+        return self._commit(
+            "merge",
+            untouched_entries + new_files,
+            schema,
+            snap.partition_by,
+            summary={
+                "rewritten_files": len(touched_entries),
+                "carried_files": len(untouched_entries),
+            },
+        )
+
+    def delete_where(self, predicate: str) -> Snapshot:
+        """DELETE FROM t WHERE p — file-pruned copy-on-write like merge."""
+        snap = self.snapshot()
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        target = self._read_with_path(snap)
+        touched = (
+            target.where(predicate).select("__file").distinct().collect()
+        )
+        touched_files = {_strip_scheme(r["__file"]) for r in touched}
+        untouched = [fe for fe in snap.files if os.path.abspath(fe.path) not in touched_files]
+        touched_entries = [fe for fe in snap.files if os.path.abspath(fe.path) in touched_files]
+        version = self._next_version()
+        new_files: list[FileEntry] = []
+        if touched_entries:
+            sub = Snapshot(
+                version=snap.version, parent=snap.parent, timestamp_ms=snap.timestamp_ms,
+                operation="subset", schema_json=snap.schema_json,
+                partition_by=snap.partition_by, files=touched_entries,
+            )
+            keep = self._read_snapshot(sub).where(f"NOT ({predicate})")
+            new_files = self._write_data(keep.select(*cols), version, snap.partition_by)
+        return self._commit(
+            "delete", untouched + new_files, schema, snap.partition_by,
+            summary={"rewritten_files": len(touched_entries)},
+        )

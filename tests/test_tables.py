@@ -1,0 +1,191 @@
+"""Managed-table layer tests: snapshot semantics, file-pruned merge,
+maintenance services."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.tables import Catalog, maintenance
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_create_append_read(cat, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("geo.nation")
+    t.append(nation)
+    assert t.read().count() == nation.count()
+    t.append(nation)
+    assert t.read().count() == 2 * nation.count()
+    assert [s.operation for s in t.snapshots()] == ["create", "append"]
+
+
+def test_overwrite_is_atomic_snapshot(cat, spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("geo.region")
+    t.append(region)
+    t.overwrite(region.limit(2))
+    assert t.read().count() == 2
+    # previous snapshot still readable (time travel)
+    assert t.read(version=1).count() == region.count()
+
+
+def test_merge_updates_inserts_and_prunes_files(cat, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.table("sales.orders")
+    t.append(orders.repartition(8))
+    n = orders.count()
+
+    delta = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 0 + 1.0).alias("o_totalprice"),
+        "o_orderdate", F.lit("X").alias("o_orderpriority"),
+    )
+    n_updates = delta.count()
+    snap = t.merge(delta, keys=["o_orderkey"])
+
+    assert t.read().count() == n  # pure update, no inserts
+    updated = t.read().where(F.col("o_orderpriority") == "X").count()
+    assert updated == n_updates
+    # carried files only exist if some files had no matched keys; with 8
+    # files and sparse keys this may rewrite all 8 — but never more.
+    assert snap.summary["rewritten_files"] <= 8
+
+    # now insert-only merge
+    inserts = orders.limit(5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    snap2 = t.merge(inserts, keys=["o_orderkey"])
+    assert t.read().count() == n + 5
+    # insert-only merge touches NO existing files
+    assert snap2.summary["rewritten_files"] == 0
+
+
+def test_merge_dedups_source_latest_wins(cat, spark):
+    t = cat.table("s.kv")
+    base = cat.spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ver int")
+    t.append(base)
+    src = cat.spark.createDataFrame(
+        [(1, "old", 2), (1, "new", 3), (3, "c", 1)], "k int, v string, ver int"
+    )
+    t.merge(src, keys=["k"], dedup_order_by=["ver"])
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: "new", 2: "b", 3: "c"}
+
+
+def test_merge_with_delete_clause(cat, spark):
+    t = cat.table("s.kv2")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    src = spark.createDataFrame(
+        [(1, "__DEL__"), (2, "b2"), (3, "c")], "k int, v string"
+    )
+    t.merge(src, keys=["k"], delete_matched_when="v = '__DEL__'")
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {2: "b2", 3: "c"}
+
+
+def test_delete_where(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev")
+    t.append(ev.repartition(4))
+    n_err = ev.where("event_type = 'error'").count()
+    t.delete_where("event_type = 'error'")
+    assert t.read().count() == ev.count() - n_err
+    assert t.read().where("event_type = 'error'").count() == 0
+
+
+def test_partitioned_write_prunes(cat, spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.year("l_shipdate").alias("l_year")
+    )
+    t = cat.table("s.li_part")
+    t.create(li, partition_by=["l_year"])
+    years = [r.l_year for r in t.read().select("l_year").distinct().collect()]
+    assert len(years) > 1
+    one = t.read().where(F.col("l_year") == years[0])
+    expected = li.where(F.col("l_year") == years[0]).count()
+    assert one.count() == expected
+    # physical partition dirs exist
+    snap = t.snapshot()
+    assert any(f"l_year={years[0]}" in fe.path for fe in snap.files)
+
+
+def test_compaction_reduces_files_preserves_rows(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev_c")
+    t.append(ev.repartition(16))
+    before = len(t.snapshot().files)
+    snap = maintenance.compact(t, target_file_size_mb=512)
+    assert len(snap.files) < before
+    assert t.read().count() == ev.count()
+    assert snap.operation == "replace"
+
+
+def test_expire_snapshots_gc(cat, spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_age")
+    for _ in range(4):
+        t.overwrite(region)
+    all_files = [fe.path for s in t.snapshots() for fe in s.files]
+    res = maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    assert res["expired_snapshots"] == 3
+    assert res["removed_data_files"] > 0
+    # current still readable; expired version is not
+    assert t.read().count() == region.count()
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+    # orphaned files physically gone
+    live = {fe.path for s in t.snapshots() for fe in s.files}
+    for p in all_files:
+        if p not in live:
+            assert not os.path.exists(p)
+
+
+def test_rollback_and_history(cat, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("s.n_rb")
+    t.append(nation)
+    t.overwrite(nation.limit(1))
+    maintenance.rollback(t, 1)
+    assert t.read().count() == nation.count()
+    ops = [s.operation for s in t.snapshots()]
+    assert ops == ["create", "overwrite", "rollback"]
+
+
+def test_incremental_read(cat, spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    t = cat.table("s.sup")
+    t.append(sup.where("s_suppkey % 2 = 0"))
+    t.append(sup.where("s_suppkey % 2 = 1"))
+    inc = t.incremental_read(1, 2)
+    assert inc.count() == sup.where("s_suppkey % 2 = 1").count()
+    assert inc.where("s_suppkey % 2 = 0").count() == 0
+
+
+def test_catalog_namespaces(cat, spark):
+    df = spark.range(3).toDF("id")
+    cat.table("ns1.a").append(df)
+    cat.table("ns2.b").append(df)
+    assert cat.list_namespaces() == ["ns1", "ns2"]
+    assert cat.list_tables("ns1") == ["a"]
+    assert cat.table_exists("ns1.a")
+    cat.drop_table("ns1.a")
+    assert not cat.table_exists("ns1.a")
+
+
+def test_time_travel_as_of_ms(cat, spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_tt")
+    t.append(region.limit(2))
+    ts1 = t.snapshot().timestamp_ms
+    t.append(region)
+    assert t.read(as_of_ms=ts1).count() == 2
