@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each the idiomatic Spark shape for its scale profile:
+
+- **Exact** (`exact_dedup`): fingerprint → window keep-first. One shuffle
+  on the hash; at 100 TB the shuffle carries (hash, doc_id), not the text.
+- **MinHash + LSH** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_near_duplicates`): shingle → k minhashes (xxhash64 with seed
+  salts — JVM-side, no Python) → band buckets → candidate pairs from
+  equi-joins on (band, hash) → exact Jaccard verification on candidates
+  only. Pairwise cost collapses from O(n²) to O(colliding pairs).
+- **SimHash** (`simhash`, `simhash_near_duplicates`): 32-bit sign-sum
+  sketch; near-dups = pairs within Hamming distance d, candidates via
+  byte-band equi-join (pigeonhole: d<4 ⇒ one of 4 bytes equal).
+- **N-gram Jaccard** (`ngram_jaccard_pairs`): exact set similarity on
+  bounded candidate sets (e.g. within a partition key) — the verifier the
+  LSH paths share.
+- **Embedding cosine** (`embedding_near_duplicates` in ext/similarity.py):
+  semantic near-dup over the embeddings table.
+
+All hash-based sketches use Spark's xxhash64 — stable across runs,
+executors, and Spark versions, so signatures are reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from etl_to_iceberg_spark.ext.text import fingerprint, normalize_text, words
+
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (lowest id) per identical normalized text."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+# --- shingles --------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = words(normalize_text(c))
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window join of n consecutive tokens
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) via min over seeded xxhash64.
+
+    One explode + one groupBy: the shuffle carries (id, shingle) pairs;
+    the k hash functions are computed as k expressions over the same
+    shingle column (single pass, whole-stage codegen)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs = ids sharing ≥1 (band, band_hash) bucket.
+
+    Scale: the self-join is an equi-join on (band, hash) — hash-partitioned,
+    no cross product; distinct() bounds duplicate candidates from multiple
+    colliding bands."""
+    rows_per_band = F.size(F.col("sig")) / bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only; returns pairs ≥ threshold."""
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__set"),
+    )
+    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("set_a"))
+    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification.
+
+    Band tuning: b bands of r=num_hashes/b rows put the S-curve midpoint at
+    (1/b)^(1/r); the default 16×2 targets ≈0.25, i.e. near-certain candidate
+    capture for true Jaccard ≥0.5 — false candidates are cheap because the
+    exact verifier prunes them, missed candidates are unrecoverable."""
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
+    return jaccard_verify(
+        cands, df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash long): sign-sum sketch over word-token hashes.
+
+    bit_i(doc) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1) > 0.
+    Computed as `bits` conditional sums over one exploded token relation —
+    a single aggregation pass, all JVM-side."""
+    toks = df.select(
+        F.col(id_col), F.explode(words(normalize_text(text_col))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sums.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of their 32-bit simhash.
+
+    Candidates via the pigeonhole band trick: distance < 4 ⇒ at least one
+    of the 4 bytes is identical, so candidates come from 4 equi-joins on
+    (byte_index, byte_value) — never a cross join."""
+    sigs = simhash(df, id_col=id_col, text_col=text_col, bits=32)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "byte_idx", "byte_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "byte_idx", "byte_val",
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b")).bitwiseAND(F.lit((1 << 32) - 1))
+    )
+    return (
+        left.join(right, on=["byte_idx", "byte_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- bounded exact jaccard (candidate set from a partition key) ------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.6,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs bounded by ``group_col``
+    (pairs only form within a group — at scale this is the
+    partition-then-compare pattern; unbounded pairwise is O(n²) and is what
+    the LSH paths exist to avoid)."""
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(group_col)] if group_col else [] ),
+        word_shingles(text_col, shingle_n).alias("__set"),
+    )
+    a = sets_df.select(
+        F.col("__id").alias("id_a"),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col("__set").alias("set_a"),
+    )
+    if probe_filter is not None:
+        a = a.where(probe_filter)
+    b = sets_df.select(
+        F.col("__id").alias("id_b"),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col("__set").alias("set_b"),
+    )
+    on = [group_col] if group_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

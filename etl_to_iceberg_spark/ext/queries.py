@@ -1,1 +1,369 @@
-"""Placeholder — populated in a later milestone."""
+"""Registry queries for the training-data extensions (dedup, similarity,
+text analysis, multimodal) over the documents/embeddings fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.sources.tables import load_table
+
+# SQL mirrors of ext.text building blocks (kept adjacent for review):
+_SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_WORD_COUNT = f"len({_SQL_WORDS})"
+_SQL_TOKENS_BPE = (
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    sql=f"""
+    SELECT doc_id,
+           {_SQL_WORD_COUNT} AS word_count,
+           {_SQL_TOKENS_BPE} AS bpe_token_count,
+           length(text) AS char_count
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace words + BPE-ish regex) — pure column
+    expressions; at 100 TB this is a scan, nothing else."""
+    from etl_to_iceberg_spark.ext import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count("text").alias("word_count"),
+        X.token_count("text").alias("bpe_token_count"),
+        X.char_count("text").alias("char_count"),
+    )
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_WORD_COUNT} AS wc,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN nonspace > 0
+                THEN CAST(nonspace - alnum AS DOUBLE) / nonspace ELSE 0.0 END
+               AS punct_ratio,
+           CASE WHEN wc > 0 THEN CAST(sw_hits AS DOUBLE) / wc ELSE 0.0 END
+               AS stopword_ratio,
+           round(0.4 * (least(wc, 100) / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN nonspace > 0
+                                     THEN CAST(nonspace - alnum AS DOUBLE) / nonspace
+                                     ELSE 0.0 END)
+                 + 0.3 * least(4.0 * CASE WHEN wc > 0
+                                          THEN CAST(sw_hits AS DOUBLE) / wc
+                                          ELSE 0.0 END, 1.0), 6)
+               AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality pre-filter: length/punctuation/stopword mix."""
+    from etl_to_iceberg_spark.ext import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS c_en,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['el','la','de','que','los','una','por','con'], x))) AS c_es,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['le','la','les','des','est','dans','que','pour'], x))) AS c_fr,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS c_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_es, c_fr, c_de) < 1 THEN 'unknown'
+                WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                ELSE 'de' END AS detected_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (n-gram heuristic); argmax with fixed
+    tie order, 'unknown' below the hit floor."""
+    from etl_to_iceberg_spark.ext import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("detected_lang"))
+
+
+@register(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed document fingerprint (md5 of normalized text)."""
+    from etl_to_iceberg_spark.ext import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_corpus_stats",
+    sql=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(CAST({_SQL_WORD_COUNT} AS DECIMAL(18,0))) AS BIGINT) AS total_words,
+           CAST(SUM(CAST(length(text) AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per language — the monitoring query a data pipeline
+    runs per snapshot."""
+    from etl_to_iceberg_spark.ext import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(X.word_count("text").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_words"),
+            F.sum(X.char_count("text").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint hash-groupBy, keep lowest doc_id."""
+    from etl_to_iceberg_spark.ext.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS st
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.st, x -> list_contains(b.st, x))) AS DOUBLE)
+                 / (len(a.st) + len(b.st)
+                    - len(list_filter(a.st, x -> list_contains(b.st, x)))), 6)
+               AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 25 = 0
+      AND round(CAST(len(list_filter(a.st, x -> list_contains(b.st, x))) AS DOUBLE)
+                / (len(a.st) + len(b.st)
+                   - len(list_filter(a.st, x -> list_contains(b.st, x)))), 6) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup on bounded candidates (probe docs ×
+    same-source partners) — the verification kernel the LSH paths reuse.
+    The unbounded version is minhash_near_duplicates."""
+    from etl_to_iceberg_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, group_col="source", shingle_n=1, threshold=0.8,
+        probe_filter=F.col("id_a") % 25 == 0,
+    )
+
+
+@register("dedup_minhash_lsh", sql=None)  # hash-bucket pipeline; oracle = planted-dup tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 32 seeded xxhash64 minhashes →
+    8 bands → bucket equi-join candidates → exact-Jaccard verify ≥0.6."""
+    from etl_to_iceberg_spark.ext.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.6)
+
+
+@register("dedup_simhash", sql=None)  # hash sketch; oracle = planted-dup tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign-sum sketch, byte-band candidates,
+    Hamming ≤ 3."""
+    from etl_to_iceberg_spark.ext.dedup import simhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 20 = 0
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (probe side bounded; LSH bounds both
+    sides at scale — see similarity_ann_lsh). Threshold 0.35 is calibrated
+    to this synthetic corpus (random 64-dim embeddings top out near 0.44
+    pairwise cosine); a production near-dup pass would use ~0.9."""
+    from etl_to_iceberg_spark.ext.similarity import embedding_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.35, probe_filter=F.col("id_a") % 20 == 0
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings c ON true
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 for 5 query vectors.
+    Plan: broadcast(queries) × corpus scan → windowed top-k; the corpus is
+    never shuffled."""
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@register("similarity_ann_lsh", sql=None)  # approximate; oracle = recall test
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets (deterministic planes) →
+    in-bucket exact re-rank. Candidates/query ≈ corpus / 2^planes."""
+    from etl_to_iceberg_spark.ext.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, planes=6)
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           CAST(8 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas-UDF feature extraction over binary payloads
+    (mapInPandas). The oracle checks the UDF's byte-level output; the
+    deterministic fake embedding is unit-tested (real codecs are stubbed —
+    see ext/multimodal.py)."""
+    from etl_to_iceberg_spark.ext.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "byte_len", F.size("feature").alias("feature_dim")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    SELECT doc_id AS media_id,
+           CAST(ts / 25 AS INT) AS frame_no,
+           CAST(ts AS BIGINT) AS frame_ts_ms
+    FROM documents, UNNEST(generate_series(0, n_chars - 1, 25)) AS t(ts)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over video-like payloads: one row per sampled
+    timestamp via sequence+posexplode (n_chars plays duration_ms)."""
+    from etl_to_iceberg_spark.ext.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=25).select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )

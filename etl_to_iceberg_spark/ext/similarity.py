@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** (`cosine_topk`): exact baseline. The score
+  is a pure column expression (zip_with + aggregate in DOUBLE — JVM-side,
+  codegen'd, no Python). Queries are broadcast; the corpus is never
+  shuffled — the plan is scan × tiny-broadcast → per-partition top-k merge.
+- **Random-hyperplane LSH** (`rp_lsh_buckets`, `lsh_topk`): sign-bit
+  bucketing over D fixed hyperplanes; candidates share a bucket, then
+  exact re-rank. Hyperplane components are DETERMINISTIC (derived from
+  xxhash64(plane, dim) mapped to ±1) so signatures are reproducible across
+  runs/clusters without shipping a random matrix.
+
+At 100 TB / billions of vectors the LSH path is the scale path (candidates
+per query ≈ corpus/2^planes), with IVF (k-means cells) the natural next
+step — same top-k re-rank skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _to_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential accumulation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, vec_id, score, rank). Scale: broadcast(queries) ×
+    corpus scan; ranking via per-query window over only the scored rows.
+    Scores rounded to 6dp for cross-engine determinism; ties broken by id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# --- deterministic random-hyperplane LSH -----------------------------------
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """sign(Σ_d ±1 · v_d) with the ±1 pattern derived from
+    xxhash64(plane, d) — a fixed pseudo-random hyperplane."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            F.xxhash64(F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket int): concatenated sign bits of `planes` hyperplanes."""
+    v = _to_double(vec_col)
+    bucket = None
+    for p in range(planes):
+        bit = _hyperplane_sign(v, p, dim) * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, then exact cosine
+    re-rank. Trades recall for a 2^planes candidate reduction."""
+    cb = rp_lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, planes=planes, dim=dim)
+    qb = rp_lsh_buckets(
+        queries.withColumnRenamed(query_id_col, "__qid"),
+        id_col="__qid", vec_col=vec_col, planes=planes, dim=dim,
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
+    )
+    cands = (
+        cb.join(qb, on="bucket")
+        .select(F.col(id_col).alias("vec_id"), F.col("__qid").alias("query_id"))
+        .distinct()
+    )
+    scored = (
+        cands.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold. ``probe_filter``
+    bounds the left side (at scale: LSH buckets bound BOTH sides; this
+    exact form is the verifier/baseline)."""
+    a = df.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("va"))
+    if probe_filter is not None:
+        a = a.where(probe_filter)
+    b = df.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("vb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

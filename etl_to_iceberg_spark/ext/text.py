@@ -1,0 +1,132 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as pure
+Catalyst column expressions (no Python in the hot path), so a 100 TB
+documents table is processed entirely inside whole-stage codegen with
+nothing but a scan.
+
+Determinism: every function is a per-row expression over the input string —
+no RNG, no wall clock — so results are engine-reproducible and each has an
+ANSI-SQL mirror in ``ext/queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Word tokens: runs of alphanumerics.
+WORD_RE = r"[A-Za-z0-9]+"
+# BPE-ish tokens: letter runs, digit runs, or single punctuation marks —
+# the common pre-tokenization shape (whitespace-split + symbol isolation).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col: Column | str) -> Column:
+    """Array of word tokens."""
+    return F.regexp_extract_all(_c(col), F.lit(WORD_RE), 0)
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count (whitespace split + punctuation isolation)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_RE), 0))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    c = _c(col)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    return F.when(nonspace > 0, (nonspace - alnum).cast("double") / nonspace).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of word tokens that are (English) stopwords."""
+    sw = stopwords or LANG_MARKERS["en"]
+    lit = F.array(*[F.lit(w) for w in sw])
+    toks = words(F.lower(_c(col)))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    c = _c(col)
+    n = word_count(c)
+    total = F.length(F.concat_ws("", words(c)))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (length / punctuation / stopword
+    mix), the standard cheap pre-filter before expensive dedup/model
+    scoring in a training-data pipeline. Fixed, documented formula:
+
+    0.4 * min(word_count, 100)/100
+    + 0.3 * (1 - punct_ratio)
+    + 0.3 * min(stopword_ratio * 4, 1)
+    """
+    wc = word_count(col)
+    length_term = F.least(wc, F.lit(100)).cast("double") / 100
+    punct_term = F.lit(1.0) - punct_ratio(col)
+    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 6)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over lower-cased word tokens."""
+    toks = words(F.lower(_c(col)))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        lit = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
+    return out
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Argmax language by marker hits; ties broken by fixed lexicon order
+    (en, es, fr, de); below ``min_hits`` → 'unknown'."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    expr = F.lit("unknown")
+    for lang in reversed(langs):  # earlier langs win ties -> applied last
+        expr = F.when(
+            (scores[lang] == best) & (best >= min_hits), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lower-case, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text
+    (content-addressing for exact dedup and lineage)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,160 @@
+"""Extension-operator tests: planted near-duplicates for the LSH paths,
+recall for approximate similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with known near-duplicate pairs: (1,2) share ~90% of words,
+    (3,4) are identical, 5/6/7 are unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm window sill and the birds sing in the garden trees"
+    )
+    near = base.replace("garden", "village").replace("warm", "cold")
+    rows = [
+        (1, base),
+        (2, near),
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "completely different content about spark shuffles and joins"),
+        (5, "unrelated text mentioning databases tables and columns only"),
+        (6, "weather report says rain tomorrow with strong northern winds"),
+        (7, "recipe for bread flour water salt yeast and patience required"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(planted):
+    from etl_to_iceberg_spark.ext.dedup import exact_dedup
+
+    out = exact_dedup(planted)
+    ids = {r.doc_id for r in out.collect()}
+    assert 3 in ids and 4 not in ids  # identical pair deduped
+    assert ids.issuperset({1, 2, 5, 6, 7})  # near-dups NOT removed by exact
+
+
+def test_minhash_lsh_finds_planted_pairs(planted):
+    from etl_to_iceberg_spark.ext.dedup import minhash_near_duplicates
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(planted, threshold=0.5).collect()
+    }
+    assert (3, 4) in pairs  # identical
+    assert (1, 2) in pairs  # high-overlap
+    for p in pairs:  # no false positives among unrelated docs
+        assert p in {(1, 2), (3, 4)}
+
+
+def test_simhash_identical_and_near(planted):
+    from etl_to_iceberg_spark.ext.dedup import simhash, simhash_near_duplicates
+
+    sigs = {r.doc_id: r.simhash for r in simhash(planted).collect()}
+    assert sigs[3] == sigs[4]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(planted, max_hamming=3).collect()
+    }
+    assert pairs[(3, 4)] == 0
+    assert (5, 6) not in pairs and (6, 7) not in pairs
+
+
+def test_ngram_jaccard_pairs_bounded(planted):
+    from etl_to_iceberg_spark.ext.dedup import ngram_jaccard_pairs
+
+    grouped = planted.withColumn("g", F.lit("all"))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            grouped, group_col="g", shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(3, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, planes=4)
+    hits = exact.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / exact.count()
+    # 4 planes over 64-dim random embeddings: modest but nonzero recall;
+    # self-match (query in corpus) is always found, so recall >= 1/k.
+    assert recall >= 0.2
+    # every query must at least find itself at rank 1 with score 1.0
+    self_hits = approx.where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 3
+
+
+def test_cosine_topk_self_is_top1(spark, sf_dir):
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0].vec_id == 7 and top[0].score == 1.0
+
+
+def test_multimodal_feature_determinism_and_stub(spark):
+    from etl_to_iceberg_spark.ext.multimodal import (
+        MediaCodecUnavailable,
+        decode_image,
+        extract_features,
+        fake_features,
+    )
+
+    assert fake_features(b"abc") == fake_features(b"abc")
+    assert fake_features(b"abc") != fake_features(b"abd")
+    assert len(fake_features(b"abc", dim=8)) == 8
+    with pytest.raises(MediaCodecUnavailable):
+        decode_image(b"\x89PNG")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, bytearray(b""))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in extract_features(df).collect()}
+    assert out[1].byte_len == 5 and out[2].byte_len == 0
+    assert out[1].feature == fake_features(b"hello")
+
+
+def test_frame_sampling_counts(spark):
+    from etl_to_iceberg_spark.ext.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, 100), (2, 10)], "media_id long, duration_ms long")
+    out = sample_frames(df, every_ms=25)
+    counts = {r[0]: r[1] for r in out.groupBy("media_id").count().collect()}
+    assert counts == {1: 4, 2: 1}  # 0,25,50,75 | 0
+
+
+def test_lang_id_on_real_phrases(spark):
+    from etl_to_iceberg_spark.ext.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and that is fine"),
+            (2, "el perro de la casa que ladra por la noche"),
+            (3, "le chat est dans les arbres pour la nuit"),
+            (4, "der hund ist nicht mit der katze und das ist gut"),
+            (5, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "unknown"}
