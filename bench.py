@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced with a noop-format write (full computation, no
+driver-side row transfer — measuring the engine, not py4j serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative slice of the registry: scan+agg, joins, windows, top-k,
+# merge write path, CDC, and the training-data extensions.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_sum_groupby",
+    "join_orders_customer",
+    "join_multiway_star",
+    "dedup_latest_per_key",
+    "window_running_sum",
+    "topk_orders",
+    "union_all_files",
+    "merge_keyed_upsert",
+    "cdc_incremental_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "text_quality_score",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    from etl_to_iceberg_spark.registry import all_specs
+    from etl_to_iceberg_spark.session import SessionConfig, get_spark
+
+    spark = get_spark(
+        SessionConfig(
+            app_name="etl-to-iceberg-spark-bench",
+            local_cores=CPUS,
+            shuffle_partitions=CPUS,
+        )
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+
+    # Warm the JVM once (codegen + vectorized parquet reader + Python
+    # worker pool) so query 1 isn't charged one-time session startup.
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, SF_DIR, "nation").limit(5).collect()
+    # Warm the Python worker daemon + per-core fork pool (first Pandas-UDF
+    # stage otherwise pays a thundering-herd of interpreter startups).
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, CPUS * 10, 1, CPUS).toDF("id").mapInPandas(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # JIT-warm the operator code paths (scan/agg/window/join/parquet write)
+    # on the smallest SF — different data than the measured runs.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(SF_DIR):
+        for wname in ("q1_pricing_summary", "merge_keyed_upsert"):
+            try:
+                specs[wname].fn(spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {results[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(results.values()), 3)
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

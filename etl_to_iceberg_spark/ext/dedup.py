@@ -36,9 +36,12 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (lowest id) per identical normalized text."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
     w = Window.partitionBy("__fp").orderBy(F.col(id_col))
     return (
-        df.withColumn("__fp", fingerprint(text_col))
+        ensure_parallelism(df)
+        .withColumn("__fp", fingerprint(text_col))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
@@ -81,6 +84,9 @@ def minhash_signatures(
     One explode + one groupBy: the shuffle carries (id, shingle) pairs;
     the k hash functions are computed as k expressions over the same
     shingle column (single pass, whole-stage codegen)."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    df = ensure_parallelism(df)  # k×|shingles| hashing must not run on 1 core
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
@@ -149,6 +155,9 @@ def jaccard_verify(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only; returns pairs ≥ threshold."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    df = ensure_parallelism(df)  # shingle building is the dominant map cost
     sets_df = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_n).alias("__set"),
@@ -209,6 +218,9 @@ def simhash(
     bit_i(doc) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1) > 0.
     Computed as `bits` conditional sums over one exploded token relation —
     a single aggregation pass, all JVM-side."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(words(normalize_text(text_col))).alias("tok")
     )
@@ -289,6 +301,9 @@ def ngram_jaccard_pairs(
     (pairs only form within a group — at scale this is the
     partition-then-compare pattern; unbounded pairwise is O(n²) and is what
     the LSH paths exist to avoid)."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sets_df = df.select(
         F.col(id_col).alias("__id"),
         *( [F.col(group_col)] if group_col else [] ),

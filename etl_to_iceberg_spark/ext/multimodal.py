@@ -112,7 +112,11 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    # Python-side work scales with partitions: one Arrow stream per task.
+    src = ensure_parallelism(df.select(id_col, content_col))
+    return src.mapInPandas(run, out_schema)
 
 
 def sample_frames(

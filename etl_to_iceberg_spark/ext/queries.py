@@ -5,8 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from etl_to_iceberg_spark.plans import ensure_parallelism
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
+
+
+def _load_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture loader with the single-file→single-partition guard: these
+    tables ship as one parquet file, which would serialize the CPU-heavy
+    text/vector work onto one core (no-op on multi-split inputs)."""
+    return ensure_parallelism(load_table(spark, sf_dir, name))
 
 # SQL mirrors of ext.text building blocks (kept adjacent for review):
 _SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -34,7 +42,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions; at 100 TB this is a scan, nothing else."""
     from etl_to_iceberg_spark.ext import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         X.word_count("text").alias("word_count"),
@@ -77,7 +85,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality pre-filter: length/punctuation/stopword mix."""
     from etl_to_iceberg_spark.ext import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         X.punct_ratio("text").alias("punct_ratio"),
@@ -115,7 +123,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order, 'unknown' below the hit floor."""
     from etl_to_iceberg_spark.ext import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return docs.select("doc_id", X.lang_id("text").alias("detected_lang"))
 
 
@@ -131,7 +139,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed document fingerprint (md5 of normalized text)."""
     from etl_to_iceberg_spark.ext import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
 
 
@@ -151,7 +159,7 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per snapshot."""
     from etl_to_iceberg_spark.ext import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
@@ -185,7 +193,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: fingerprint hash-groupBy, keep lowest doc_id."""
     from etl_to_iceberg_spark.ext.dedup import exact_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return exact_dedup(docs).select("doc_id", "fingerprint")
 
 
@@ -215,7 +223,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unbounded version is minhash_near_duplicates."""
     from etl_to_iceberg_spark.ext.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, group_col="source", shingle_n=1, threshold=0.8,
         probe_filter=F.col("id_a") % 25 == 0,
@@ -228,7 +236,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bands → bucket equi-join candidates → exact-Jaccard verify ≥0.6."""
     from etl_to_iceberg_spark.ext.dedup import minhash_near_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return minhash_near_duplicates(docs, threshold=0.6)
 
 
@@ -238,7 +246,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3."""
     from etl_to_iceberg_spark.ext.dedup import simhash_near_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     return simhash_near_duplicates(docs, max_hamming=3)
 
 
@@ -261,7 +269,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise cosine); a production near-dup pass would use ~0.9."""
     from etl_to_iceberg_spark.ext.similarity import embedding_near_duplicates
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_balanced(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
         emb, threshold=0.35, probe_filter=F.col("id_a") % 20 == 0
     )
@@ -293,7 +301,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled."""
     from etl_to_iceberg_spark.ext.similarity import cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_balanced(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -306,7 +314,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket exact re-rank. Candidates/query ≈ corpus / 2^planes."""
     from etl_to_iceberg_spark.ext.similarity import lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_balanced(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -332,7 +340,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ext/multimodal.py)."""
     from etl_to_iceberg_spark.ext.multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
@@ -357,7 +365,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp via sequence+posexplode (n_chars plays duration_ms)."""
     from etl_to_iceberg_spark.ext.multimodal import sample_frames
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_balanced(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("n_chars").alias("duration_ms"),

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plans — pushdown, pruning, broadcast,
+top-k, and no accidental cartesian products."""
+
+from __future__ import annotations
+
+from etl_to_iceberg_spark.plans import explain_str
+from etl_to_iceberg_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return explain_str(_SPECS[name].fn(spark, sf_dir), "formatted")
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "project_columns")
+    # ReadSchema carries only the 3 projected columns of 5
+    assert "c_custkey" in plan and "c_acctbal" in plan
+    assert "c_mktsegment" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_where")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "c_acctbal" in pushed and "c_nationkey" in pushed
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_orders_customer")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table must not shuffle
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_sum_groupby")
+    # partial + final HashAggregate pair => map-side combine is in place
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_candidates_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_stays_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "anti_join_new_files")
+    assert "LeftAnti" in plan
