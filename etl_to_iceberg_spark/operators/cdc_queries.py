@@ -230,6 +230,37 @@ def stream_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.dropDuplicates(["event_id"])
 
 
+@register("udf_remote_submit", sql=None)  # argv content is config-specific
+def udf_remote_submit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-job command assembly (ref: udf_remote_submit,
+    spark/keycloak_spark_operator.py:113-315 + utils/spark_builder.py:10-124):
+    function → script file → spark-submit argv. The K8s/OAuth2 launch is a
+    deployment concern above the engine; the artifacts it needs are built
+    and returned here."""
+    import tempfile as _tf
+
+    from etl_to_iceberg_spark.submit import SubmitSpec, function_to_script
+
+    def remote_job(spark, table="events"):
+        return spark.table(table).count()
+
+    script = function_to_script(remote_job, call_args=["events"])
+    path = os.path.join(_tf.mkdtemp(prefix="e2is_job_"), "remote_job.py")
+    with open(path, "w") as f:
+        f.write(script)
+    spec = SubmitSpec(
+        script_path=path,
+        master="k8s://https://cluster:6443",
+        deploy_mode="cluster",
+        app_name="remote-job",
+        conf={"spark.executor.instances": "4", "spark.executor.memory": "4g"},
+    )
+    argv = spec.argv()
+    return spark.createDataFrame(
+        [(i, a) for i, a in enumerate(argv)], "pos int, arg string"
+    )
+
+
 @register(
     "udf_function_to_script",
     sql="""

@@ -116,6 +116,72 @@ def scan_jdbc_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_jdbc_direct",
+    sql="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_jdbc_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native direct source read (ref: scan_jdbc_direct,
+    spark/example_function_usage.py:48-56 — spark.read.format('jdbc') with
+    the ojdbc driver). The engine path is sources.jdbc.read_jdbc_table;
+    here the same whole-table declarative scan over the fixture."""
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+_csv_json_cache: dict[tuple[str, str], str] = {}
+
+
+def _events_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize events once per (process, sf_dir, format)."""
+    key = (os.path.abspath(sf_dir), fmt)
+    if key not in _csv_json_cache:
+        out = os.path.join(tempfile.mkdtemp(prefix=f"e2is_{fmt}_"), f"events_{fmt}")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.write.mode("overwrite").format(fmt).option("header", "true").save(out)
+        _csv_json_cache[key] = out
+    return _csv_json_cache[key]
+
+
+@register(
+    "scan_csv_files",
+    sql="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_csv_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dataset scan with explicit schema (no inference pass — at scale
+    schema inference is a full extra read). Round-trips events through CSV."""
+    from etl_to_iceberg_spark.sources.files import read_files
+
+    path = _events_as(spark, sf_dir, "csv")
+    return read_files(
+        spark,
+        path,
+        "csv",
+        schema="event_id long, user_id long, event_type string, value double",
+        options={"header": "true"},
+    )
+
+
+@register(
+    "scan_json_files",
+    sql="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_json_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines dataset scan with explicit schema (same rationale)."""
+    from etl_to_iceberg_spark.sources.files import read_files
+
+    path = _events_as(spark, sf_dir, "json")
+    return read_files(
+        spark,
+        path,
+        "json",
+        schema="event_id long, user_id long, event_type string, value double",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 _orc_cache: dict[str, str] = {}
 
 

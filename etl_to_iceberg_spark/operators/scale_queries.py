@@ -1,0 +1,182 @@
+"""Registry queries for the scale patterns (skew, bucketing, streaming
+windows, sessionization)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_to_iceberg_spark.functions import sql_exact_sum
+from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.tables import Catalog
+
+
+@register(
+    "agg_salted_skew",
+    sql=f"""
+    SELECT event_type,
+           {sql_exact_sum('value')} AS total,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant two-phase aggregation: 5 hot event_type keys would
+    pin 5 reducers; salting spreads each key over 16, then merges partials.
+    Identical result to a plain GROUP BY (the oracle proves it)."""
+    from etl_to_iceberg_spark.operators.scale import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], sum_col="value").orderBy("event_type")
+
+
+@register(
+    "join_bucketed_colocated",
+    sql=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_exact_sum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via same-key bucketing: both tables are
+    written bucketed on orderkey, so the join reads co-located buckets with
+    NO exchange (tests/test_plans.py asserts it). At 100 TB this converts
+    every recurring join's shuffle into a one-time write-side cost."""
+    from etl_to_iceberg_spark.operators.scale import bucketed_join, write_bucketed
+    from etl_to_iceberg_spark.functions import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "e2is_li_bkt", bucket_col="l_orderkey", num_buckets=8)
+    write_bucketed(orders, "e2is_ord_bkt", bucket_col="o_orderkey", num_buckets=8)
+    joined = bucketed_join(
+        spark, "e2is_li_bkt", "e2is_ord_bkt",
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sessionize_events",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(ts AS TIMESTAMP) >
+                          CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gaps) as pure window functions —
+    the batch form of the stateful streaming operator."""
+    from etl_to_iceberg_spark.streaming.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+@register(
+    "stream_windowed_agg",
+    sql="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts with watermark, drained via
+    AvailableNow across TWO ingestion waves; per-batch window updates are
+    MERGEd by (window_start, key), so the final managed table equals the
+    batch GROUP BY — late updates to a window overwrite, not duplicate."""
+    from etl_to_iceberg_spark.streaming.windows import stream_windowed_counts
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_swin_"))
+    work = tempfile.mkdtemp(prefix="e2is_swin_src_")
+    src = os.path.join(work, "incoming")
+    ckpt = os.path.join(work, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    # Waves split by TIME (streams advance in event time): wave 2 arrives
+    # after wave 1's watermark but carries later timestamps, so nothing is
+    # dropped as late — splitting by a non-time attribute here would
+    # (correctly!) get wave 2 discarded by the watermark.
+    cut = F.lit("2024-07-01 00:00:00").cast("timestamp")
+
+    def drain() -> None:
+        stream_windowed_counts(
+            spark, src,
+            schema=ev.schema, ts_col="ts", group_col="event_type",
+            window_duration="1 day", watermark="1 hour",
+            checkpoint_dir=ckpt, catalog=cat,
+            target_identifier="stream.daily_counts",
+        )
+
+    ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    return cat.table("stream.daily_counts").read()
+
+
+@register("stream_sessionize_stateful", sql=None)  # stateful streaming op
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session state with processing-time timeout. Rows-only: emission timing
+    is inherently batch-dependent; the batch `sessionize_events` carries the
+    oracle for the session logic itself."""
+    from etl_to_iceberg_spark.streaming.windows import sessionize_stateful
+
+    work = tempfile.mkdtemp(prefix="e2is_sess_")
+    src = os.path.join(work, "incoming")
+    ckpt = os.path.join(work, "ckpt")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .where(F.col("user_id") < 5)
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    rows = sessionize_stateful(
+        spark, src, schema=ev.schema, checkpoint_dir=ckpt, gap="30 minutes"
+    )
+    return spark.createDataFrame(
+        [(r.user_id, r.session_start, r.session_end, r.n_events, r.closed) for r in rows],
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, closed boolean",
+    )

@@ -21,6 +21,7 @@ an anti-pattern at scale; here ``get_spark()`` is get-or-create.
 from __future__ import annotations
 
 import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -99,6 +100,11 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
         # Keep partition discovery cheap on huge listings.
         "spark.sql.sources.parallelPartitionDiscovery.threshold": "32",
         "spark.sql.session.timeZone": "UTC",
+        # Session-catalog tables (bucketed joins) land in a scratch
+        # warehouse, not the process cwd.
+        "spark.sql.warehouse.dir": os.path.join(
+            tempfile.gettempdir(), "e2is_spark_warehouse"
+        ),
     }
 
     if cfg.enable_iceberg and _iceberg_jar_available():

@@ -1,0 +1,253 @@
+"""Streaming windowed aggregation and stateful sessionization.
+
+The reference has NO windowed/stateful processing (SURVEY §2.8
+``late_data_note``: no watermarks, no windows, no state). These operators
+supply that layer:
+
+- ``stream_windowed_counts``: tumbling-window aggregation with a watermark,
+  drained with ``Trigger.AvailableNow``. Each micro-batch's updated windows
+  are MERGEd into a managed table by window key, so the final table holds
+  complete counts and replays stay idempotent — the streaming/batch parity
+  trick that makes the result oracle-checkable.
+- ``sessionize``: BATCH sessionization (gap-based) as pure window functions
+  — lag → gap flag → running session index. One shuffle per step on the
+  same user key (Catalyst collapses them into a single sort+window chain).
+- ``sessionize_stateful``: the STREAMING equivalent via
+  ``applyInPandasWithState`` with per-user session state and processing-time
+  timeouts — the custom-stateful-operator pattern
+  (state schema + timeout handling are the real content; the logic mirrors
+  ``sessionize``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_to_iceberg_spark.tables import Catalog
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema,
+    ts_col: str,
+    group_col: str,
+    window_duration: str,
+    watermark: str,
+    checkpoint_dir: str,
+    catalog: Catalog,
+    target_identifier: str,
+    fmt: str = "parquet",
+    timeout_sec: float = 300.0,
+) -> None:
+    """Tumbling-window counts per group, maintained exactly-once in a
+    managed table keyed by (window_start, group)."""
+    df = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(source_dir)
+        .withWatermark(ts_col, watermark)
+    )
+    agg = df.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col(group_col),
+        F.col("cnt"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.table(target_identifier).merge(
+            batch_df, keys=["window_start", group_col]
+        )
+
+    q = (
+        out.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap``.
+
+    Returns one row per session: (user, session_id, session_start,
+    session_end, n_events). Single sort order reused by both windows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: float, use_timeout: bool):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                        "closed": True,
+                    }
+                ]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for ts in rows["ts"]:
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last is not None and (ts - last).total_seconds() > gap_seconds:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                        "closed": True,
+                    }
+                )
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        state.update((start, last, n))
+        if use_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
+        # Emit the open session's current shape too (closed=False) so
+        # downstream sees progress; the MERGE key keeps it single-row.
+        out.append(
+            {
+                "user_id": user_id,
+                "session_start": start,
+                "session_end": last,
+                "n_events": n,
+                "closed": False,
+            }
+        )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def sessionize_stateful(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    fmt: str = "parquet",
+    timeout_sec: float = 300.0,
+    use_state_timeout: bool = False,
+) -> list:
+    """Streaming sessionization with explicit per-user state
+    (applyInPandasWithState). Drains available files and returns the
+    emitted session rows (via an in-memory sink).
+
+    ``use_state_timeout=True`` enables processing-time timeouts that close
+    idle sessions — correct for a CONTINUOUS query, but under
+    ``Trigger.AvailableNow`` pending timers keep the query scheduling empty
+    batches until they fire, so drain-style runs default to NoTimeout
+    (open sessions are emitted with closed=False instead)."""
+    num, unit = gap.split()
+    seconds = float(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+    df = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    sessions = (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(seconds, use_state_timeout),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_state_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+    name = "e2is_sessions_sink"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()  # never leave a straggler query running in the session
+    return spark.table(name).collect()

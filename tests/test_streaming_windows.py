@@ -1,0 +1,112 @@
+"""Streaming windows + sessionization + scale-pattern tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.tables import Catalog
+
+
+def test_stream_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
+    from etl_to_iceberg_spark.streaming.windows import stream_windowed_counts
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "incoming")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    cut = F.lit("2024-07-01").cast("timestamp")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    kw = dict(
+        schema=ev.schema, ts_col="ts", group_col="event_type",
+        window_duration="1 day", watermark="1 hour",
+        checkpoint_dir=str(tmp_path / "ckpt"), catalog=cat,
+        target_identifier="s.daily",
+    )
+    stream_windowed_counts(spark, src, **kw)
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    stream_windowed_counts(spark, src, **kw)
+
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in cat.table("s.daily").read().collect()
+    }
+    want = {
+        (r.d, r.event_type): r.cnt
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionize_agrees_with_batch(spark, sf_dir, tmp_path):
+    from etl_to_iceberg_spark.streaming.windows import sessionize, sessionize_stateful
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .where(F.col("user_id") < 4)
+    )
+    src = str(tmp_path / "in")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    rows = sessionize_stateful(
+        spark, src, schema=ev.schema, checkpoint_dir=str(tmp_path / "ck"),
+        gap="30 minutes",
+    )
+    # closed sessions + the final open session per user == batch sessions
+    stream_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
+    }
+    batch = sessionize(ev, gap="30 minutes")
+    batch_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert batch_sessions == stream_sessions
+
+
+def test_salted_sum_count_equals_plain_groupby(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.scale import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = {
+        r.event_type: (r.total, r.cnt)
+        for r in salted_sum_count(ev, ["event_type"], sum_col="value").collect()
+    }
+    plain = {
+        r.event_type: (r.total, r.cnt)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.scale import bucketed_join, write_bucketed
+    from etl_to_iceberg_spark.plans import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_bkt", bucket_col="l_orderkey", num_buckets=4)
+    write_bucketed(orders, "t_ord_bkt", bucket_col="o_orderkey", num_buckets=4)
+    # Bucketing targets big⋈big joins; on these tiny fixtures Catalyst
+    # (rightly) prefers broadcast, so disable it to expose the bucketed path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "t_li_bkt", "t_ord_bkt",
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],
+        )
+        plan = explain_str(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle at query time
+        assert "SortMergeJoin" in plan
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
