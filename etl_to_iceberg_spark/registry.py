@@ -61,6 +61,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.cdc_queries  # noqa: F401
     import etl_to_iceberg_spark.operators.table_queries  # noqa: F401
     import etl_to_iceberg_spark.operators.scale_queries  # noqa: F401
+    import etl_to_iceberg_spark.operators.advanced  # noqa: F401
     import etl_to_iceberg_spark.ext.queries  # noqa: F401
 
     return dict(_REGISTRY)
