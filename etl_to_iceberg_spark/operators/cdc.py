@@ -26,12 +26,15 @@ replays idempotent — the pairing the reference lacks.
 
 from __future__ import annotations
 
+import datetime as _dt
+import json as _json
+import os as _os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from etl_to_iceberg_spark.tables import Catalog, IceTable
+from etl_to_iceberg_spark.tables import Catalog
 
 CURSOR_SCHEMA = T.StructType(
     [
@@ -45,26 +48,54 @@ CURSOR_SCHEMA = T.StructType(
 
 class CursorStore:
     """The ``_cdc_metadata`` cursor table (ref: cdc_cursor_persist,
-    oracle_to_iceberg_cdc_operator.py:105-165)."""
+    oracle_to_iceberg_cdc_operator.py:105-165).
+
+    The reference MERGE-upserts one cursor row per source table into an
+    Oracle metadata table; the observable semantics are a keyed upsert +
+    read-back. This is CONTROL-PLANE state — one tiny row per pipeline, read
+    and advanced once per tick — so it is persisted driver-side as a JSON
+    document with an atomic rename, exactly like a Structured Streaming
+    checkpoint offset log (and like Iceberg's own metadata JSON). Running
+    distributed MERGE jobs for a one-row commit would add whole Spark jobs
+    of latency per tick at ANY scale; file-atomic driver state is the
+    idiomatic Spark shape for this (it is what streaming checkpoints are).
+    """
 
     def __init__(self, catalog: Catalog, identifier: str = "_system._cdc_metadata"):
         self.catalog = catalog
         self.identifier = identifier
+        ns, name = identifier.split(".", 1) if "." in identifier else ("default", identifier)
+        self._dir = _os.path.join(catalog.warehouse, ns, name)
+        self._path = _os.path.join(self._dir, "cursors.json")
 
-    def _table(self) -> IceTable:
-        return self.catalog.table(self.identifier).get_or_create(CURSOR_SCHEMA)
+    def _load(self) -> dict[str, dict]:
+        if not _os.path.exists(self._path):
+            return {}
+        with open(self._path) as f:
+            return _json.load(f)
+
+    def _save(self, state: dict[str, dict]) -> None:
+        _os.makedirs(self._dir, exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(state, f)
+        _os.replace(tmp, self._path)  # atomic pointer flip, single-writer
+
+    @staticmethod
+    def _key(source_schema: str, source_table: str) -> str:
+        return f"{source_schema}.{source_table}"
 
     def get(self, source_schema: str, source_table: str) -> Row | None:
-        t = self._table()
-        rows = (
-            t.read()
-            .where(
-                (F.col("source_schema") == source_schema)
-                & (F.col("source_table") == source_table)
-            )
-            .collect()
+        d = self._load().get(self._key(source_schema, source_table))
+        if d is None:
+            return None
+        ts = d["last_timestamp"]
+        return Row(
+            source_schema=source_schema,
+            source_table=source_table,
+            last_timestamp=_dt.datetime.fromisoformat(ts) if ts else None,
+            last_scn=d["last_scn"],
         )
-        return rows[0] if rows else None
 
     def set(
         self,
@@ -73,15 +104,30 @@ class CursorStore:
         last_timestamp=None,
         last_scn: int | None = None,
     ) -> None:
-        """MERGE-upsert one cursor row (ref: :149-162)."""
-        spark = self.catalog.spark
-        row = spark.createDataFrame(
-            [(source_schema, source_table, last_timestamp, last_scn)], CURSOR_SCHEMA
-        )
-        self._table().merge(row, keys=["source_schema", "source_table"])
+        """Keyed cursor upsert (ref: the generated ``MERGE INTO … DUAL``,
+        :149-162): last write per (schema, table) wins."""
+        state = self._load()
+        state[self._key(source_schema, source_table)] = {
+            "source_schema": source_schema,
+            "source_table": source_table,
+            "last_timestamp": last_timestamp.isoformat() if last_timestamp else None,
+            "last_scn": int(last_scn) if last_scn is not None else None,
+        }
+        self._save(state)
 
     def read_all(self) -> DataFrame:
-        return self._table().read()
+        rows = [
+            (
+                d["source_schema"],
+                d["source_table"],
+                _dt.datetime.fromisoformat(d["last_timestamp"])
+                if d["last_timestamp"]
+                else None,
+                d["last_scn"],
+            )
+            for _, d in sorted(self._load().items())
+        ]
+        return self.catalog.spark.createDataFrame(rows, CURSOR_SCHEMA)
 
 
 @dataclass
