@@ -321,6 +321,138 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, planes=6)
 
 
+# --- sampling / splitting / curation ---------------------------------------
+
+_SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_SQL_SPLIT = f"""
+    CASE WHEN substring({_SQL_FP}, 1, 1) IN
+              ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         WHEN substring({_SQL_FP}, 1, 1) IN ('c','d') THEN 'valid'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "split_train_valid_test",
+    sql=f"""
+    SELECT doc_id,
+           substring({_SQL_FP}, 1, 1) AS bucket,
+           {_SQL_SPLIT} AS split
+    FROM documents
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/valid/test assignment (75/12.5/12.5): stable
+    under reruns, parallelism changes, and appends — `rand()` splits are
+    none of these. Pure column expressions; at 100 TB it's a scan."""
+    from etl_to_iceberg_spark.ext.sampling import assign_split, hash_bucket
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_bucket("text", 1).alias("bucket"),
+        assign_split("text").alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substring({_SQL_FP}, 2, 1) IN ('0','1','2','3')
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample, uniform within every language stratum
+    (hash digit independent of the split digit). Reproducible where
+    `df.sample` is not."""
+    from etl_to_iceberg_spark.ext.sampling import stratified_sample
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    return stratified_sample(docs).select("doc_id", "lang")
+
+
+@register(
+    "corpus_curate",
+    sql=f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             {_SQL_FP} AS fp,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS c_en,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['el','la','de','que','los','una','por','con'], x))) AS c_es,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['le','la','les','des','est','dans','que','pour'], x))) AS c_fr,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS c_de,
+             {_SQL_WORD_COUNT} AS wc,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             len(list_filter({_SQL_WORDS},
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS sw_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             CASE WHEN greatest(c_en, c_es, c_fr, c_de) < 1 THEN 'unknown'
+                  WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                  WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                  WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                  ELSE 'de' END AS detected_lang,
+             round(0.4 * (least(wc, 100) / 100.0)
+                   + 0.3 * (1.0 - CASE WHEN nonspace > 0
+                                       THEN CAST(nonspace - alnum AS DOUBLE) / nonspace
+                                       ELSE 0.0 END)
+                   + 0.3 * least(4.0 * CASE WHEN wc > 0
+                                            THEN CAST(sw_hits AS DOUBLE) / wc
+                                            ELSE 0.0 END, 1.0), 6) AS quality
+      FROM feat
+    )
+    SELECT doc_id, detected_lang, quality,
+           CASE WHEN substring(fp, 1, 1) IN
+                     ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substring(fp, 1, 1) IN ('c','d') THEN 'valid'
+                ELSE 'test' END AS split
+    FROM scored
+    WHERE detected_lang <> 'unknown' AND quality >= 0.5
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training corpus actually runs:
+    language filter → quality floor → exact dedup (keep lowest id per
+    content fingerprint) → split assignment. One composed DataFrame plan:
+    the filters run in the scan stage, the dedup window is the only
+    shuffle, and every stage is the already-proven operator."""
+    from pyspark.sql import Window
+
+    from etl_to_iceberg_spark.ext import text as X
+    from etl_to_iceberg_spark.ext.sampling import assign_split
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        X.fingerprint("text").alias("fp"),
+        X.lang_id("text").alias("detected_lang"),
+        X.quality_score("text").alias("quality"),
+    ).where((F.col("detected_lang") != "unknown") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "detected_lang",
+            "quality",
+            assign_split("text").alias("split"),
+        )
+    )
+
+
 # --- multimodal ------------------------------------------------------------
 
 
