@@ -77,11 +77,13 @@ def main() -> None:
     spark.range(0, CPUS * 10, 1, CPUS).toDF("id").mapInPandas(
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
-    # JIT-warm the operator code paths (scan/agg/window/join/parquet write)
-    # on the smallest SF — different data than the measured runs.
+    # JIT-warm every measured code path (scan/agg/window/join/codegen for
+    # the sketches/writes) on the smallest SF — different data than the
+    # measured runs, so the timings below reflect data-proportional cost,
+    # not one-time JVM JIT compilation.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(SF_DIR):
-        for wname in ("q1_pricing_summary", "merge_keyed_upsert"):
+        for wname in HEADLINE:
             try:
                 specs[wname].fn(spark, warm_sf).write.format("noop").mode(
                     "overwrite"
