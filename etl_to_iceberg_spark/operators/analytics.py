@@ -108,6 +108,103 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent rollup dimensions in ONE
+    pass — Spark plans a single Expand + hash aggregate, not two scans).
+    Also exercises the SQL front door: the engine registers the loaded
+    table as a view and plans through ``spark.sql``."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "join_range_tiers",
+    sql=f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e18)
+    )
+    SELECT tier, COUNT(*) AS n, {sql_exact_sum('value')} AS sum_value
+    FROM events JOIN tiers ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+)
+def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each event lands in the tier whose
+    [lo, hi) bracket contains its value.
+
+    Scale shape: the range side is small by construction (brackets), so
+    it is BROADCAST and the theta-join is a broadcast nested loop over a
+    handful of rows per event — the fact table never shuffles. A
+    range-join between two big sides would instead bucket both by range
+    floor (band join); that composition is `agg_salted_skew`'s territory."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "set_intersect_except",
+    sql="""
+    (SELECT user_id FROM events WHERE event_type = 'purchase'
+     INTERSECT
+     SELECT user_id FROM events WHERE event_type = 'view')
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra (users who purchased AND viewed but
+    never errored) — completes the set-op family next to union/semi/anti.
+    Catalyst executes both as aggregated joins (distinct + left-semi /
+    left-anti), so they shuffle once per operand on the compare key."""
+    ev = load_table(spark, sf_dir, "events")
+    of_type = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return of_type("purchase").intersect(of_type("view")).subtract(of_type("error"))
+
+
+@register("agg_approx_distinct", sql=None)  # approximate by design (HLL)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count — the
+    scale path for distinct cardinality: mergeable constant-size sketches,
+    one map-side partial per partition, no exact-distinct expansion
+    (`agg_distinct_users` carries the exact oracle). Accuracy asserted
+    within rsd bounds in tests/test_analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "agg_percentiles",
     sql="""
     SELECT event_type,

@@ -180,3 +180,65 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, closed boolean",
     )
+
+
+@register(
+    "stream_static_join",
+    sql="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'ops')
+    )
+    SELECT category, COUNT(*) AS cnt
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a streaming file source joined to a
+    broadcast dimension, aggregated in update mode, MERGEd per batch into
+    a managed table. Drained twice (two arrival waves) — the state store
+    carries running totals across AvailableNow runs, so the final table
+    equals the batch join+GROUP BY (the oracle). The static side is
+    re-read per micro-batch, which is how dimension refresh works in a
+    long-running stream."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_ssj_"))
+    work = tempfile.mkdtemp(prefix="e2is_ssj_src_")
+    src = os.path.join(work, "incoming")
+    ckpt = os.path.join(work, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"), ("view", "engagement"),
+            ("purchase", "conversion"), ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .join(F.broadcast(dim), "event_type")
+        )
+        agg = stream.groupBy("category").agg(F.count(F.lit(1)).alias("cnt"))
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            cat.table("stream.category_counts").merge(batch_df, keys=["category"])
+
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    cut = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    return cat.table("stream.category_counts").read()

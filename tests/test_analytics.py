@@ -1,0 +1,42 @@
+"""Analytics operator semantics beyond the DuckDB parity gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.sources.tables import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimate stays within 5x the requested rsd of the exact count
+    (generous bound; rsd is a standard deviation, not a hard limit)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(merged) > 0
+    for r in merged:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.10 * r["exact"]), r
+
+
+def test_q3_plan_broadcasts_and_pushes_down(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.analytics import q3_shipping_priority
+
+    plan = q3_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+
+
+def test_range_join_broadcasts_tiers(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.analytics import join_range_tiers
+
+    plan = join_range_tiers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the theta join must be broadcast (nested loop over the tiny tier
+    # side), never a cartesian shuffle of the fact table
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
