@@ -308,6 +308,21 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
+@register("similarity_ann_ivf", sql=None)  # approximate; oracle = recall test
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: corpus inverted-listed under nlist=16 broadcast
+    centroids; queries probe their 4 nearest cells, exact cosine re-rank
+    inside the probed lists only (recall vs brute force asserted in
+    tests/test_ext.py)."""
+    from etl_to_iceberg_spark.ext.similarity import ivf_topk
+
+    emb = _load_balanced(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
 @register("similarity_ann_lsh", sql=None)  # approximate; oracle = recall test
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets (deterministic planes) →

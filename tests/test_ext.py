@@ -158,3 +158,23 @@ def test_lang_id_on_real_phrases(spark):
     )
     out = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
     assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "unknown"}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    hits = exact.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / exact.count()
+    # probing half the cells (4/8) must recover a solid share of true
+    # neighbours; the self-match is always in the query's own best cell.
+    assert recall >= 0.4
+    self_hits = approx.where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 3
