@@ -233,3 +233,82 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_collect_ordered",
+    sql="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: the distinct event types per user as a
+    SORTED array (collect_set is unordered — the sort makes the result
+    deterministic and therefore checkable; same discipline as top-k
+    tie-breaks)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    sql="""
+    SELECT event_id, event_type, ts, value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS mov_avg_7
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average (7 rows per series): the smoothing
+    window every metrics pipeline runs. Exact-decimal sum over the frame
+    keeps the result order-independent; one shuffle+sort on the series key
+    serves the whole frame family."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mov = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return ev.select(
+        "event_id", "event_type", "ts", "value",
+        F.round(mov, 6).alias("mov_avg_7"),
+    )
+
+
+@register(
+    "filter_scalar_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        FROM orders)
+    """,
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (orders above 2x the global average).
+    Catalyst plans the subquery as an independent one-row stage broadcast
+    into the filter — no self-join, no driver round trip in the plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ssq
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            FROM orders_ssq)
+        """
+    )

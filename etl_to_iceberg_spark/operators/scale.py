@@ -52,6 +52,31 @@ def salted_sum_count(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-tolerant equi-join: the big side gets a random salt, the small
+    side is replicated across all ``salt_buckets`` salts, and the join runs
+    on (key, salt) — a hot key's rows land on N reducers instead of one.
+
+    Result is identical to ``big.join(small, on)`` (inner); only the
+    physical distribution changes. Use when a specific hot key is known to
+    break even AQE's skew splitting (which splits partitions, not the
+    build-side replication) or when the small side is too big to broadcast."""
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_big.join(replicated_small, on=[on, "__salt"]).drop("__salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -242,3 +242,32 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
     drain()
     return cat.table("stream.category_counts").read()
+
+
+@register(
+    "join_salted_skew",
+    sql=f"""
+    WITH totals AS (
+      SELECT user_id, {sql_exact_sum('value')} AS user_total
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, t.user_total
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: big side salted, small side replicated across the
+    salt domain, joined on (key, salt) — a hot key spreads over N reducers.
+    The oracle proves the result equals the plain join."""
+    from etl_to_iceberg_spark.functions import exact_sum
+    from etl_to_iceberg_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(exact_sum("value").alias("user_total"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    return salted_join(purchases, totals, on="user_id").select(
+        "event_id", "user_id", "user_total"
+    )
