@@ -132,6 +132,36 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
     return builder.getOrCreate()
 
 
+# Confs the engine's semantics DEPEND on (not just tuning): these are
+# runtime-settable, so they can be applied defensively to a session the
+# engine did not build (e.g. a test harness passing its own SparkSession).
+_REQUIRED_RUNTIME_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS) — illegal to Spark otherwise;
+    # sources.tables.load_parquet_table does the long→timestamp fixup.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # All checked results are defined in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batches for the Pandas-UDF extension operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime-settable confs to ``spark``.
+
+    Idempotent and cheap (flagged per session object); called from the
+    data loaders so the driver contract works on ANY session, not only
+    one built by :func:`get_spark`."""
+    if getattr(spark, "_e2is_confs_ensured", False):
+        return
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    spark._e2is_confs_ensured = True
+
+
 def stop_spark() -> None:
     """Stop the active session (tests only — a long-lived engine keeps it)."""
     active = SparkSession.getActiveSession()

@@ -63,6 +63,9 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 
 def load_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, converting ns-timestamp columns to timestamps."""
+    from etl_to_iceberg_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # works on sessions the engine didn't build
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         if c in df.columns:

@@ -189,3 +189,20 @@ def test_time_travel_as_of_ms(cat, spark, sf_dir):
     ts1 = t.snapshot().timestamp_ms
     t.append(region)
     assert t.read(as_of_ms=ts1).count() == 2
+
+
+def test_load_table_on_session_without_engine_confs(spark, sf_dir):
+    """The driver contract must work on a session the engine didn't build:
+    load_parquet_table re-applies required runtime confs itself."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    if hasattr(spark, "_e2is_confs_ensured"):
+        del spark._e2is_confs_ensured
+    try:
+        from etl_to_iceberg_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert ev.limit(1).count() == 1
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
