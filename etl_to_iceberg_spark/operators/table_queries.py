@@ -266,11 +266,24 @@ def maint_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.snapshot_list(t).select("version", "operation", "n_files")
 
 
-@register("maint_snapshot_list", sql=None)  # timestamps are wall-clock
+@register(
+    "maint_snapshot_list",
+    sql="""
+    SELECT CAST(1 AS INT) AS version, CAST(NULL AS INT) AS parent,
+           'create' AS operation,
+           (SELECT COUNT(*) FROM nation) AS total_rows
+    UNION ALL
+    SELECT 2, 1, 'append', (SELECT COUNT(*) FROM nation) + 5
+    UNION ALL
+    SELECT 3, 2, 'overwrite', (SELECT COUNT(*) FROM nation)
+    """,
+)
 def maint_snapshot_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot history listing (ref: maint_snapshot_list,
     iceberg_snapshot_operator.py:130-156) — a metadata relation, not a
-    driver-side chain walk."""
+    driver-side chain walk. Wall-clock timestamps are projected away; the
+    version chain, operations, and row accounting are deterministic and
+    oracle-checked against the source table's cardinality."""
     cat = _scratch(spark)
     nation = load_table(spark, sf_dir, "nation")
     t = cat.table("geo.nation_hist")
