@@ -1,0 +1,145 @@
+"""Property-based and randomized-oracle tests.
+
+Two layers beyond the table-driven/parity suites:
+
+- hypothesis properties over the PURE functions (type mapping): no Spark,
+  thousands of generated cases.
+- randomized-oracle checks for composite operators (as-of join,
+  sessionization): one seeded random dataset, Spark result compared to an
+  independent pure-Python reimplementation row by row.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import types as T
+
+from etl_to_iceberg_spark.types import oracle_type_to_spark
+
+# --- hypothesis: type mapping is total, stable, and param-insensitive ------
+
+_BASE_TYPES = [
+    "NUMBER", "FLOAT", "BINARY_FLOAT", "BINARY_DOUBLE", "VARCHAR2", "CHAR",
+    "NCHAR", "NVARCHAR2", "CLOB", "NCLOB", "DATE", "TIMESTAMP", "RAW", "BLOB",
+]
+
+
+@given(
+    base=st.sampled_from(_BASE_TYPES),
+    precision=st.one_of(st.none(), st.integers(1, 38)),
+    scale=st.one_of(st.none(), st.integers(0, 10)),
+    lower=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_mapping_total_and_case_insensitive(base, precision, scale, lower):
+    name = base.lower() if lower else base
+    out = oracle_type_to_spark(name, precision, scale)
+    assert isinstance(out, T.DataType)
+    # case must not change the result
+    assert out == oracle_type_to_spark(base, precision, scale)
+
+
+@given(
+    precision=st.integers(1, 38),
+    scale=st.integers(1, 10),
+)
+@settings(max_examples=200, deadline=None)
+def test_number_with_scale_never_loses_decimals(precision, scale):
+    """Faithful mode: NUMBER(p, s>0) must be Decimal, never an integer type
+    (the reference's lossy Long mapping is opt-in compat only)."""
+    out = oracle_type_to_spark("NUMBER", precision, scale)
+    assert isinstance(out, T.DecimalType)
+    assert out.scale > 0
+    compat = oracle_type_to_spark("NUMBER", precision, scale, number_as_long=True)
+    assert compat == T.LongType()
+
+
+@given(text=st.text(min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_mapping_never_raises(text):
+    """Any junk type name falls back to StringType — total function."""
+    out = oracle_type_to_spark(text)
+    assert isinstance(out, T.DataType)
+
+
+# --- randomized oracle: as-of join vs pure-Python reimplementation ---------
+
+
+def test_asof_join_matches_python_oracle(spark):
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.operators.advanced import asof_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts = [
+        (k, base + dt.timedelta(minutes=rng.randrange(0, 3000)), i)
+        for i, k in enumerate(rng.choices(range(8), k=120))
+    ]
+    rights = [
+        (k, base + dt.timedelta(minutes=rng.randrange(0, 3000)), 1000 + i)
+        for i, k in enumerate(rng.choices(range(8), k=90))
+    ]
+    # unique ts per key on the right (asof semantics need a deterministic
+    # winner at equal timestamps)
+    seen = set()
+    rights = [
+        r for r in rights
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    ldf = spark.createDataFrame(lefts, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(rights, "k long, ts timestamp, rid long")
+
+    got = {
+        (r["k"], r["ts"], r["lid"]): r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+            right_payload=["rid"],
+        ).collect()
+    }
+
+    # independent reimplementation
+    want = {}
+    for k, lts, lid in lefts:
+        cands = [(rts, rid) for rk, rts, rid in rights if rk == k and rts <= lts]
+        if cands:
+            want[(k, lts, lid)] = max(cands)[1]
+    assert got == want
+
+
+def test_sessionize_matches_python_oracle(spark):
+    from etl_to_iceberg_spark.streaming.windows import sessionize
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base
+        for _ in range(rng.randrange(3, 25)):
+            t = t + dt.timedelta(minutes=rng.randrange(1, 90))
+            rows.append((user, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+
+    want = {}
+    for user in range(6):
+        evs = sorted((t for u, t, _ in rows if u == user))
+        sid, start, prev, n = 0, None, None, 0
+        for t in evs:
+            if prev is None or (t - prev) > dt.timedelta(minutes=30):
+                if start is not None:
+                    want[(user, sid)] = (start, prev, n)
+                sid += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        want[(user, sid)] = (start, prev, n)
+    assert got == want
