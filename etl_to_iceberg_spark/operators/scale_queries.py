@@ -271,3 +271,33 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(purchases, totals, on="user_id").select(
         "event_id", "user_id", "user_total"
     )
+
+
+@register(
+    "stream_sliding_window",
+    sql="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS cnt
+    FROM events,
+         UNNEST([date_trunc('day', CAST(ts AS TIMESTAMP)),
+                 date_trunc('day', CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY])
+             AS t(ws)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-day windows sliding by 1 day): every
+    event contributes to window_size/slide windows. `F.window` is the SAME
+    operator in batch and streaming — this batch form is the oracle for
+    the streaming variant (add withWatermark + writeStream and the plan is
+    unchanged). Spark expands each row to its windows before the hash agg,
+    mirroring the UNNEST in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt"
+        )
+    )
