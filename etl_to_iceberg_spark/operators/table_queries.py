@@ -331,3 +331,37 @@ def maint_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance.rollback(t, 1)  # v3 == v1
     maintenance.cherrypick(t, 2)  # v4 == v1 + v2's added files
     return t.read()
+
+
+@register(
+    "merge_partition_scoped",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+                THEN o_totalprice * 10 ELSE o_totalprice END AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+)
+def merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into an identity-partitioned table where the delta touches a
+    single partition: file pruning keeps every other partition's files
+    carried by reference (asserted in tests/test_tables.py) — the 100 TB
+    property that a 1-partition delta rewrites ~1 partition, not the lake."""
+    cat = _scratch(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    t = cat.table("sales.orders_by_year")
+    t.create(orders, partition_by=["o_year"])
+
+    delta = orders.where(
+        (F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0)
+    ).select(
+        "o_orderkey", (F.col("o_totalprice") * 10).alias("o_totalprice"), "o_year"
+    )
+    snap = t.merge(delta, keys=["o_orderkey"])
+    assert snap.summary["carried_files"] > 0, "partition pruning did not carry files"
+    return t.read()

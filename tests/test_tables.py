@@ -206,3 +206,39 @@ def test_load_table_on_session_without_engine_confs(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_merge_rewrites_only_touched_partition(spark, sf_dir):
+    """A delta confined to one partition must carry every other
+    partition's files by reference."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_mps_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    t = cat.table("s.orders_part")
+    t.create(orders, partition_by=["o_year"])
+    n_years = orders.select("o_year").distinct().count()
+    files_before = len(t.snapshot().files)
+
+    delta = orders.where((F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0)) \
+        .select("o_orderkey", (F.col("o_totalprice") * 10).alias("o_totalprice"), "o_year")
+    snap = t.merge(delta, keys=["o_orderkey"])
+
+    assert snap.summary["carried_files"] > 0
+    # rewritten files are a minority when only 1 of n_years partitions is hit
+    assert snap.summary["rewritten_files"] < files_before
+    assert snap.summary["rewritten_files"] <= max(1, files_before // max(n_years - 1, 1) + 1)
+    # content: merged rows changed, others untouched
+    got = t.read()
+    changed = got.where((F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0))
+    base = orders.where((F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0))
+    assert changed.count() == base.count()
+    assert got.count() == orders.count()
