@@ -522,3 +522,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
     )
+
+
+@register(
+    "text_pii_redact",
+    sql="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text,
+               '\\+?[0-9][0-9() .-]{7,}[0-9]')) AS n_phones
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone-number shapes) — the redaction pass a
+    training corpus runs before release. Pure regexp_replace column
+    expressions (JVM codegen, no Python), with per-doc match counts for
+    the audit trail."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+    docs = _load_balanced(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone), 0)).alias("n_phones"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '. ')
+                 AS sentences
+      FROM documents
+    )
+    SELECT doc_id,
+           len(sentences) AS n_sentences,
+           round(1.0 - CAST(len(list_distinct(sentences)) AS DOUBLE)
+                 / len(sentences), 6) AS dup_sentence_ratio
+    FROM t
+    WHERE len(sentences) > 0
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (gopher-style): fraction of duplicated sentences
+    per document — boilerplate/spam detection via array_distinct, a pure
+    per-row expression (split → distinct → ratio), zero shuffle."""
+    docs = _load_balanced(spark, sf_dir, "documents")
+    sentences = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        r"\. ",
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.size(sentences).alias("n_sentences"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sentences)).cast("double")
+            / F.size(sentences),
+            6,
+        ).alias("dup_sentence_ratio"),
+    )
+    return tagged.where(F.col("n_sentences") > 0)

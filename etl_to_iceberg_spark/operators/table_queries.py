@@ -365,3 +365,39 @@ def merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = t.merge(delta, keys=["o_orderkey"])
     assert snap.summary["carried_files"] > 0, "partition pruning did not carry files"
     return t.read()
+
+
+@register(
+    "pipeline_complete_workflow",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+)
+def pipeline_complete_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `complete_workflow` DAG (airflow-dags/
+    complete_workflow.py:40-69: transfer >> compaction >> aging) as one
+    engine pipeline: two appends (scheduled transfers) → binpack
+    compaction → snapshot expiry with retain_last. The oracle checks the
+    surviving table content; the snapshot/file accounting is asserted
+    inline — after expiry only the compacted history remains readable."""
+    cat = _scratch(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    t = cat.table("analytics.daily_metrics")
+    # Task 1 (transfer, two scheduled runs): append mode, many small files.
+    t.append(orders.where(F.col("o_orderkey") % 2 == 0).repartition(4))
+    t.append(orders.where(F.col("o_orderkey") % 2 == 1).repartition(4))
+    files_before = len(t.snapshot().files)
+    # Task 2 (compaction): binpack to the reference default 512 MB.
+    maintenance.compact(t, target_file_size_mb=512)
+    assert len(t.snapshot().files) < files_before
+    # Task 3 (aging): expire everything but the latest snapshots
+    # (reference defaults: 7d/retain_last=10 — here age is minutes old, so
+    # retain_last drives the expiry).
+    maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    assert len(t.snapshots()) == 1
+    return t.read()
