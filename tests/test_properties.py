@@ -143,3 +143,20 @@ def test_sessionize_matches_python_oracle(spark):
             prev = t
         want[(user, sid)] = (start, prev, n)
     assert got == want
+
+
+def test_exact_sum_is_partition_order_independent(spark):
+    """The engine-wide exact-decimal sum must be bit-identical across
+    partition layouts (plain SUM(double) is not)."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.functions import exact_sum
+
+    rng = random.Random(3)
+    vals = [(i, rng.uniform(-1e6, 1e6)) for i in range(20_000)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    results = {
+        df.repartition(n).agg(exact_sum("v").alias("s")).collect()[0]["s"]
+        for n in (1, 7, 32)
+    }
+    assert len(results) == 1, f"layout-dependent sum: {results}"
