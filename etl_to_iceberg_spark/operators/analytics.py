@@ -326,8 +326,8 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= DATE '1994-01-01'
-      AND o_orderdate <  DATE '1995-01-01'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
@@ -346,8 +346,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -376,8 +376,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= DATE '1993-10-01'
-      AND o_orderdate <  DATE '1994-01-01'
+    WHERE o_orderdate >= DATE '1995-10-01'
+      AND o_orderdate <  DATE '1996-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey
@@ -392,8 +392,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
@@ -405,4 +405,65 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    sql=f"""
+    SELECT {sql_exact_sum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure predicate + scalar
+    aggregate — the canonical pushdown benchmark. All four predicates
+    reach the parquet scan; the plan is scan → partial agg → single-row
+    final agg, no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q14_promo_effect",
+    sql=f"""
+    SELECT round(
+        100.0 * {sql_exact_sum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0 END")}
+        / {sql_exact_sum(_REVENUE)}, 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate <  DATE '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue share in one
+    month. Part is broadcast; both exact-decimal sums come out of a single
+    aggregation pass (no second scan for the denominator)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    rev = F.expr(_REVENUE)
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * exact_sum(promo_rev) / exact_sum(rev), 6
+            ).alias("promo_revenue_pct")
+        )
     )

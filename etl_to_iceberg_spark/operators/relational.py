@@ -892,3 +892,29 @@ def normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     messy = ev.toDF(*[c.upper() for c in ev.columns])
     return prepare_dataframe(messy)
+
+
+@register(
+    "scan_hive_partitioned",
+    sql="""
+    SELECT event_id, user_id, value, event_type FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout directory scan with native partition discovery +
+    pruning (ref: the manual path-parsing + per-partition grouping of
+    hdfs_to_iceberg_operator.py:84-123, replaced wholesale): the dataset
+    is laid out as event_type=<v>/ directories; the IN-filter prunes at
+    the FILE INDEX, so non-matching partitions are never opened."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="e2is_hive_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(work)
+    scanned = spark.read.parquet(work).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return scanned.select("event_id", "user_id", "value", "event_type")
