@@ -177,17 +177,24 @@ def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
      INTERSECT
      SELECT user_id FROM events WHERE event_type = 'view')
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events
+    WHERE event_type = 'error'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
     """,
 )
 def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set algebra (users who purchased AND viewed but
-    never errored) — completes the set-op family next to union/semi/anti.
-    Catalyst executes both as aggregated joins (distinct + left-semi /
-    left-anti), so they shuffle once per operand on the compare key."""
+    """INTERSECT / EXCEPT set algebra (users who purchased AND viewed,
+    minus those who errored in the first week) — completes the set-op
+    family next to union/semi/anti. Catalyst executes both as aggregated
+    joins (distinct + left-semi / left-anti), so they shuffle once per
+    operand on the compare key."""
     ev = load_table(spark, sf_dir, "events")
     of_type = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
-    return of_type("purchase").intersect(of_type("view")).subtract(of_type("error"))
+    early_errors = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return of_type("purchase").intersect(of_type("view")).subtract(early_errors)
 
 
 @register("agg_approx_distinct", sql=None)  # approximate by design (HLL)
@@ -293,13 +300,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.9 * (
         SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         FROM orders)
     """,
 )
 def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery predicate (orders above 2x the global average).
+    """Scalar-subquery predicate (orders above 1.9x the global average).
     Catalyst plans the subquery as an independent one-row stage broadcast
     into the filter — no self-join, no driver round trip in the plan."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
@@ -307,7 +314,7 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders_ssq
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.9 * (
             SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
             FROM orders_ssq)
         """

@@ -16,7 +16,7 @@ def _scratch(spark: SparkSession) -> Catalog:
     return Catalog(spark, tempfile.mkdtemp(prefix="e2is_cdc_"))
 
 
-_CURSOR = "2024-07-01 00:00:00"
+_CURSOR = "2024-01-15 00:00:00"
 
 
 @register(
@@ -95,7 +95,7 @@ def cdc_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    cut = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     pipe = CdcPipeline(
         cat, source_schema="sales", source_table="events",
         target_identifier="sales.user_latest",

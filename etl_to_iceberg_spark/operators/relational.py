@@ -312,7 +312,7 @@ def filter_gt_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id, ts, user_id, event_type, value
     FROM events
-    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-10-01 00:00:00'
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
     """,
 )
 def filter_ts_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +320,7 @@ def filter_ts_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ts > TO_TIMESTAMP(last, ...)`)."""
     return (
         load_table(spark, sf_dir, "events")
-        .where(F.col("ts") > F.lit("2024-10-01 00:00:00").cast("timestamp"))
+        .where(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
 
@@ -776,8 +776,8 @@ def fn_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type, COUNT(*) AS cnt
     FROM events
-    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-06-15 00:00:00' - INTERVAL 14 DAY
-      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-06-15 00:00:00'
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 14 DAY
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -785,7 +785,7 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic horizon (ref: now - timedelta(days=N) for snapshot
     expiry, iceberg_aging_operator.py:188-191) — anchored to a literal so
     the query is deterministic; the maintenance layer passes the real now."""
-    anchor = F.lit("2024-06-15 00:00:00").cast("timestamp")
+    anchor = F.lit("2024-01-20 00:00:00").cast("timestamp")
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.where(

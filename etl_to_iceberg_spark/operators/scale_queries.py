@@ -137,7 +137,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after wave 1's watermark but carries later timestamps, so nothing is
     # dropped as late — splitting by a non-time attribute here would
     # (correctly!) get wave 2 discarded by the watermark.
-    cut = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
 
     def drain() -> None:
         stream_windowed_counts(
@@ -236,7 +236,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
 
-    cut = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
     drain()
     ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)

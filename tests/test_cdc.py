@@ -36,7 +36,7 @@ def test_pipeline_append_two_ticks_no_duplicates(cat, spark, sf_dir):
         cat, source_schema="s", source_table="events",
         target_identifier="s.ev_log", ts_col="ts",
     )
-    cut = F.lit("2024-07-01").cast("timestamp")
+    cut = F.lit("2024-01-15").cast("timestamp")
     r1 = pipe.run(ev.where(F.col("ts") <= cut))
     r2 = pipe.run(ev)  # cursor excludes tick-1 rows
     assert r1.rows + r2.rows == ev.count()

@@ -15,7 +15,7 @@ def test_stream_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     src = str(tmp_path / "incoming")
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    cut = F.lit("2024-07-01").cast("timestamp")
+    cut = F.lit("2024-01-15").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
     kw = dict(
         schema=ev.schema, ts_col="ts", group_col="event_type",
