@@ -40,3 +40,23 @@ def test_range_join_broadcasts_tiers(spark, sf_dir):
     # side), never a cartesian shuffle of the fact table
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hive_scan_prunes_partitions(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.relational import scan_hive_partitioned
+
+    df = scan_hive_partitioned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the IN-predicate must land in PartitionFilters (file-index pruning),
+    # not in a post-scan Filter over the data
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.analytics import q6_forecast_revenue
+
+    plan = q6_forecast_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
