@@ -66,3 +66,34 @@ def test_lsh_candidates_no_cartesian(spark, sf_dir):
 def test_anti_join_stays_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "anti_join_new_files")
     assert "LeftAnti" in plan
+
+
+def test_q18_having_subquery_single_lineitem_shuffle_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    # qualifying-key set and customer side broadcast; top-100 is TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_quantity_envelope_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    # the OR-of-ANDs must reach the lineitem scan as a pushed filter on
+    # l_quantity (Catalyst factors the 1..30 envelope / per-branch Or)
+    pushed = plan.split("PushedFilters:")[1]
+    assert "l_quantity" in pushed.splitlines()[0] or "Or(" in pushed.splitlines()[0]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_no_row_multiplication(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # quarter filter reaches the orders parquet scan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q22_scalar_threshold_is_broadcast_not_collected(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    # one-row average joins in via broadcast; dormancy test is an anti join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
