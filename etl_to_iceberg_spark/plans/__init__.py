@@ -17,6 +17,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # Decide from scan metadata (file list + sizes), NOT df.rdd — the RDD
+    # hop forces a second plan translation on every call and costs ~300ms
+    # of driver time per query at bench scale.
+    try:
+        paths = df.inputFiles()
+    except Exception:
+        paths = []
+    if len(paths) >= target:
+        return df  # already at least one split per core
+    local = [p.removeprefix("file:") for p in paths]
+    if paths and all(p.startswith("/") for p in local):
+        import os
+
+        total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+        # Spark splits large files at spark.sql.files.maxPartitionBytes
+        # (default 128 MiB) — big single files already parallelize.
+        if total >= target * 128 * 1024 * 1024:
+            return df
+        return df.repartition(target)
+    # No file metadata (in-memory/streaming lineage): fall back to the
+    # partition count of the compiled plan.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

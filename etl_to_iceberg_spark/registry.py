@@ -64,6 +64,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.advanced  # noqa: F401
     import etl_to_iceberg_spark.operators.analytics  # noqa: F401
     import etl_to_iceberg_spark.operators.tpch_more  # noqa: F401
+    import etl_to_iceberg_spark.operators.tpch_more2  # noqa: F401
     import etl_to_iceberg_spark.ext.queries  # noqa: F401
 
     return dict(_REGISTRY)

@@ -97,3 +97,28 @@ def test_q22_scalar_threshold_is_broadcast_not_collected(spark, sf_dir):
     # one-row average joins in via broadcast; dormancy test is an anti join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def _scan_nodes(plan: str) -> int:
+    """Number of scan nodes in a formatted plan (each node is listed in
+    the tree AND the details section — count the numbered detail lines)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_q17_uses_window_not_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    # the correlated per-part average must compile to a Window over ONE
+    # lineitem scan, not a second scan + self-join
+    assert "Window" in plan
+    assert _scan_nodes(plan) <= 2  # lineitem + part, no 2nd lineitem
+
+
+def test_q21_single_grouped_pass_no_correlated_rescans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_suppliers_kept_waiting")
+    # the double-EXISTS rewrite reads lineitem twice (late lines +
+    # per-order profile) — the textbook correlated form would read it 3×
+    assert _scan_nodes(plan) <= 7
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
