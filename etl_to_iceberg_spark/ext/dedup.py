@@ -349,3 +349,79 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --- connected components (dedup clusters) ---------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(id, cluster_id)`` where cluster_id = the smallest id reachable
+    through the (undirected) edge set.
+
+    This is the step that turns pairwise near-dup CANDIDATES (minhash /
+    simhash / cosine pairs) into dedup CLUSTERS — near-duplication is
+    transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so keeping
+    "one doc per matched pair" under-deletes; one doc per component is
+    the production semantics.
+
+    Scale shape: each round is one shuffle — edges join labels on dst,
+    groupBy src takes the min neighbor label, and nodes fold it in with
+    ``least``. Rounds = graph diameter, which for near-dup clusters is
+    tiny (clusters are dense blobs, not paths). ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow
+    exponentially. The driver-side loop is inherent to iterative
+    fixpoints (same as GraphX/Pregel); everything inside the loop is
+    distributed. For web-scale graphs swap the propagation body for the
+    large-star/small-star rounds of Kiveris et al. — the harness
+    (fixpoint + checkpointed rounds) is identical.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
+    )
+    sym = sym.where(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.e_dst == labels.node)
+            .groupBy("e_src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.e_src, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -594,3 +594,56 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_sentence_ratio"),
     )
     return tagged.where(F.col("n_sentences") > 0)
+
+
+@register(
+    "dedup_connected_components",
+    sql="""
+    WITH RECURSIVE edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a
+      JOIN documents b
+        ON a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 2
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.root
+      FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(root) AS cluster_id
+    FROM reach
+    GROUP BY id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs → dedup CLUSTERS via iterative min-label
+    connected components (ext/dedup.py::connected_components). The edge
+    relation here is an oracle-expressible blocking proxy (same source,
+    |n_chars| within 2) standing in for minhash/simhash candidate pairs —
+    the component step is identical. The DuckDB oracle computes the same
+    components with a recursive CTE (min reachable id)."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("src"),
+        F.col("source").alias("src_source"),
+        F.col("n_chars").alias("src_len"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"),
+        F.col("source").alias("dst_source"),
+        F.col("n_chars").alias("dst_len"),
+    )
+    edges = (
+        a.join(b, F.col("src_source") == F.col("dst_source"))
+        .where(
+            (F.abs(F.col("src_len") - F.col("dst_len")) <= 2)
+            & (F.col("src") < F.col("dst"))
+        )
+        .select("src", "dst")
+    )
+    return connected_components(edges, docs, id_col="doc_id")

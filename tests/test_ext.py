@@ -178,3 +178,20 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
         (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
     ).count()
     assert self_hits == 3
+
+
+def test_connected_components_planted_graph(spark):
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    # components: {1,2,3,4} (path), {10,11} (pair), {20} (isolated)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
