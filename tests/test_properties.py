@@ -160,3 +160,47 @@ def test_exact_sum_is_partition_order_independent(spark):
         for n in (1, 7, 32)
     }
     assert len(results) == 1, f"layout-dependent sum: {results}"
+
+
+def test_connected_components_matches_union_find_oracle(spark):
+    """Random sparse graphs: the distributed label propagation must agree
+    with a driver-side union-find on every node."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randrange(10, 60)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(0, n))
+        ]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in nodes}
+        # canonical root = min of component
+        comp = {}
+        for x in nodes:
+            comp.setdefault(find(x), []).append(x)
+        want = {x: min(comp[find(x)]) for x in nodes}
+
+        edges_df = spark.createDataFrame(
+            edges or [(0, 0)], "src long, dst long"
+        )
+        nodes_df = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(edges_df, nodes_df).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
