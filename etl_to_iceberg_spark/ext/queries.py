@@ -647,3 +647,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return connected_components(edges, docs, id_col="doc_id")
+
+
+@register(
+    "corpus_pack_sequences",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS_BPE} AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT)
+             AS seq_id,
+           CAST((SUM(n_tokens) OVER w - n_tokens) % 512 AS BIGINT)
+             AS seq_offset
+    FROM toks
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing for LM training: per source
+    shard, docs in id order form one token stream cut every 512 tokens;
+    each doc gets the sequence id + offset of its first token
+    (ext/sampling.py::pack_sequences — one window, no UDF, no driver
+    loop)."""
+    from etl_to_iceberg_spark.ext.sampling import pack_sequences
+    from etl_to_iceberg_spark.ext.text import token_count
+
+    docs = _load_balanced(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, tokens_col="n_tokens", group_col="source", budget=512
+    )

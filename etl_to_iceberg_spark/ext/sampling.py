@@ -15,7 +15,7 @@ at finer granularity use more digits (16^k buckets) — same pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_to_iceberg_spark.ext.text import fingerprint
 
@@ -65,3 +65,42 @@ def stratified_sample(
     ``sampleBy`` it needs no per-key fraction map or RNG seed."""
     keep = buckets if buckets is not None else list("0123")  # 4/16 = 25%
     return df.where(hash_bucket(text_col, digit).isin(keep))
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    CONTIGUOUS greedy packing: within each group (e.g. source shard), docs
+    in id order accumulate into a sequence until the budget would
+    overflow, then a new sequence starts.
+
+    Output: (id, group?, n_tokens, seq_id, seq_offset) — seq_id is the
+    sequence containing the doc's FIRST token, seq_offset the position of
+    that token inside the sequence.
+
+    This is concatenate-then-chunk packing (the standard causal-LM
+    pretraining shape): the group's docs form one token stream, cut every
+    ``budget`` tokens; docs may straddle a cut, and downstream chunking
+    splits them. Scale shape: ONE window (cumulative sum over the group's
+    id order) — no driver loop, no UDF, order-stable and parallel per
+    group; exact first-fit bin packing is a sequential recurrence and
+    does not distribute."""
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col) if keys else Window.orderBy(id_col)
+    cum = F.sum(tokens_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_local = F.floor((cum - F.col(tokens_col)) / F.lit(budget))
+    return df.select(
+        id_col,
+        *keys,
+        F.col(tokens_col),
+        seq_local.cast("long").alias("seq_id"),
+        ((cum - F.col(tokens_col)) % F.lit(budget)).cast("long").alias("seq_offset"),
+    )
