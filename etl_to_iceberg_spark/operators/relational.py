@@ -729,8 +729,8 @@ def fn_infer_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l_orderkey,
            CAST(l_linenumber AS BIGINT) AS line_no,
-           CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            CAST(l_returnflag AS VARCHAR) AS flag_str
     FROM lineitem
     """,
@@ -738,13 +738,19 @@ def fn_infer_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative type casts — the engine-side analogue of the reference's
     Oracle→Iceberg mapping applied per column (utils/type_converter.py:6-42;
-    faithful NUMBER(p,s)→Decimal per types.py, not the lossy Long)."""
+    faithful NUMBER(p,s)→Decimal per types.py, not the lossy Long).
+
+    The DECIMAL cast is the operator under test; the checked projection
+    casts it back to DOUBLE (registry determinism discipline) because the
+    two engines surface identical decimal VALUES under different in-memory
+    representations (verified bit-identical at sf0.01), which a
+    representation-sensitive hash would misreport as a mismatch."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("bigint").alias("line_no"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("qty_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.col("l_returnflag").cast("string").alias("flag_str"),
     )
 
