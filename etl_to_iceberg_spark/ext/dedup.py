@@ -103,17 +103,55 @@ def minhash_signatures(
     ).select(F.col(id_col), F.aggregate("__sh", init, fold).alias("sig"))
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket_size``.
+
+    The window count partitions on the SAME keys as the candidate
+    self-join, so the shuffle is reused — the cap costs a sort within
+    already-materialized partitions, not an extra exchange. Oversized
+    buckets are a corpus pathology (thousands of byte-identical headers /
+    boilerplate): joining one is quadratic, and its members are better
+    handled by the exact-dedup collapse that the composed pipelines run
+    first. Use :func:`oversized_buckets` to count what a cap would drop."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+
+def oversized_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """(bucket keys, n) for buckets a cap of ``max_bucket_size`` would skip
+    — the lazy 'log what was dropped' surface for the capped LSH paths."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket_size)
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     *,
     id_col: str = "doc_id",
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs = ids sharing ≥1 (band, band_hash) bucket.
 
     Scale: the self-join is an equi-join on (band, hash) — hash-partitioned,
     no cross product; distinct() bounds duplicate candidates from multiple
-    colliding bands."""
+    colliding bands. ``max_bucket_size`` bounds the worst case: a bucket of
+    n members yields n²/2 pairs, so one boilerplate-heavy bucket can
+    dominate the whole job — rows in buckets above the cap are skipped
+    (count them with :func:`oversized_buckets`)."""
     rows_per_band = F.size(F.col("sig")) / bands
     banded = sigs.select(
         F.col(id_col),
@@ -136,6 +174,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )
@@ -178,6 +217,32 @@ def jaccard_verify(
     )
 
 
+def _collapse_identical(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, exact_edges): one rep (min id) per identical
+    normalized text, plus (rep, member) edges for the collapsed docs.
+
+    Identical docs are the LSH pathology — byte-identical boilerplate all
+    lands in one bucket and the self-join goes quadratic. Collapsing first
+    bounds every identical group to ONE sketch row; the (rep, member)
+    edges (similarity 1.0 by construction) keep the pair set's transitive
+    closure identical to the uncollapsed pipeline, which is what the
+    cluster step consumes."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    tagged = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("__fp")))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    reps = tagged.where(F.col("__rn") == 1).select(id_col, text_col)
+    exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return reps, exact_edges
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     *,
@@ -187,22 +252,43 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_bucket_size: int | None = 256,
+    collapse_identical: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verification.
+    """Full MinHash-LSH near-dup pipeline: exact-collapse → signatures →
+    banded candidates (bucket-capped) → exact-Jaccard verification.
 
     Band tuning: b bands of r=num_hashes/b rows put the S-curve midpoint at
     (1/b)^(1/r); the default 16×2 targets ≈0.25, i.e. near-certain candidate
     capture for true Jaccard ≥0.5 — false candidates are cheap because the
-    exact verifier prunes them, missed candidates are unrecoverable."""
+    exact verifier prunes them, missed candidates are unrecoverable.
+
+    Scale guards (both default-on): identical docs collapse to one
+    representative before sketching (a crawl corpus with 10k copies of a
+    boilerplate page contributes ONE row to the LSH join, and the
+    (rep, member) Jaccard-1.0 edges are re-emitted so the pair set's
+    transitive closure is unchanged); residual hot buckets — distinct
+    texts that still collide — are capped at ``max_bucket_size`` members
+    (skipped rows countable via :func:`oversized_buckets`)."""
+    if collapse_identical:
+        reps, exact_edges = _collapse_identical(df, id_col=id_col, text_col=text_col)
+    else:
+        reps, exact_edges = df, None
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col,
+        reps, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
     )
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
-    return jaccard_verify(
-        cands, df, id_col=id_col, text_col=text_col,
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
+    near = jaccard_verify(
+        cands, reps, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, threshold=threshold,
+    )
+    if exact_edges is None:
+        return near
+    return near.unionByName(
+        exact_edges.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
 
 
@@ -263,13 +349,33 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their 32-bit simhash.
 
     Candidates via the pigeonhole band trick: distance < 4 ⇒ at least one
     of the 4 bytes is identical, so candidates come from 4 equi-joins on
-    (byte_index, byte_value) — never a cross join."""
-    sigs = simhash(df, id_col=id_col, text_col=text_col, bits=32)
+    (byte_index, byte_value) — never a cross join.
+
+    Scale guards: docs with IDENTICAL signatures (byte-identical or
+    near-identical text — the hot-bucket pathology) collapse to one
+    representative per signature before the join; the (rep, member)
+    hamming-0 edges are re-emitted, so the pair set's transitive closure
+    matches the uncollapsed pipeline. Residual buckets — distinct
+    signatures sharing a byte — are capped at ``max_bucket_size``
+    (skipped rows countable via :func:`oversized_buckets`)."""
+    all_sigs = simhash(df, id_col=id_col, text_col=text_col, bits=32)
+    w_sig = Window.partitionBy("simhash")
+    tagged = all_sigs.withColumn("__rep", F.min(id_col).over(w_sig))
+    sigs = (
+        tagged.where(F.col(id_col) == F.col("__rep"))
+        .select(id_col, "simhash")
+    )
+    exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -282,6 +388,7 @@ def simhash_near_duplicates(
             )
         ).alias("byte_idx", "byte_val"),
     )
+    banded = _cap_buckets(banded, ["byte_idx", "byte_val"], max_bucket_size)
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
         "byte_idx", "byte_val",
@@ -293,13 +400,14 @@ def simhash_near_duplicates(
     hamming = F.bit_count(
         F.col("sig_a").bitwiseXOR(F.col("sig_b")).bitwiseAND(F.lit((1 << 32) - 1))
     )
-    return (
+    near = (
         left.join(right, on=["byte_idx", "byte_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return near.unionByName(exact_edges)
 
 
 # --- bounded exact jaccard (candidate set from a partition key) ------------
@@ -354,6 +462,26 @@ def ngram_jaccard_pairs(
 # --- connected components (dedup clusters) ---------------------------------
 
 
+def _reliable_checkpoint(spark):
+    """Returns ``df -> df.checkpoint(eager=True)`` after ensuring the
+    session has a checkpoint directory.
+
+    ``df.checkpoint()`` writes to reliable storage (the configured
+    checkpoint dir — HDFS/object store on a cluster), so a lost executor
+    mid-fixpoint recovers from disk rather than restarting the whole
+    iterative job; ``localCheckpoint()`` would pin blocks in executor
+    memory and die with the executor. If the deployment didn't configure
+    ``spark.sparkContext.setCheckpointDir``, fall back to a session-local
+    temp dir — correct on local mode, and a cluster deployment should set
+    a shared path (documented in SCALING.md)."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-cc-checkpoint-"))
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -376,24 +504,29 @@ def connected_components(
     Scale shape: each round is one shuffle — edges join labels on dst,
     groupBy src takes the min neighbor label, and nodes fold it in with
     ``least``. Rounds = graph diameter, which for near-dup clusters is
-    tiny (clusters are dense blobs, not paths). ``localCheckpoint``
-    truncates the lineage each round so the plan doesn't grow
-    exponentially. The driver-side loop is inherent to iterative
-    fixpoints (same as GraphX/Pregel); everything inside the loop is
-    distributed. For web-scale graphs swap the propagation body for the
-    large-star/small-star rounds of Kiveris et al. — the harness
-    (fixpoint + checkpointed rounds) is identical.
+    tiny (clusters are dense blobs, not paths). Each round is
+    RELIABLY checkpointed (``df.checkpoint()`` to the session's
+    checkpoint dir) so (a) the plan doesn't grow exponentially and
+    (b) a lost executor mid-fixpoint recomputes from durable storage
+    instead of killing the whole job — ``localCheckpoint`` keeps blocks
+    only in executor memory, which is not survivable on a real cluster.
+    The driver-side loop is inherent to iterative fixpoints (same as
+    GraphX/Pregel); everything inside the loop is distributed. For
+    web-scale graphs swap the propagation body for the large-star/
+    small-star rounds of Kiveris et al. — the harness (fixpoint +
+    checkpointed rounds) is identical.
     """
+    ckpt = _reliable_checkpoint(edges.sparkSession)
     sym = edges.select(
         F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
     ).union(
         edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
     )
-    sym = sym.where(F.col("e_src") != F.col("e_dst")).distinct().localCheckpoint()
+    sym = ckpt(sym.where(F.col("e_src") != F.col("e_dst")).distinct())
 
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = ckpt(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -401,7 +534,7 @@ def connected_components(
             .groupBy("e_src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, labels.node == nbr_min.e_src, "left_outer")
             .select(
                 "node",
@@ -409,7 +542,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

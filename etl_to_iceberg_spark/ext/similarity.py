@@ -208,15 +208,20 @@ def ivf_topk(
     The coarse quantizer here is the first ``nlist`` corpus vectors by id —
     deterministic and cheap, adequate for cell routing (recall is governed
     by nprobe); a production build trains it with MLlib KMeans on a sample
-    and persists it, same plan shape otherwise."""
+    and persists it, same plan shape otherwise.
+
+    Seeding is ``orderBy(id).limit(nlist)`` — Spark compiles this to
+    TakeOrderedAndProject (per-partition top-nlist, then a merge of nlist
+    rows per partition), so the corpus is never funneled through a single
+    task. Only AFTER the limit — when the frame is nlist rows, i.e.
+    metadata-sized — does a global row_number assign cell ids."""
     c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__v")
     )
-    w_seed = Window.orderBy("vec_id")
+    seed = c.orderBy("vec_id").limit(nlist)
     centroids = (
-        c.withColumn("__rn", F.row_number().over(w_seed))
-        .where(F.col("__rn") <= nlist)
+        seed.withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
         .select(F.col("__rn").alias("cell"), F.col("__v").alias("__cent"))
     )
     corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(

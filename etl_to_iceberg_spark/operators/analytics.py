@@ -246,7 +246,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_ordered",
     sql="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|')
+               AS event_types,
            COUNT(*) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -255,10 +256,12 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregation: the distinct event types per user as a
     SORTED array (collect_set is unordered — the sort makes the result
     deterministic and therefore checkable; same discipline as top-k
-    tie-breaks)."""
+    tie-breaks). The checked surface joins the array to a '|'-string:
+    value-hash comparators don't hash raw array cells, and the string is
+    bijective with the sorted array for these enum-like values."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

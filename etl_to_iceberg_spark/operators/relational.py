@@ -756,6 +756,27 @@ def fn_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_type_cast_decimal",
+    sql=None,  # rows-only: the point IS the DECIMAL schema surface
+)
+def fn_type_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECIMAL outputs of fn_type_cast surfaced DIRECTLY — schema check
+    sees DecimalType(12,2)/(18,2), demonstrating the faithful
+    NUMBER(p,s)→Decimal mapping (utils/type_converter.py:6-42; reference
+    maps NUMBER lossily to Long). Registered rows-only (sql=None) because
+    a value-hash over in-memory decimal representations is engine-specific
+    even when the values agree — the value-level parity of the same cast
+    is covered by fn_type_cast's DOUBLE-projected hash check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+
+
+@register(
     "fn_ts_format",
     sql="""
     SELECT event_id,

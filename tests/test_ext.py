@@ -195,3 +195,68 @@ def test_connected_components_planted_graph(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_minhash_identical_flood_is_collapsed_not_quadratic(spark):
+    """10k byte-identical docs — the crawl-boilerplate pathology. The
+    exact-collapse guard must reduce the LSH join to ONE representative
+    (no quadratic bucket), re-emitting (rep, member) edges: exactly n-1
+    pairs, all anchored at the min id, instead of n·(n-1)/2."""
+    from etl_to_iceberg_spark.ext.dedup import minhash_near_duplicates
+
+    n = 10_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'identical boilerplate header shared by every page' AS text",
+    )
+    out = minhash_near_duplicates(docs, threshold=0.5)
+    assert out.count() == n - 1
+    assert out.where(F.col("id_a") != 0).count() == 0
+
+
+def test_lsh_bucket_cap_skips_oversized_buckets(spark):
+    """Distinct docs forced into one band bucket via identical signatures
+    are dropped when the bucket exceeds the cap (countable via
+    oversized_buckets)."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        oversized_buckets,
+    )
+
+    # hand-built signatures: 50 ids share one signature (one hot bucket),
+    # 2 ids share another (a small, legitimate bucket)
+    hot = [(i, [1, 2, 3, 4]) for i in range(50)]
+    small = [(100, [9, 9, 9, 9]), (101, [9, 9, 9, 9])]
+    sigs = spark.createDataFrame(
+        hot + small, "doc_id long, sig array<bigint>"
+    )
+    capped = lsh_candidate_pairs(sigs, bands=2, max_bucket_size=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(100, 101)}  # hot bucket skipped, small bucket kept
+    banded_keys = ["band", "band_hash"]
+    # the drop is observable: the hot bucket shows up in the stats frame
+    from pyspark.sql import functions as SF
+
+    rows_per_band = SF.size(SF.col("sig")) / 2
+    banded = sigs.select(
+        "doc_id",
+        SF.posexplode(
+            SF.transform(
+                SF.sequence(SF.lit(0), SF.lit(1)),
+                lambda b: SF.xxhash64(
+                    SF.concat_ws(
+                        ",",
+                        SF.transform(
+                            SF.slice(
+                                SF.col("sig"),
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    assert oversized_buckets(banded, banded_keys, 10).count() == 2  # 2 bands

@@ -122,3 +122,31 @@ def test_q21_single_grouped_pass_no_correlated_rescans(spark, sf_dir):
     assert _scan_nodes(plan) <= 7
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_seeding_is_take_ordered_not_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_ann_ivf")
+    # centroid seeding must be orderBy().limit(nlist) = TakeOrderedAndProject
+    # (distributed per-partition top-n), not a row_number window that funnels
+    # the whole corpus through one task
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_min_cost_is_one_window_with_broadcast_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    # correlated min-cost subquery compiled to ONE window over the filtered
+    # partsupp; supplier/nation/region/part all broadcast
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_preaggregates_lineitem_before_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_promotion_suppliers")
+    # the year filter must reach the lineitem scan, and the only full-fact
+    # shuffle is the (partkey, suppkey) pre-aggregation
+    pushed_sections = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("l_shipdate" in p for p in pushed_sections)
+    assert plan.count("HashAggregate") >= 2  # partial+final pre-agg
