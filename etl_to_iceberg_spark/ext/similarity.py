@@ -271,3 +271,69 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_fraction: float | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: distributed MLlib KMeans
+    (Lloyd's over the cluster, seeded → reproducible) replaces
+    ``ivf_topk``'s first-nlist-ids seeding. Same routing/re-rank plan
+    shape; better-balanced cells, so candidate counts per query are more
+    uniform and the hottest inverted list shrinks.
+
+    Scale: KMeans trains on a deterministic hash-sample of the corpus
+    (``train_fraction``, default sized to ~100k rows) — training cost is
+    bounded regardless of corpus size; the fitted centroids are
+    metadata-sized (nlist × dim) and re-enter the plan as a broadcast
+    frame, exactly like ``ivf_topk``'s. Assignment/probe/re-rank stages
+    are shared with :func:`ivf_assign`/:func:`ivf_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__v")
+    )
+    train = c
+    if train_fraction is not None and train_fraction < 1.0:
+        # deterministic hash sample — NOT rand(): reproducible across runs
+        bucket = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
+        train = c.where(bucket < int(train_fraction * 1_000_000))
+    km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(train.select(array_to_vector("__v").alias("__feat")))
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, __cent array<double>",
+    )
+    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
+        "vec_id", F.col("__v").alias("__cv"), "cell"
+    )
+    query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
+        "query_id", F.col("__v").alias("__qv"), "cell"
+    )
+    scored = (
+        corpus_cells.join(query_cells, on="cell")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

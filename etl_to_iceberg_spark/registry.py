@@ -108,6 +108,7 @@ def all_specs() -> dict[str, QuerySpec]:
     this round, then the queries with prior green rows."""
     import etl_to_iceberg_spark.operators.table_queries  # noqa: F401
     import etl_to_iceberg_spark.ext.queries  # noqa: F401
+    import etl_to_iceberg_spark.ext.corpus_queries  # noqa: F401
     import etl_to_iceberg_spark.operators.analytics  # noqa: F401
     import etl_to_iceberg_spark.operators.tpch_more  # noqa: F401
     import etl_to_iceberg_spark.operators.tpch_more2  # noqa: F401

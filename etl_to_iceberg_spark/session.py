@@ -66,6 +66,26 @@ def _iceberg_jar_available() -> bool:
     return False
 
 
+def iceberg_conf(warehouse: str) -> dict[str, str]:
+    """The Iceberg catalog wiring applied when the runtime jar is present.
+
+    Semantics mirror the reference's builder (spark_builder.py:199-211):
+    SQL extensions for MERGE/time-travel/procedures, a named SparkCatalog,
+    and a warehouse root — with a local hadoop catalog standing in for the
+    reference's REST/MinIO combo (that's deployment config, layered via
+    ``SessionConfig.extra_conf``). Kept as a pure function so the sandbox
+    (which has no iceberg-spark-runtime jar — tests/test_tables.py
+    documents the fallback) can still assert the exact conf contract."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        "spark.sql.catalog.ice": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.ice.type": "hadoop",
+        "spark.sql.catalog.ice.warehouse": warehouse,
+    }
+
+
 def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
     """Get-or-create the engine SparkSession."""
     cfg = cfg or SessionConfig()
@@ -111,19 +131,7 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
         warehouse = cfg.iceberg_warehouse or os.path.join(
             os.getcwd(), "warehouse", "iceberg"
         )
-        # Mirrors the reference's catalog wiring (spark_builder.py:199-211)
-        # but with a local hadoop catalog by default; REST/MinIO stays a
-        # production config option layered via ``extra_conf``.
-        conf.update(
-            {
-                "spark.sql.extensions": (
-                    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
-                ),
-                "spark.sql.catalog.ice": "org.apache.iceberg.spark.SparkCatalog",
-                "spark.sql.catalog.ice.type": "hadoop",
-                "spark.sql.catalog.ice.warehouse": warehouse,
-            }
-        )
+        conf.update(iceberg_conf(warehouse))
 
     conf.update(cfg.extra_conf)
     for k, v in conf.items():

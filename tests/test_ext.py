@@ -260,3 +260,23 @@ def test_lsh_bucket_cap_skips_oversized_buckets(spark):
         ).alias("band", "band_hash"),
     )
     assert oversized_buckets(banded, banded_keys, 10).count() == 2  # 2 bands
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk, ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_kmeans_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    hits = exact.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / exact.count()
+    # probing half the trained cells: strong recall expected; the run is
+    # seeded, so this is a deterministic bound, not a flaky one
+    assert recall >= 0.5
+    self_hits = approx.where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 3

@@ -242,3 +242,24 @@ def test_merge_rewrites_only_touched_partition(spark, sf_dir):
     base = orders.where((F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0))
     assert changed.count() == base.count()
     assert got.count() == orders.count()
+
+
+def test_iceberg_conf_contract():
+    """The sandbox ships no iceberg-spark-runtime jar, so the real catalog
+    path can't execute here (every table op runs on the snapshot-log
+    format instead — the tests above). This pins the EXACT conf the
+    session applies when the jar IS present, mirroring the reference's
+    builder semantics (spark_builder.py:199-211): SQL extensions (MERGE /
+    time travel / CALL procedures), a SparkCatalog named 'ice', and the
+    warehouse root."""
+    from etl_to_iceberg_spark.session import _iceberg_jar_available, iceberg_conf
+
+    conf = iceberg_conf("/tmp/wh")
+    assert conf["spark.sql.extensions"] == (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    )
+    assert conf["spark.sql.catalog.ice"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.ice.type"] == "hadoop"
+    assert conf["spark.sql.catalog.ice.warehouse"] == "/tmp/wh"
+    # and the gate is honest about this environment
+    assert _iceberg_jar_available() is False
