@@ -204,3 +204,50 @@ def test_connected_components_matches_union_find_oracle(spark):
             for r in connected_components(edges_df, nodes_df).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_minhash_collapse_preserves_pair_closure(spark):
+    """Random corpora with planted duplicate groups: the collapsed pipeline
+    (identical docs -> one representative + rep->member edges) must yield
+    the SAME transitive closure (dedup clusters) as the uncollapsed one —
+    the guarantee the hot-bucket guard is allowed to rely on."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    words_pool = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red orange yellow green blue indigo violet white black brown",
+    ]
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for base in words_pool:
+        copies = rng.randrange(2, 5)
+        for _ in range(copies):  # identical group
+            rows.append((doc_id, base)); doc_id += 1
+        # one near-dup (drop last word)
+        rows.append((doc_id, base.rsplit(" ", 1)[0])); doc_id += 1
+    for _ in range(5):  # unrelated singletons
+        rows.append((doc_id, " ".join(rng.sample(
+            "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg".split(), 8))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def clusters(pairs):
+        edges = pairs.selectExpr("id_a as src", "id_b as dst")
+        labels = connected_components(edges, docs, id_col="doc_id")
+        comp = {}
+        for r in labels.collect():
+            comp.setdefault(r.cluster_id, set()).add(r.doc_id)
+        return {frozenset(v) for v in comp.values()}
+
+    collapsed = clusters(minhash_near_duplicates(docs, threshold=0.5))
+    full = clusters(
+        minhash_near_duplicates(
+            docs, threshold=0.5, collapse_identical=False, max_bucket_size=None
+        )
+    )
+    assert collapsed == full
