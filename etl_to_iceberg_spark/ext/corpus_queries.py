@@ -162,16 +162,20 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a KMeans-trained coarse quantizer
     (ext/similarity.py::ivf_kmeans_topk): distributed, seeded MLlib
-    training on a hash-sample; centroids broadcast; probe + exact re-rank.
-    Rows-only: Lloyd's iterations aren't single-statement SQL — quality is
-    gated by the recall-vs-bruteforce test (tests/test_ext.py)."""
+    training on a deterministic hash-sample (train_fraction always set —
+    the quantizer needs a sample, never the corpus); centroids broadcast;
+    probe + exact re-rank. Rows-only: Lloyd's iterations aren't
+    single-statement SQL — quality is gated by the recall-vs-bruteforce
+    test (tests/test_ext.py). NOTE: eager (training runs at call time)."""
     from etl_to_iceberg_spark.ext.similarity import ivf_kmeans_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_kmeans_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    return ivf_kmeans_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, train_fraction=0.5
+    )
 
 
 @register(
@@ -188,7 +192,11 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT SUM(cnt) AS n FROM vocab)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           round(SUM(ln(v.cnt / CAST(tt.n AS DOUBLE))) / COUNT(*), 6)
+           -- per-term DECIMAL(20,9) cast: quantizes away sub-nanoscale
+           -- libm ln() discrepancies AND makes the sum exact and
+           -- order-independent (registry determinism discipline)
+           round(CAST(SUM(CAST(ln(v.cnt / CAST(tt.n AS DOUBLE))
+                               AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6)
                AS avg_logprob
     FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
     GROUP BY t.doc_id
@@ -206,24 +214,28 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vocab join side is vocabulary-sized (≈O(n^0.5) of the corpus) —
     broadcast when it fits, hash-join on token otherwise (Spark's planner
     picks by size); the per-doc average is one more two-phase agg keyed
-    by doc_id. ln() of identical doubles is bit-identical across engines;
-    the sum is over ≤ a few hundred terms per doc, accumulated in the
-    same order-independent way because the final round(.,6) absorbs
-    associativity noise at this magnitude."""
+    by doc_id. Each ln() term is cast to DECIMAL(20,9) before summing —
+    1e-9 quantization is far above any libm last-ulp divergence between
+    engines and far below the 6dp output — so the per-doc sum is exact,
+    order-independent, and bit-identical across engines (the registry's
+    exact-decimal discipline; plain SUM(double) would be partition-order
+    dependent)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
-    logp = F.log(F.col("cnt") / F.col("n").cast("double"))
+    logp = F.log(F.col("cnt") / F.col("n").cast("double")).cast("decimal(20,9)")
     return (
         toks.join(vocab, on="token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

@@ -473,7 +473,14 @@ def _reliable_checkpoint(spark):
     memory and die with the executor. If the deployment didn't configure
     ``spark.sparkContext.setCheckpointDir``, fall back to a session-local
     temp dir — correct on local mode, and a cluster deployment should set
-    a shared path (documented in SCALING.md)."""
+    a shared path (documented in SCALING.md).
+
+    Disk hygiene: superseded rounds' checkpoint files are reclaimed by the
+    ContextCleaner once their RDDs are GC'd — sessions built by
+    ``session.get_spark`` set ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true`` for exactly this; foreign sessions that leave
+    it false (the Spark default) accumulate one checkpoint per round until
+    the checkpoint dir is cleared."""
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile

@@ -292,12 +292,19 @@ def ivf_kmeans_topk(
     shape; better-balanced cells, so candidate counts per query are more
     uniform and the hottest inverted list shrinks.
 
-    Scale: KMeans trains on a deterministic hash-sample of the corpus
-    (``train_fraction``, default sized to ~100k rows) — training cost is
-    bounded regardless of corpus size; the fitted centroids are
+    Scale: pass ``train_fraction`` to train on a deterministic hash-sample
+    of the corpus instead of all of it — at scale ALWAYS set it (size it
+    so fraction·|corpus| ≈ 100k rows; a coarse quantizer gains nothing
+    from more), bounding training cost regardless of corpus size. The
+    default ``None`` trains on the full corpus, which is only sane for
+    corpora that are already sample-sized. The fitted centroids are
     metadata-sized (nlist × dim) and re-enter the plan as a broadcast
     frame, exactly like ``ivf_topk``'s. Assignment/probe/re-rank stages
-    are shared with :func:`ivf_assign`/:func:`ivf_topk`."""
+    are shared with :func:`ivf_assign`/:func:`ivf_topk`.
+
+    Note this function is EAGER: ``KMeans.fit`` runs distributed training
+    jobs when it's called, unlike the lazily-planned operators elsewhere —
+    inherent to iterative training (there is no lazy Lloyd's plan)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

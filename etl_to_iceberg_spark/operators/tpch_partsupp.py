@@ -265,22 +265,27 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT DISTINCT s.s_name, s.s_acctbal
     FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_6'
     JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
     JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
     JOIN shipped q ON q.l_partkey = ps.ps_partkey
                   AND q.l_suppkey = ps.ps_suppkey
-                  AND ps.ps_availqty > 0.5 * q.qty
+                  AND ps.ps_availqty > 100 * q.qty
     ORDER BY s_name, s_acctbal
     """,
 )
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 (potential part promotion): NATION_3 suppliers holding
-    more than half a year's shipments of a 'red%' part. Adapted: the
-    availqty > ½·shipped test is an inner join on the 1996 per-(part,supp)
+    """TPC-H Q20 (potential part promotion): NATION_6 suppliers holding
+    a large multiple of a year's shipments of a 'red%' part. Adapted: the
+    availqty > k·shipped test is an inner join on the 1996 per-(part,supp)
     shipment agg (the original's correlated subquery returns NULL — never
     matching — when nothing shipped, and an inner join preserves exactly
-    that semantics).
+    that semantics). The original's ½ multiplier is raised to 100 because
+    the derived ps_availqty (1..9999) dwarfs the fixture's per-pair annual
+    shipments — measured at the sf0.01 gate, k=100 passes 2 of NATION_6's
+    5 candidate pairs, so the threshold genuinely discriminates (k=0.5
+    passed everything and the nation filter then emptied the result,
+    making the check vacuous).
 
     Scale shape: lineitem is pre-aggregated to (partkey, suppkey, qty)
     with the year filter pushed to the scan BEFORE any join — the only
@@ -301,7 +306,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("red%")
     ).select("p_partkey")
     supp = _nation_of_suppliers(spark, sf_dir).where(
-        F.col("n_name") == "NATION_3"
+        F.col("n_name") == "NATION_6"
     )
     return (
         ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
@@ -310,7 +315,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey"))
-            & (F.col("ps_availqty") > 0.5 * F.col("qty")),
+            & (F.col("ps_availqty") > 100 * F.col("qty")),
         )
         .select("s_name", "s_acctbal")
         .distinct()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,7 +68,8 @@ _CHANGED_THIS_ROUND = [
 ]
 
 
-def _checked_history() -> tuple[set[str], set[str]]:
+@lru_cache(maxsize=1)
+def _checked_history() -> tuple[frozenset[str], frozenset[str]]:
     """(ever_green, ever_failed) query names from prior rounds'
     CORRECTNESS_r*.json files (repo root, two levels up from this file).
 
@@ -75,7 +77,9 @@ def _checked_history() -> tuple[set[str], set[str]]:
     never-checked tail first is how every query eventually earns a driver
     row. Reading the driver's own artifacts makes the rotation
     self-maintaining — no hand-curated module order to go stale. Missing
-    files (fresh clone, driver sandbox) degrade to registration order."""
+    files (fresh clone, driver sandbox) degrade to registration order.
+    Cached per process: the artifact files cannot change mid-run and
+    queries()/oracle_sql() both funnel through all_specs()."""
     import json
     from pathlib import Path
 
@@ -99,7 +103,7 @@ def _checked_history() -> tuple[set[str], set[str]]:
                 green.add(name)
             else:
                 failed.add(name)
-    return green - failed, failed
+    return frozenset(green - failed), frozenset(failed)
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -120,6 +124,8 @@ def all_specs() -> dict[str, QuerySpec]:
 
     green, failed = _checked_history()
     changed = set(_CHANGED_THIS_ROUND)
+    unknown = changed - _REGISTRY.keys()
+    assert not unknown, f"_CHANGED_THIS_ROUND has stale/unknown ids: {unknown}"
 
     def rank(name: str) -> int:
         if name in changed:

@@ -119,6 +119,11 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Keep partition discovery cheap on huge listings.
         "spark.sql.sources.parallelPartitionDiscovery.threshold": "32",
+        # Reliable checkpoints (iterative fixpoints, ext/dedup.py) are
+        # deleted by the ContextCleaner once their RDDs are GC'd —
+        # without this a long-lived session accumulates every round's
+        # checkpoint files forever (the default is false).
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.sql.session.timeZone": "UTC",
         # Session-catalog tables (bucketed joins) land in a scratch
         # warehouse, not the process cwd.
