@@ -150,3 +150,18 @@ def test_q20_preaggregates_lineitem_before_joins(spark, sf_dir):
     ]
     assert any("l_shipdate" in p for p in pushed_sections)
     assert plan.count("HashAggregate") >= 2  # partial+final pre-agg
+
+
+def test_q11_threshold_is_broadcast_single_derivation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    # the 0.1% threshold joins in as a broadcast 1-row agg, never a collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    # NOT IN (negative-balance suppliers) must compile to a broadcast anti
+    # join; the distinct-count agg is the only shuffle
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
