@@ -196,9 +196,22 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only; returns pairs ≥ threshold."""
+    """Exact Jaccard on candidate pairs only; returns pairs ≥ threshold.
+
+    Before any shingle set is built, ``df`` is restricted to the ids the
+    candidate pairs actually touch (a left-semi join Spark turns into a
+    broadcast — i.e. a scan-side filter — whenever the candidate id set
+    fits, which it does by construction after LSH pruning). Only candidate
+    docs pay the shingle-build CPU and only their sets enter the verify
+    shuffles; the rest of the corpus never leaves its scan."""
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
+    touched = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(touched, on=id_col, how="left_semi")
     df = ensure_parallelism(df)  # shingle building is the dominant map cost
     sets_df = df.select(
         F.col(id_col).alias("__id"),
@@ -220,27 +233,29 @@ def jaccard_verify(
 def _collapse_identical(
     df: DataFrame, *, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(representatives, exact_edges): one rep (min id) per identical
-    normalized text, plus (rep, member) edges for the collapsed docs.
+    """(rep_ids, exact_edges): one representative id (the min) per
+    identical normalized text, plus (rep, member) edges for the collapsed
+    docs.
 
     Identical docs are the LSH pathology — byte-identical boilerplate all
-    lands in one bucket and the self-join goes quadratic. Collapsing first
-    bounds every identical group to ONE sketch row; the (rep, member)
-    edges (similarity 1.0 by construction) keep the pair set's transitive
-    closure identical to the uncollapsed pipeline, which is what the
-    cluster step consumes."""
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
-    tagged = (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn("__fp", fingerprint(text_col))
-        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("__fp")))
-        .withColumn("__rn", F.row_number().over(w))
+    lands in one bucket and the self-join goes quadratic. Collapsing
+    bounds every identical group to ONE row in the LSH join; the
+    (rep, member) edges (similarity 1.0 by construction) keep the pair
+    set's transitive closure identical to the uncollapsed pipeline, which
+    is what the cluster step consumes.
+
+    Scale: the only thing shuffled here is (id, 64-bit fingerprint) —
+    ~16 B/doc — never the text. Representatives come back as an id set
+    for a semi-join against the (fixed 256 B/doc) signature frame."""
+    fps = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    tagged = fps.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__fp"))
     )
-    reps = tagged.where(F.col("__rn") == 1).select(id_col, text_col)
+    rep_ids = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col)
     exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
-    return reps, exact_edges
+    return rep_ids, exact_edges
 
 
 def minhash_near_duplicates(
@@ -264,25 +279,32 @@ def minhash_near_duplicates(
     exact verifier prunes them, missed candidates are unrecoverable.
 
     Scale guards (both default-on): identical docs collapse to one
-    representative before sketching (a crawl corpus with 10k copies of a
-    boilerplate page contributes ONE row to the LSH join, and the
+    representative before the banded join (a crawl corpus with 10k copies
+    of a boilerplate page contributes ONE row to the LSH join, and the
     (rep, member) Jaccard-1.0 edges are re-emitted so the pair set's
     transitive closure is unchanged); residual hot buckets — distinct
     texts that still collide — are capped at ``max_bucket_size`` members
-    (skipped rows countable via :func:`oversized_buckets`)."""
-    if collapse_identical:
-        reps, exact_edges = _collapse_identical(df, id_col=id_col, text_col=text_col)
-    else:
-        reps, exact_edges = df, None
+    (skipped rows countable via :func:`oversized_buckets`). The collapse
+    shuffles only (id, fingerprint) pairs and the fixed-width signature
+    frame — document text never enters a shuffle anywhere in this
+    pipeline (signatures and shingle sets are computed scan-side; the
+    verifier joins shingle SETS by id, not raw text)."""
     sigs = minhash_signatures(
-        reps, id_col=id_col, text_col=text_col,
+        df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
     )
+    if collapse_identical:
+        rep_ids, exact_edges = _collapse_identical(
+            df, id_col=id_col, text_col=text_col
+        )
+        sigs = sigs.join(rep_ids, on=id_col, how="left_semi")
+    else:
+        exact_edges = None
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, max_bucket_size=max_bucket_size
     )
     near = jaccard_verify(
-        cands, reps, id_col=id_col, text_col=text_col,
+        cands, df, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, threshold=threshold,
     )
     if exact_edges is None:
