@@ -401,3 +401,32 @@ def pipeline_complete_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
     assert len(t.snapshots()) == 1
     return t.read()
+
+
+@register(
+    "maint_cluster_zorder",
+    sql="""
+    SELECT o_orderkey, o_custkey, CAST(epoch_ms(o_orderdate) / 86400000 AS BIGINT) AS o_day
+    FROM orders
+    """,
+)
+def maint_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering rewrite (tables/maintenance.py::cluster_zorder) —
+    the sort-strategy rewrite the reference's compaction operator lacks
+    (iceberg_compaction_operator.py:110-136 implements binpack only).
+    The oracle is the UNCLUSTERED source: a clustering rewrite must be
+    content-identical, only the file layout (and thus min/max pruning)
+    changes; tests/test_tables.py asserts the locality improvement."""
+    cat = _scratch(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000)
+        .cast("bigint")
+        .alias("o_day"),
+    )
+    t = cat.table("analytics.orders_z")
+    # seed deliberately scattered (hash-partitioned on neither column)
+    t.append(orders.repartition(8))
+    maintenance.cluster_zorder(t, ["o_custkey", "o_day"], target_file_size_mb=1)
+    return t.read()

@@ -179,3 +179,95 @@ def cherrypick(table: IceTable, version: int) -> Snapshot:
         cur.partition_by,
         summary={"cherrypicked": version, "files_added": len(new)},
     )
+
+
+def zvalue(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two non-negative ints' low ``bits``.
+
+    Pure bitwise column expression (whole-stage codegen) — rows close in
+    BOTH dimensions get close z-values, so a z-sorted rewrite gives every
+    file a tight min/max envelope on both columns at once and parquet
+    row-group / file skipping works for predicates on either."""
+    z = F.lit(0).cast("long")
+    a = a.cast("long")
+    b = b.cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(a.bitwiseAND(F.lit(1 << i)) * (1 << i))
+            .bitwiseOR(b.bitwiseAND(F.lit(1 << i)) * (1 << (i + 1)))
+        )
+    return z
+
+
+def cluster_zorder(
+    table: IceTable,
+    columns: list[str],
+    *,
+    target_file_size_mb: int = 512,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> Snapshot:
+    """Z-order clustering rewrite — the sort-strategy half of Iceberg's
+    ``rewrite_data_files(strategy=>'sort', sort_order=>'zorder(a,b)')``
+    that the reference's compaction operator leaves to binpack only
+    (``iceberg_compaction_operator.py:110-136``).
+
+    Content is byte-identical to the input (a pure rewrite — the checked
+    query's oracle is the unclustered source); only the file layout
+    changes: rows are range-partitioned and sorted by their interleaved-bit
+    z-value, so each output file covers a tight rectangle in
+    (columns[0], columns[1]) space and min/max pruning serves predicates
+    on EITHER column. Scale shape: a 1-row min/max agg broadcast for
+    normalization, then one repartitionByRange shuffle keyed by a
+    codegen'd long — the same cost class as binpack compaction, with
+    data-skipping payback on every subsequent scan.
+
+    Each column is min/max-normalized to the ``bits``-wide domain before
+    interleaving — raw interleaving of differently-scaled columns (e.g.
+    a 0..150 key against a 0..2500-day range) degenerates to a sort on
+    the wider column because its high bits dominate every split."""
+    if len(columns) != 2:
+        raise ValueError("zorder clustering takes exactly 2 columns")
+    snap = table.snapshot()
+    if n_files is None:
+        total_bytes = sum(
+            os.path.getsize(fe.path) for fe in snap.files if os.path.exists(fe.path)
+        )
+        n_files = max(1, -(-total_bytes // (target_file_size_mb * 1024 * 1024)))
+    df = table.read()
+    a, b = (F.col(c).cast("double") for c in columns)
+    bounds = df.agg(
+        F.min(a).alias("__amin"), F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"), F.max(b).alias("__bmax"),
+    )
+    top = (1 << bits) - 1
+
+    def norm(col, lo, hi):
+        span = F.col(hi) - F.col(lo)
+        return F.when(span > 0, ((col - F.col(lo)) * top / span))\
+            .otherwise(F.lit(0)).cast("long")
+
+    z = zvalue(
+        norm(a, "__amin", "__amax"), norm(b, "__bmin", "__bmax"), bits=bits
+    ).alias("__z")
+    clustered = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(*[F.col(c) for c in df.columns], z)
+        .repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    version = table._next_version()
+    files = table._write_data(clustered, version, snap.partition_by)
+    return table._commit(
+        "replace",
+        files,
+        table.schema(),
+        snap.partition_by,
+        summary={
+            "strategy": "zorder",
+            "columns": columns,
+            "files_before": len(snap.files),
+            "files_after": len(files),
+        },
+    )

@@ -263,3 +263,69 @@ def test_iceberg_conf_contract():
     assert conf["spark.sql.catalog.ice.warehouse"] == "/tmp/wh"
     # and the gate is honest about this environment
     assert _iceberg_jar_available() is False
+
+
+def test_zorder_clustering_tightens_file_envelopes(spark, sf_dir):
+    """After a z-order rewrite, each file's (custkey, day) min/max envelope
+    must be tighter than the scattered layout's — the property file/row-
+    group skipping depends on."""
+    import tempfile
+
+    from etl_to_iceberg_spark.tables import maintenance
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000)
+        .cast("bigint")
+        .alias("o_day"),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_z_"))
+    t = cat.table("a.orders_z")
+    t.append(orders.repartition(8))  # scattered: every file spans everything
+
+    def mean_span(table):
+        spans = (
+            table.read()
+            .withColumn("__f", F.col("_metadata.file_path"))
+            .groupBy("__f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("o_day") - F.min("o_day")).alias("dy"),
+            )
+            .agg(F.avg("ck").alias("ck"), F.avg("dy").alias("dy"))
+            .collect()[0]
+        )
+        return spans["ck"], spans["dy"]
+
+    ck_before, dy_before = mean_span(t)
+    snap = maintenance.cluster_zorder(t, ["o_custkey", "o_day"], n_files=16)
+    assert snap.summary["strategy"] == "zorder"
+    assert len(snap.files) > 1  # multiple files, else spans are trivially tight
+    ck_after, dy_after = mean_span(t)
+    # both dimensions tighten — that's the z-order property (a plain sort
+    # on custkey would tighten custkey but leave day spans full-width)
+    assert ck_after < ck_before * 0.75
+    assert dy_after < dy_before * 0.75
+    # content unchanged
+    assert t.read().count() == orders.count()
+
+
+def test_zvalue_interleave_is_monotone_in_quadrants():
+    from etl_to_iceberg_spark.tables.maintenance import zvalue
+    from etl_to_iceberg_spark.session import get_spark
+
+    spark = get_spark()
+    rows = spark.range(1).select(
+        zvalue(F.lit(0), F.lit(0), bits=4).alias("z00"),
+        zvalue(F.lit(3), F.lit(0), bits=4).alias("z30"),
+        zvalue(F.lit(0), F.lit(3), bits=4).alias("z03"),
+        zvalue(F.lit(3), F.lit(3), bits=4).alias("z33"),
+        zvalue(F.lit(15), F.lit(15), bits=4).alias("zmax"),
+    ).collect()[0]
+    # interleaved bits: z(a,b) = sum a_i 4^i + 2 b_i 4^i
+    assert rows["z00"] == 0
+    assert rows["z30"] == 0b0101
+    assert rows["z03"] == 0b1010
+    assert rows["z33"] == 0b1111
+    assert rows["zmax"] == (1 << 8) - 1
