@@ -78,6 +78,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    extra_cols: list[Column] | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) via min over seeded xxhash64.
 
@@ -88,7 +89,11 @@ def minhash_signatures(
     The sketch stage is a pure scan: no explode, no shuffle, no per-id
     hash map. (Measured at sf0.1: ~7× faster than explode→groupBy with
     partial min-aggs, which is itself fine on shuffle volume but pays
-    regex re-tokenization pressure and aggregation hash maps.)"""
+    regex re-tokenization pressure and aggregation hash maps.)
+
+    ``extra_cols`` rides additional expressions over ``df``'s columns
+    through the same scan (e.g. the exact-dedup fingerprint) so callers
+    needing sketch + fingerprint don't scan and tokenize twice."""
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
     df = ensure_parallelism(df)  # k×|shingles| hashing must not run on 1 core
@@ -98,9 +103,16 @@ def minhash_signatures(
         hs = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
         return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
 
-    return df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    ).select(F.col(id_col), F.aggregate("__sh", init, fold).alias("sig"))
+    extra = list(extra_cols or [])
+    base = df.select(
+        F.col(id_col), *extra, word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    keep = [c for c in base.columns if c not in (id_col, "__sh")]
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.aggregate("__sh", init, fold).alias("sig"),
+    )
 
 
 def _cap_buckets(
@@ -230,34 +242,6 @@ def jaccard_verify(
     )
 
 
-def _collapse_identical(
-    df: DataFrame, *, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """(rep_ids, exact_edges): one representative id (the min) per
-    identical normalized text, plus (rep, member) edges for the collapsed
-    docs.
-
-    Identical docs are the LSH pathology — byte-identical boilerplate all
-    lands in one bucket and the self-join goes quadratic. Collapsing
-    bounds every identical group to ONE row in the LSH join; the
-    (rep, member) edges (similarity 1.0 by construction) keep the pair
-    set's transitive closure identical to the uncollapsed pipeline, which
-    is what the cluster step consumes.
-
-    Scale: the only thing shuffled here is (id, 64-bit fingerprint) —
-    ~16 B/doc — never the text. Representatives come back as an id set
-    for a semi-join against the (fixed 256 B/doc) signature frame."""
-    fps = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
-    tagged = fps.withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy("__fp"))
-    )
-    rep_ids = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col)
-    exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
-        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
-    )
-    return rep_ids, exact_edges
-
-
 def minhash_near_duplicates(
     df: DataFrame,
     *,
@@ -284,21 +268,28 @@ def minhash_near_duplicates(
     (rep, member) Jaccard-1.0 edges are re-emitted so the pair set's
     transitive closure is unchanged); residual hot buckets — distinct
     texts that still collide — are capped at ``max_bucket_size`` members
-    (skipped rows countable via :func:`oversized_buckets`). The collapse
-    shuffles only (id, fingerprint) pairs and the fixed-width signature
-    frame — document text never enters a shuffle anywhere in this
-    pipeline (signatures and shingle sets are computed scan-side; the
-    verifier joins shingle SETS by id, not raw text)."""
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
-    )
+    (skipped rows countable via :func:`oversized_buckets`). Document text
+    never enters a shuffle anywhere in this pipeline: fingerprint and
+    signature are computed in ONE scan (one tokenization), the collapse
+    windows over (id, fp, sig) rows — ~272 fixed bytes each — and the
+    verifier joins shingle SETS by id for candidate-touched docs only."""
     if collapse_identical:
-        rep_ids, exact_edges = _collapse_identical(
-            df, id_col=id_col, text_col=text_col
+        sigs_fp = minhash_signatures(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+            extra_cols=[fingerprint(text_col).alias("__fp")],
         )
-        sigs = sigs.join(rep_ids, on=id_col, how="left_semi")
+        w_fp = Window.partitionBy("__fp")
+        tagged = sigs_fp.withColumn("__rep", F.min(id_col).over(w_fp))
+        sigs = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, "sig")
+        exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
     else:
+        sigs = minhash_signatures(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        )
         exact_edges = None
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, max_bucket_size=max_bucket_size
