@@ -1,0 +1,72 @@
+"""Table-format evolution surface: schema evolution on append and
+orphan-file cleanup — the two Iceberg lifecycle capabilities the
+reference's fixed-DDL path lacks (it recreates tables on schema drift,
+``oracle_to_iceberg_operator.py:209-244``, and never sweeps crashed-writer
+leftovers).
+
+Registered after ``ext/pipeline_queries`` so these newcomers queue at the
+tail of the driver-check rotation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.tables import Catalog
+from etl_to_iceberg_spark.tables.maintenance import remove_orphan_files
+
+
+@register(
+    "ddl_schema_evolve",
+    sql="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 10 < 8
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS channel
+    FROM orders WHERE o_orderkey % 10 >= 8
+    """,
+)
+def ddl_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append: a late batch arrives with a new
+    ``channel`` column; the table schema widens in the commit, old files
+    are NOT rewritten, and pre-evolution rows read as NULL — Iceberg
+    add-column semantics. The oracle is the UNION of both eras.
+
+    Scale shape: evolution is a metadata-only commit — zero data movement
+    regardless of table size. The read plan unions per-era file groups
+    with NULL-fill, no rewrite of the 100 TB history."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_evo_"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = cat.table("evo.orders")
+    t.create(orders.where(F.col("o_orderkey") % 10 < 8))
+    late = orders.where(F.col("o_orderkey") % 10 >= 8).withColumn(
+        "channel",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web")).otherwise(F.lit("store")),
+    )
+    t.append(late)
+    return t.read()
+
+
+@register("maint_orphan_files", sql=None)  # filesystem semantics — rows-only
+def maint_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file sweep (Iceberg ``remove_orphan_files``): a crashed
+    writer's un-committed parquet file is planted under the table's data
+    directory; the sweep removes exactly it and leaves every
+    manifest-referenced file — verified by the committed row count
+    surviving unchanged (tests/test_tables.py asserts both directions).
+
+    Returns one auditable row per orphan removed."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_orph_"))
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("evo.nation")
+    t.create(nation)
+    # Simulate a writer that died after data write, before metadata commit.
+    crash_dir = os.path.join(t.location, "data", "v999")
+    nation.limit(1).coalesce(1).write.parquet(crash_dir)
+    return remove_orphan_files(t)

@@ -121,6 +121,10 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.advanced  # noqa: F401
     import etl_to_iceberg_spark.operators.relational  # noqa: F401
     import etl_to_iceberg_spark.operators.cdc_queries  # noqa: F401
+    # New this round — imported last so never-checked newcomers queue
+    # behind the older never-checked tail in the driver-check rotation.
+    import etl_to_iceberg_spark.ext.pipeline_queries  # noqa: F401
+    import etl_to_iceberg_spark.operators.table_evolution  # noqa: F401
 
     green, failed = _checked_history()
     changed = set(_CHANGED_THIS_ROUND)
@@ -128,13 +132,20 @@ def all_specs() -> dict[str, QuerySpec]:
     assert not unknown, f"_CHANGED_THIS_ROUND has stale/unknown ids: {unknown}"
 
     def rank(name: str) -> int:
+        # Changed and previously-failed queries lead: they have a stale or
+        # red driver row that must be refreshed this round no matter how
+        # many brand-new (never-checked) queries registered since — new
+        # ops can wait a round; a wrong green/red row cannot. Within the
+        # never-checked rank the stable sort keeps registration order, so
+        # ops added in later-imported modules queue behind the older
+        # never-checked tail instead of displacing it.
         if name in changed:
-            return 2
+            return 0
         if name in failed:
             return 1
         if name in green:
             return 3
-        return 0  # never checked — first
+        return 2  # never checked
 
     ordered = sorted(_REGISTRY, key=lambda n: rank(n))  # stable: keeps reg order within rank
     return {name: _REGISTRY[name] for name in ordered}

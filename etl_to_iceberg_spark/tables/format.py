@@ -56,6 +56,25 @@ _META = "_meta"
 _HINT = "version-hint.txt"
 
 
+def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Union-of-columns schema evolution (Iceberg add-column semantics):
+    columns new to the incoming batch are appended as nullable; a name
+    reappearing with a different type is rejected — implicit type
+    coercion on write silently corrupts downstream readers at scale."""
+    by_name = {f.name.lower(): f for f in old.fields}
+    fields = list(old.fields)
+    for f in new.fields:
+        prev = by_name.get(f.name.lower())
+        if prev is None:
+            fields.append(T.StructField(f.name, f.dataType, nullable=True))
+        elif prev.dataType != f.dataType:
+            raise TypeError(
+                f"schema evolution cannot change column {f.name!r} from "
+                f"{prev.dataType.simpleString()} to {f.dataType.simpleString()}"
+            )
+    return T.StructType(fields)
+
+
 def _strip_scheme(p: str) -> str:
     if p.startswith("file:"):
         p = p[len("file:"):]
@@ -188,7 +207,17 @@ class IceTable:
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
         # Column order per table schema (partition cols land last on read).
-        return df.select(*[f.name for f in schema.fields])
+        # Columns in the evolved schema but in none of the live files —
+        # e.g. every post-evolution file was deleted — read as NULL.
+        present = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows ADDED between two snapshots — the Spark/Iceberg analogue of
@@ -305,14 +334,22 @@ class IceTable:
 
     def append(self, df: DataFrame) -> Snapshot:
         """Append (ref: sink_iceberg_append, ``oracle_to_iceberg_operator.py:121-122,147-155``).
-        New files only; prior snapshot's files carried by reference."""
+        New files only; prior snapshot's files carried by reference.
+
+        Schema evolution on write (Iceberg semantics the reference's
+        fixed-DDL path lacks): columns new to ``df`` are added to the
+        table schema as nullable; old files are never rewritten — the
+        read path fills the missing columns with NULL
+        (``_read_snapshot``'s ``allowMissingColumns`` union). A column
+        re-appearing with a different type is an error, not a coercion."""
         if not self.exists():
             return self.create(df)
         spec = self._partition_spec()
         version = self._next_version()
         new_files = self._write_data(df, version, spec)
         prev = self.snapshot()
-        return self._commit("append", prev.files + new_files, self.schema(), spec)
+        schema = _evolve_schema(self.schema(), df.schema)
+        return self._commit("append", prev.files + new_files, schema, spec)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
         """Atomic replace (ref: sink_iceberg_overwrite,

@@ -144,6 +144,35 @@ def expire_snapshots(
     }
 
 
+def remove_orphan_files(table: IceTable, *, dry_run: bool = False) -> DataFrame:
+    """Orphan-file cleanup (Iceberg's ``CALL remove_orphan_files``): delete
+    data files sitting under the table's data directory that no snapshot —
+    current or historical — references. Orphans come from writer crashes
+    between data write and metadata commit; at 100 TB they silently leak
+    storage forever unless swept.
+
+    Scans the filesystem listing against the manifest union — both are
+    metadata-sized (file PATHS, not file contents), so this is driver-side
+    metadata work exactly like Iceberg's own action. Returns one row per
+    orphan (path, removed) so the sweep is auditable."""
+    import glob as _glob
+
+    referenced = {fe.path for s in table.snapshots() for fe in s.files}
+    data_dir = os.path.join(table.location, "data")
+    on_disk = [
+        os.path.abspath(p)
+        for p in _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    ]
+    orphans = sorted(p for p in on_disk if p not in referenced)
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+    return table.spark.createDataFrame(
+        [(p, not dry_run) for p in orphans] or [],
+        "path string, removed boolean",
+    )
+
+
 def rollback(table: IceTable, version: int) -> Snapshot:
     """Roll the table back to an earlier snapshot (ref: maint_rollback —
     stubbed at ``iceberg_snapshot_operator.py:158-173``; real semantics =

@@ -329,3 +329,62 @@ def test_zvalue_interleave_is_monotone_in_quadrants():
     assert rows["z03"] == 0b1010
     assert rows["z33"] == 0b1111
     assert rows["zmax"] == (1 << 8) - 1
+
+
+def test_schema_evolution_append(cat, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = cat.table("evo.nation")
+    t.create(nation)
+    widened = nation.withColumn("tier", F.lit("gold"))
+    t.append(widened)
+    out = t.read()
+    assert [f.name for f in out.schema.fields] == ["n_nationkey", "n_name", "tier"]
+    rows = out.collect()
+    assert len(rows) == 2 * nation.count()
+    # Pre-evolution rows read as NULL; post-evolution rows keep the value.
+    assert sum(1 for r in rows if r.tier is None) == nation.count()
+    assert sum(1 for r in rows if r.tier == "gold") == nation.count()
+    # Old files were NOT rewritten — evolution is metadata-only.
+    snaps = t.snapshots()
+    assert {fe.path for fe in snaps[0].files} <= {fe.path for fe in snaps[-1].files}
+
+
+def test_schema_evolution_rejects_type_change(cat, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = cat.table("evo.nation2")
+    t.create(nation)
+    bad = nation.withColumn("n_nationkey", F.col("n_nationkey").cast("string"))
+    with pytest.raises(TypeError, match="schema evolution"):
+        t.append(bad)
+
+
+def test_schema_evolution_survives_post_era_delete(cat, spark, sf_dir):
+    """Deleting every post-evolution row must not break the read: the
+    evolved column NULL-fills even when no live file contains it."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = cat.table("evo.nation3")
+    t.create(nation.where(F.col("n_nationkey") < 10))
+    t.append(
+        nation.where(F.col("n_nationkey") >= 10).withColumn("tier", F.lit("gold"))
+    )
+    t.delete_where("n_nationkey >= 10")
+    out = t.read()
+    assert [f.name for f in out.schema.fields] == ["n_nationkey", "n_name", "tier"]
+    assert out.where(F.col("tier").isNotNull()).count() == 0
+    assert out.count() == nation.where(F.col("n_nationkey") < 10).count()
+
+
+def test_remove_orphan_files(cat, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("evo.nation4")
+    t.create(nation)
+    before = t.read().count()
+    crash_dir = os.path.join(t.location, "data", "v999")
+    nation.limit(1).coalesce(1).write.parquet(crash_dir)
+    swept = maintenance.remove_orphan_files(t).collect()
+    assert len(swept) == 1 and swept[0].removed
+    assert not any(p.endswith(".parquet") for p in os.listdir(crash_dir))
+    # Referenced files untouched; table reads identically.
+    assert t.read().count() == before
+    # Idempotent: second sweep finds nothing.
+    assert maintenance.remove_orphan_files(t).count() == 0
