@@ -100,7 +100,13 @@ def minhash_signatures(
     init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
 
     def fold(acc, s):
-        hs = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+        # One string hash per shingle, then k seeded re-hashes of the
+        # resulting 8-byte long — xxhash64 cost is input-width-bound, so
+        # hashing the long k times is far cheaper than re-hashing the
+        # (variable-width) shingle text k times. Same independence: each
+        # seed selects a distinct permutation of the base hash.
+        h = F.xxhash64(s)
+        hs = F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)])
         return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
 
     extra = list(extra_cols or [])
