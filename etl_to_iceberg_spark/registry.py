@@ -125,6 +125,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # behind the older never-checked tail in the driver-check rotation.
     import etl_to_iceberg_spark.ext.pipeline_queries  # noqa: F401
     import etl_to_iceberg_spark.operators.table_evolution  # noqa: F401
+    import etl_to_iceberg_spark.operators.ingest_formats  # noqa: F401
 
     green, failed = _checked_history()
     changed = set(_CHANGED_THIS_ROUND)
