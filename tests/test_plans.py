@@ -165,3 +165,39 @@ def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
     # join; the distinct-count agg is the only shuffle
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_is_all_broadcast_no_text_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_decontaminate")
+    # Benchmark shingles + contaminated-id exclusion both broadcast; the
+    # corpus never sort-merge-joins (its text would enter the exchange).
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_topk_partial_agg_and_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_ngram_topk")
+    # Map-side partial collapse before the exchange; top-k never sorts
+    # globally.
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_retention_cohort_single_user_shuffle_before_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_retention_cohort")
+    # min-over-window computes the cohort inline, so the whole query is
+    # two exchanges (window on user_id + final distinct agg) and NO join —
+    # the naive first-events-aggregate + self-join shape would show a
+    # third exchange and a join operator.
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in plan
+
+
+def test_ingest_scans_have_no_infer_pass(spark, sf_dir):
+    # Explicit schemas: the JSON/CSV relation appears once — scan only,
+    # no second inference job is encoded in the plan.
+    for name in ("scan_jsonl_docs", "scan_csv_typed"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Scan json" in plan or "Scan csv" in plan
