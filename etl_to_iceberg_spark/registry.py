@@ -57,7 +57,11 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 
 
 # Queries whose implementation changed this round — re-check them even
-# though a prior round recorded a green row. Keep this list current.
+# though a prior round recorded a green row. Keep this list current, and
+# bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
+# for that round has produced a CORRECTNESS file, the list is spent and
+# auto-expires (a stale entry must not outrank never-checked queries).
+_CHANGED_AS_OF_ROUND = 3
 _CHANGED_THIS_ROUND = [
     "fn_type_cast",          # r2 rounding fix, never driver-confirmed
     "fn_type_cast_decimal",  # new rows-only DECIMAL-surface sibling
@@ -69,7 +73,7 @@ _CHANGED_THIS_ROUND = [
 
 
 @lru_cache(maxsize=1)
-def _checked_history() -> tuple[frozenset[str], frozenset[str]]:
+def _checked_history() -> tuple[frozenset[str], frozenset[str], int]:
     """(ever_green, ever_failed) query names from prior rounds'
     CORRECTNESS_r*.json files (repo root, two levels up from this file).
 
@@ -85,12 +89,17 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str]]:
 
     green: set[str] = set()
     failed: set[str] = set()
+    latest_round = 0
     root = Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        try:
+            latest_round = max(latest_round, int(p.stem.split("_r")[-1]))
+        except ValueError:
+            pass
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -103,7 +112,7 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str]]:
                 green.add(name)
             else:
                 failed.add(name)
-    return frozenset(green - failed), frozenset(failed)
+    return frozenset(green - failed), frozenset(failed), latest_round
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -127,8 +136,13 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.table_evolution  # noqa: F401
     import etl_to_iceberg_spark.operators.ingest_formats  # noqa: F401
 
-    green, failed = _checked_history()
-    changed = set(_CHANGED_THIS_ROUND)
+    green, failed, latest_round = _checked_history()
+    # The changed list is only live until the driver check for its round
+    # has run; after that its entries were re-verified (their fresh rows
+    # are already in `green`/`failed`) and it expires automatically.
+    changed = (
+        set(_CHANGED_THIS_ROUND) if latest_round < _CHANGED_AS_OF_ROUND else set()
+    )
     unknown = changed - _REGISTRY.keys()
     assert not unknown, f"_CHANGED_THIS_ROUND has stale/unknown ids: {unknown}"
 

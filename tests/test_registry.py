@@ -1,0 +1,50 @@
+"""Driver-check rotation invariants: the budget-limited checker walks
+`all_specs()` in order, so ordering bugs silently starve queries of
+driver correctness rows."""
+
+from __future__ import annotations
+
+import etl_to_iceberg_spark.registry as R
+
+
+def _partition(names):
+    green, failed, _ = R._checked_history()
+    never = [n for n in names if n not in green and n not in failed]
+    return green, failed, never
+
+
+def test_rotation_rank_order_holds():
+    names = list(R.all_specs())
+    green, failed, never = _partition(names)
+    changed = set(R._CHANGED_THIS_ROUND) if names[0] in R._CHANGED_THIS_ROUND else set()
+    idx = {n: i for i, n in enumerate(names)}
+    plain_green = [n for n in names if n in green and n not in changed]
+    plain_never = [n for n in never if n not in changed]
+    if plain_never and plain_green:
+        # every never-checked query precedes every plain green query
+        assert max(idx[n] for n in plain_never) < min(idx[n] for n in plain_green)
+    if changed:
+        # live changed list leads everything
+        assert names[: len(changed)] == [n for n in names if n in changed][: len(changed)]
+        assert all(idx[c] < min(idx[n] for n in plain_never) for c in changed)
+
+
+def test_changed_list_expires_once_its_round_is_checked(monkeypatch):
+    R.all_specs()  # force registration
+    green, failed, _ = R._checked_history()
+    monkeypatch.setattr(
+        R, "_checked_history", lambda: (green, failed, R._CHANGED_AS_OF_ROUND)
+    )
+    names = list(R.all_specs())
+    idx = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in green and n not in failed]
+    expired_green = [n for n in R._CHANGED_THIS_ROUND if n in green]
+    # once expired, previously-changed green queries sort with the greens —
+    # behind every never-checked query, not ahead of them
+    if never and expired_green:
+        assert min(idx[n] for n in expired_green) > max(idx[n] for n in never)
+
+
+def test_changed_ids_exist():
+    specs = R.all_specs()
+    assert set(R._CHANGED_THIS_ROUND) <= set(specs)
