@@ -70,3 +70,37 @@ def maint_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash_dir = os.path.join(t.location, "data", "v999")
     nation.limit(1).coalesce(1).write.parquet(crash_dir)
     return remove_orphan_files(t)
+
+
+@register(
+    "merge_schema_evolve",
+    sql="""
+    SELECT c.c_custkey,
+           CASE WHEN c.c_custkey % 50 = 0 THEN 'vip' ELSE c.c_mktsegment END
+               AS c_mktsegment,
+           CASE WHEN c.c_custkey % 50 = 0 THEN TRUE ELSE CAST(NULL AS BOOLEAN) END
+               AS reviewed
+    FROM customer c
+    """,
+)
+def merge_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE whose source carries a new ``reviewed`` column: matched rows
+    update and take the value, the schema widens in the same commit, and
+    every untouched row reads NULL — Iceberg's evolve-during-MERGE.
+
+    Scale shape: identical to the plain file-pruned COW MERGE (only files
+    holding matched keys rewrite); the evolution itself adds zero data
+    movement."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_mevo_"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t = cat.table("evo.customer")
+    t.create(cust)
+    src = (
+        cust.where(F.col("c_custkey") % 50 == 0)
+        .withColumn("c_mktsegment", F.lit("vip"))
+        .withColumn("reviewed", F.lit(True))
+    )
+    t.merge(src, keys=["c_custkey"])
+    return t.read()

@@ -437,7 +437,12 @@ class IceTable:
         if not self.exists():
             return self.create(source)
         snap = self.snapshot()
-        schema = self.schema()
+        # Source batches may carry NEW columns (schema evolution, same as
+        # append): they join the table schema as nullable, old files are
+        # not rewritten for it, and pre-evolution rows read NULL. A source
+        # MISSING existing columns is still an error — UPDATE SET * with
+        # absent columns would silently null live data.
+        schema = _evolve_schema(self.schema(), source.schema)
         cols = [f.name for f in schema.fields]
         source = source.select(*cols).cache()
 
@@ -481,7 +486,11 @@ class IceTable:
             deletions = matched_keys.where(delete_matched_when).select(*keys)
             incoming = source.join(deletions, on=keys, how="left_anti")
 
-        rewrite = incoming if keep is None else keep.unionByName(incoming)
+        rewrite = (
+            incoming
+            if keep is None
+            else keep.unionByName(incoming, allowMissingColumns=True)
+        )
         new_files = self._write_data(rewrite.select(*cols), version, snap.partition_by)
         source.unpersist()
         return self._commit(

@@ -388,3 +388,22 @@ def test_remove_orphan_files(cat, spark, sf_dir):
     assert t.read().count() == before
     # Idempotent: second sweep finds nothing.
     assert maintenance.remove_orphan_files(t).count() == 0
+
+
+def test_merge_schema_evolution(cat, spark, sf_dir):
+    """A MERGE source carrying a new column widens the table schema;
+    untouched pre-evolution rows read NULL for it."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = cat.table("evo.nation5")
+    t.create(nation)
+    src = (
+        nation.where(F.col("n_nationkey") < 5)
+        .withColumn("n_name", F.upper("n_name"))
+        .withColumn("reviewed", F.lit(True))
+    )
+    t.merge(src, keys=["n_nationkey"])
+    out = t.read()
+    assert [f.name for f in out.schema.fields] == ["n_nationkey", "n_name", "reviewed"]
+    assert out.count() == nation.count()
+    assert out.where(F.col("reviewed")).count() == 5
+    assert out.where(F.col("reviewed").isNull()).count() == nation.count() - 5
