@@ -1,0 +1,92 @@
+"""Mergeable-sketch aggregation and statistical anomaly queries.
+
+The 100 TB pattern for distinct counting is NOT a nightly
+``COUNT(DISTINCT ...)`` over all history — it is per-partition HLL
+sketches persisted once, then UNIONED to answer any date range in
+metadata-sized work (Datasketches HLL, the same sketches Iceberg/Druid
+persist). Spark's ``hll_sketch_agg``/``hll_union_agg`` are that exact
+surface.
+
+Registered last (after ``ingest_formats``) — tail of the driver-check
+rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.sources.tables import load_table
+
+
+@register("agg_hll_rollup_merge", sql=None)  # sketch estimate — rows-only;
+# tests/test_analytics.py asserts <5% error vs the exact distinct count
+def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL rollup: per-(day, event_type) user sketches — the
+    shape that persists into a rollup table once per day — then
+    ``hll_union_agg`` merges each type's daily sketches into a range-wide
+    distinct-user estimate. Re-aggregating a month costs |days|×|types|
+    sketch merges (bytes each), never a rescan of the raw 100 TB.
+
+    Scale shape: first agg shuffles (day, type, partial sketch) — partial
+    sketches combine map-side; second agg shuffles |days| rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
+            F.count(F.lit(1)).alias("days_merged"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    sql="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(value) AS mu,
+             sqrt(CAST(SUM(CAST(value AS DECIMAL(30,10))
+                           * CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                      / COUNT(value)
+                  - pow(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                            / COUNT(value), 2)) AS sigma
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outliers per event_type (|z| > 3) — the basic
+    metric-anomaly sweep.
+
+    Determinism: mean and variance derive from DECIMAL sums (exact,
+    order-independent), so both engines compute identical doubles; the
+    z-score is rounded to 4dp on both sides. Scale shape: the stats agg
+    collapses to |event_type| rows and re-enters as a broadcast join —
+    the events scan never shuffles."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(30,10)")
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count("value")).alias("mu"),
+        F.sqrt(
+            F.sum(dec * dec).cast("double") / F.count("value")
+            - F.pow(F.sum(dec).cast("double") / F.count("value"), F.lit(2))
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )

@@ -60,3 +60,24 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
     pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
     for frag in ["l_shipdate", "l_discount", "l_quantity"]:
         assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
+    from etl_to_iceberg_spark.operators.sketches import agg_hll_rollup_merge
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    est = {
+        r.event_type: r.distinct_users
+        for r in agg_hll_rollup_merge(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / max(n, 1) < 0.05, (t, est[t], n)
