@@ -104,3 +104,31 @@ def merge_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, keys=["c_custkey"])
     return t.read()
+
+
+@register(
+    "meta_partition_stats",
+    sql="""
+    SELECT CAST(year(l_shipdate) AS VARCHAR) AS l_year,
+           COUNT(*) AS row_count
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def meta_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style ``partitions`` metadata table: per-partition row
+    counts straight from the snapshot manifest (parquet footer counts
+    captured at commit) — zero data scan; the oracle recomputes the same
+    totals the slow way from the raw rows.
+
+    Scale shape: manifest-sized driver work, like Iceberg's own metadata
+    tables; the only Spark job materializes the result relation."""
+    from etl_to_iceberg_spark.tables.maintenance import partition_stats
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_pstat_"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.year("l_shipdate").alias("l_year")
+    )
+    t = cat.table("evo.lineitem")
+    t.create(li, partition_by=["l_year"])
+    return partition_stats(t).select("l_year", "row_count")

@@ -144,6 +144,32 @@ def expire_snapshots(
     }
 
 
+def partition_stats(table: IceTable) -> DataFrame:
+    """Per-partition (files, rows) from the CURRENT snapshot's manifest —
+    Iceberg's ``partitions`` metadata table. Row counts come from the
+    parquet footers captured at commit time, so this never scans data:
+    planning a backfill or spotting a skewed partition on a 100 TB table
+    costs a manifest read. Partition values are the path-encoded strings
+    (Hive layout), exactly as Iceberg reports identity-transform values."""
+    snap = table.snapshot()
+    spec = snap.partition_by
+    agg: dict[tuple, list[int]] = {}
+    for fe in snap.files:
+        rel = os.path.relpath(fe.path, fe.base)
+        vals = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep)[:-1] if "=" in seg
+        )
+        key = tuple(vals.get(c) for c in spec)
+        a = agg.setdefault(key, [0, 0])
+        a[0] += 1
+        a[1] += fe.rows or 0
+    rows = [(*k, n, r) for k, (n, r) in sorted(agg.items())]
+    schema = ", ".join(
+        [f"`{c}` string" for c in spec] + ["file_count long", "row_count long"]
+    )
+    return table.spark.createDataFrame(rows, schema)
+
+
 def remove_orphan_files(table: IceTable, *, dry_run: bool = False) -> DataFrame:
     """Orphan-file cleanup (Iceberg's ``CALL remove_orphan_files``): delete
     data files sitting under the table's data directory that no snapshot —

@@ -407,3 +407,18 @@ def test_merge_schema_evolution(cat, spark, sf_dir):
     assert out.count() == nation.count()
     assert out.where(F.col("reviewed")).count() == 5
     assert out.where(F.col("reviewed").isNull()).count() == nation.count() - 5
+
+
+def test_partition_stats_matches_data(cat, spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.year("l_shipdate").alias("l_year")
+    )
+    t = cat.table("s.li_pstat")
+    t.create(li, partition_by=["l_year"])
+    stats = {r.l_year: (r.file_count, r.row_count)
+             for r in maintenance.partition_stats(t).collect()}
+    exact = {str(r.l_year): r.n
+             for r in li.groupBy("l_year").count().withColumnRenamed("count", "n").collect()}
+    assert set(stats) == set(exact)
+    for y, (fc, rc) in stats.items():
+        assert fc >= 1 and rc == exact[y]
