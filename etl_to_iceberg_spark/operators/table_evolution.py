@@ -132,3 +132,30 @@ def meta_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.table("evo.lineitem")
     t.create(li, partition_by=["l_year"])
     return partition_stats(t).select("l_year", "row_count")
+
+
+@register(
+    "scan_file_pruned",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 500
+    """,
+)
+def scan_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping: a range-clustered table answers a selective
+    key-range read by opening only the files whose footer [min, max]
+    envelope intersects the range — Iceberg's manifest pruning. The unit
+    suite asserts files are actually skipped (and that z-order clustering
+    increases the skip rate); this query checks the pruned read returns
+    exactly the oracle's rows.
+
+    Scale shape: planning is manifest-sized driver work; data I/O is
+    proportional to the matching range, not the table."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_prune_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = cat.table("evo.orders_pruned")
+    t.create(orders.repartitionByRange(8, "o_orderkey"))
+    return t.read_where({"o_orderkey": (100, 500)})

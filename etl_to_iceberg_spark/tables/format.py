@@ -75,6 +75,34 @@ def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def _footer_envelopes(md) -> dict | None:
+    """Per-column [min, max] from a parquet footer's row-group statistics —
+    the write-time half of manifest data skipping. Only JSON-safe leaf
+    types (int / float / str / bool) are kept: a column without a safe
+    envelope simply can't prune, which is always correct."""
+    env: dict[str, list] = {}
+    try:
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not all(isinstance(v, (int, float, str, bool)) for v in (mn, mx)):
+                    continue
+                name = col.path_in_schema
+                cur = env.get(name)
+                if cur is None:
+                    env[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+    except Exception:
+        return None
+    return env or None
+
+
 def _strip_scheme(p: str) -> str:
     if p.startswith("file:"):
         p = p[len("file:"):]
@@ -88,13 +116,27 @@ class FileEntry:
     path: str  # absolute local path
     base: str  # basePath for partition-column recovery
     rows: int | None = None
+    # Per-column [min, max] envelopes from the parquet footer (numeric /
+    # string / bool leaves only) — Iceberg-style manifest stats consumed
+    # by read-time file skipping. None on entries from pre-stats commits.
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {"path": self.path, "base": self.base, "rows": self.rows}
+        return {
+            "path": self.path,
+            "base": self.base,
+            "rows": self.rows,
+            "stats": self.stats,
+        }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(path=d["path"], base=d["base"], rows=d.get("rows"))
+        return FileEntry(
+            path=d["path"],
+            base=d["base"],
+            rows=d.get("rows"),
+            stats=d.get("stats"),
+        )
 
 
 @dataclass
@@ -191,6 +233,59 @@ class IceTable:
             version = eligible[-1].version
         snap = self.snapshot(version)
         return self._read_snapshot(snap)
+
+    def pruned_files(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[FileEntry], int]:
+        """Manifest-level file skipping: keep the files whose [min, max]
+        envelope intersects every ``col: (lo, hi)`` range (either bound
+        may be None = unbounded). Files without an envelope for a column
+        are conservatively kept. Returns (kept, skipped_count) — the
+        planning half of :meth:`read_where`."""
+        snap = self.snapshot(version)
+        kept: list[FileEntry] = []
+        for fe in snap.files:
+            keep = True
+            for col, (lo, hi) in predicates.items():
+                st = (fe.stats or {}).get(col)
+                if st is None or st[0] is None or st[1] is None:
+                    continue
+                mn, mx = st
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    break
+            if keep:
+                kept.append(fe)
+        return kept, len(snap.files) - len(kept)
+
+    def read_where(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Range-filtered read with Iceberg-style manifest pruning: files
+        whose footer envelopes cannot contain a match are never opened —
+        on a 100 TB table a selective range touches the few files a
+        clustered layout (``maintenance.cluster_zorder``) confined it to.
+        The residual row-level predicate is still applied (envelopes are
+        necessary, not sufficient), and it also pushes into the parquet
+        row-group stats of the files that ARE read."""
+        snap = self.snapshot(version)
+        kept, _ = self.pruned_files(predicates, version)
+        sub = Snapshot(
+            version=snap.version,
+            parent=snap.parent,
+            timestamp_ms=snap.timestamp_ms,
+            operation="subset",
+            schema_json=snap.schema_json,
+            partition_by=snap.partition_by,
+            files=kept,
+        )
+        df = self._read_snapshot(sub)
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
 
     def _read_snapshot(self, snap: Snapshot) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
@@ -314,10 +409,15 @@ class IceTable:
             glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
         ):
             try:
-                rows = pq.read_metadata(p).num_rows  # footer-only, O(KB)
+                md = pq.read_metadata(p)  # footer-only, O(KB)
+                rows = md.num_rows
+                stats = _footer_envelopes(md)
             except Exception:
                 rows = None
-            entries.append(FileEntry(path=os.path.abspath(p), base=out_dir, rows=rows))
+                stats = None
+            entries.append(
+                FileEntry(path=os.path.abspath(p), base=out_dir, rows=rows, stats=stats)
+            )
         return entries
 
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:

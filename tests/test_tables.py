@@ -422,3 +422,49 @@ def test_partition_stats_matches_data(cat, spark, sf_dir):
     assert set(stats) == set(exact)
     for y, (fc, rc) in stats.items():
         assert fc >= 1 and rc == exact[y]
+
+
+def test_manifest_stats_captured_on_write(cat, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.table("s.o_stats")
+    t.create(orders.repartition(4))
+    for fe in t.snapshot().files:
+        assert fe.stats and "o_orderkey" in fe.stats
+        mn, mx = fe.stats["o_orderkey"]
+        assert mn <= mx
+
+
+def test_read_where_prunes_and_matches_filter(cat, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.table("s.o_prune")
+    t.create(orders.repartitionByRange(8, "o_orderkey"))
+    lo, hi = 100, 500
+    kept, skipped = t.pruned_files({"o_orderkey": (lo, hi)})
+    assert skipped > 0  # range layout -> most files can't contain the range
+    got = t.read_where({"o_orderkey": (lo, hi)})
+    want = orders.where(F.col("o_orderkey").between(lo, hi))
+    assert got.count() == want.count()
+    assert got.select(F.sum("o_custkey")).collect()[0][0] == \
+        want.select(F.sum("o_custkey")).collect()[0][0]
+
+
+def test_zorder_envelopes_are_consumed_by_pruning(cat, spark, sf_dir):
+    """cluster_zorder tightens per-file envelopes; read_where must turn
+    that into actual file skipping on BOTH clustered dimensions."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000)
+        .cast("bigint").alias("o_day"),
+    )
+    t = cat.table("s.o_zprune")
+    t.append(orders.repartition(8))
+    ck = orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    mid = (ck[0] + ck[1]) // 2
+    _, skipped_scattered = t.pruned_files({"o_custkey": (ck[0], mid // 4)})
+    maintenance.cluster_zorder(t, ["o_custkey", "o_day"], n_files=16)
+    kept, skipped_clustered = t.pruned_files({"o_custkey": (ck[0], mid // 4)})
+    assert skipped_clustered > skipped_scattered
+    assert skipped_clustered > 0 and len(kept) > 0
+    got = t.read_where({"o_custkey": (ck[0], mid // 4)}).count()
+    want = orders.where(F.col("o_custkey").between(ck[0], mid // 4)).count()
+    assert got == want
