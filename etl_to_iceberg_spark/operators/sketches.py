@@ -13,7 +13,7 @@ rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
@@ -89,4 +89,77 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .where((F.col("sigma") > 0) & (F.abs(z) > 3))
         .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS cnt,
+             round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(value), 6) AS avg_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.event_type,
+           strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+           coalesce(hourly.cnt, 0) AS cnt,
+           round(last_value(hourly.avg_value IGNORE NULLS)
+                 OVER (PARTITION BY g.event_type ORDER BY g.h
+                       ROWS UNBOUNDED PRECEDING), 6) AS avg_value_ffill
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup with gap-filling and forward-fill: the dense grid a
+    dashboard or model-feature pipeline needs — missing hours appear with
+    cnt=0 and carry the last observed hourly average forward.
+
+    Scale shape: the grid explodes from |event_type| (min, max) bound
+    rows — metadata-sized however large the raw table is; the fill join
+    is per-(type, hour) against the already-aggregated rollup, and the
+    forward-fill window partitions by type ordered by hour (bounded by
+    the calendar, not the data volume)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(30,10)")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(dec).cast("double") / F.count("value"), 6).alias("avg_value"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.round(
+                F.last("avg_value", ignorenulls=True).over(w), 6
+            ).alias("avg_value_ffill"),
+        )
     )
