@@ -277,6 +277,7 @@ class TableAgingOperator(_Base):
         table: str,
         retain_last: int = 1,
         older_than_ms: int | None = None,
+        remove_orphans: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)
@@ -285,6 +286,7 @@ class TableAgingOperator(_Base):
         self.identifier = f"{namespace}.{table}"
         self.retain_last = retain_last
         self.older_than_ms = older_than_ms
+        self.remove_orphans = remove_orphans
 
     def execute(self, context: dict | None = None) -> dict:
         from etl_to_iceberg_spark.tables import maintenance
@@ -293,7 +295,12 @@ class TableAgingOperator(_Base):
         expired = maintenance.expire_snapshots(
             table, retain_last=self.retain_last, older_than_ms=self.older_than_ms
         )
-        return {"table": self.identifier, "expired": expired}
+        out = {"table": self.identifier, "expired": expired}
+        if self.remove_orphans:
+            # Crashed-writer leftovers, beyond what snapshot expiry GCs
+            # (those are files no snapshot EVER referenced).
+            out["orphans_removed"] = maintenance.remove_orphan_files(table).count()
+        return out
 
 
 class TableSnapshotOperator(_Base):

@@ -123,11 +123,17 @@ def test_maintenance_operators_roundtrip(spark, sf_dir, warehouse):
     ).execute()
     assert len(snaps) >= 4  # 3 appends + compaction replace
 
+    # plant a crashed-writer orphan so the sweep has something to find
+    import os as _os
+
+    table_loc = Catalog(spark, warehouse).table("geo.region").location
+    region.limit(1).coalesce(1).write.parquet(_os.path.join(table_loc, "data", "v999"))
     aged = TableAgingOperator(
         spark=spark, warehouse=warehouse, namespace="geo", table="region",
-        retain_last=1, older_than_ms=0,
+        retain_last=1, older_than_ms=0, remove_orphans=True,
     ).execute()
     assert aged["expired"]
+    assert aged["orphans_removed"] == 1
 
     # rollback to the compacted version still works after aging kept it
     table = Catalog(spark, warehouse).table("geo.region")
