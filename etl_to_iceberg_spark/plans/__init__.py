@@ -36,10 +36,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         if total >= target * 128 * 1024 * 1024:
             return df
         return df.repartition(target)
-    # No file metadata (in-memory/streaming lineage): fall back to the
-    # partition count of the compiled plan.
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    # No file metadata: the lineage is in-memory or post-shuffle. A
+    # shuffle already set parallelism (spark.sql.shuffle.partitions / AQE
+    # coalesce ≥ cores by session config), and local in-memory frames are
+    # fixture-sized — so this is a no-op, NOT a df.rdd probe: the RDD hop
+    # forces full physical planning (~300ms driver time per call) to
+    # guard a case that doesn't occur at scale. Callers that truly need a
+    # floor on an in-memory frame pass min_partitions and repartition.
     return df
 
 
