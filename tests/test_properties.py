@@ -251,3 +251,80 @@ def test_minhash_collapse_preserves_pair_closure(spark):
         )
     )
     assert collapsed == full
+
+
+# ---- schema evolution (pure function) ----------------------------------
+
+_EVOLVE_TYPES = None
+
+
+def _evolve_types():
+    global _EVOLVE_TYPES
+    if _EVOLVE_TYPES is None:
+        from pyspark.sql import types as T
+
+        _EVOLVE_TYPES = [
+            T.LongType(), T.DoubleType(), T.StringType(), T.BooleanType()
+        ]
+    return _EVOLVE_TYPES
+
+
+@given(
+    st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_evolve_schema_union_properties(data):
+    from pyspark.sql import types as T
+
+    from etl_to_iceberg_spark.tables.format import _evolve_schema
+
+    names = data.draw(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            min_size=1, max_size=6, unique=True,
+        )
+    )
+    tys = _evolve_types()
+    old_fields = [
+        T.StructField(n, data.draw(st.sampled_from(tys))) for n in names
+    ]
+    old = T.StructType(old_fields)
+    # new schema: any subset of old columns (same types) + fresh columns
+    keep = data.draw(st.sets(st.sampled_from(names)))
+    fresh = data.draw(
+        st.lists(
+            st.text(alphabet="wxyz", min_size=1, max_size=4),
+            max_size=4, unique=True,
+        )
+    )
+    by_name = {f.name: f for f in old_fields}
+    new = T.StructType(
+        [T.StructField(n, by_name[n].dataType) for n in keep]
+        + [T.StructField(n, data.draw(st.sampled_from(tys))) for n in fresh]
+    )
+    out = _evolve_schema(old, new)
+    # old columns keep their order and types; fresh columns append, nullable
+    assert [f.name for f in out.fields][: len(old_fields)] == names
+    assert [f.name for f in out.fields][len(old_fields):] == [
+        n for n in fresh
+    ]
+    for f in out.fields[len(old_fields):]:
+        assert f.nullable
+    # idempotent: evolving again with the same batch changes nothing
+    assert _evolve_schema(out, new) == out
+
+
+@given(st.sampled_from(["bigint", "string", "double"]))
+@settings(max_examples=10, deadline=None)
+def test_evolve_schema_rejects_type_change(tname):
+    import pytest
+    from pyspark.sql import types as T
+
+    from etl_to_iceberg_spark.tables.format import _evolve_schema
+
+    old = T.StructType([T.StructField("k", T.LongType())])
+    newtype = {"bigint": T.BooleanType(), "string": T.StringType(),
+               "double": T.DoubleType()}[tname]
+    new = T.StructType([T.StructField("k", newtype)])
+    with pytest.raises(TypeError):
+        _evolve_schema(old, new)
