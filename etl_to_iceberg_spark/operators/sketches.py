@@ -163,3 +163,39 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_ffill"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov matrix behind
+    journey analysis): LAG over each user's time-ordered stream, then a
+    global pair count.
+
+    Scale shape: one shuffle on user_id for the LAG window (per-user
+    sequences are session-sized), then a pair-count agg whose map-side
+    partial collapses to |types|² rows per partition — the second
+    exchange is matrix-sized, not event-sized. Tie-break (ts, event_id)
+    makes the sequence — and so the counts — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
