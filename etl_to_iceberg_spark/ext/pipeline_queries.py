@@ -269,3 +269,127 @@ def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars"),
         )
     )
+
+
+@register(
+    "corpus_curate_v2",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, text, regexp_extract_all(text, '{WORD_RE}') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, text,
+             CASE WHEN len(t) >= {_SHINGLE}
+                  THEN list_transform(range(1, len(t) - {_SHINGLE - 2}),
+                                      i -> array_to_string(t[i:i+{_SHINGLE - 1}], ' '))
+                  ELSE [] END AS shingles
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ),
+    bad AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s
+            FROM sh WHERE doc_id % 97 <> 0) e
+      JOIN bench USING (s)
+    ),
+    clean AS (
+      SELECT doc_id, text FROM sh
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    feat AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS c_en,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['el','la','de','que','los','una','por','con'], x))) AS c_es,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['le','la','les','des','est','dans','que','pour'], x))) AS c_fr,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS c_de,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wc,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS sw_hits
+      FROM clean
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             CASE WHEN greatest(c_en, c_es, c_fr, c_de) < 1 THEN 'unknown'
+                  WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                  WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                  WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                  ELSE 'de' END AS detected_lang,
+             round(0.4 * (least(wc, 100) / 100.0)
+                   + 0.3 * (1.0 - CASE WHEN nonspace > 0
+                                       THEN CAST(nonspace - alnum AS DOUBLE) / nonspace
+                                       ELSE 0.0 END)
+                   + 0.3 * least(4.0 * CASE WHEN wc > 0
+                                            THEN CAST(sw_hits AS DOUBLE) / wc
+                                            ELSE 0.0 END, 1.0), 6) AS quality
+      FROM feat
+    )
+    SELECT doc_id, detected_lang, quality,
+           CASE WHEN substring(fp, 1, 1) IN
+                     ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substring(fp, 1, 1) IN ('c','d') THEN 'valid'
+                ELSE 'test' END AS split
+    FROM scored
+    WHERE detected_lang <> 'unknown' AND quality >= 0.5
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete modern curation pipeline: benchmark decontamination →
+    language filter → quality floor → exact dedup → split assignment, as
+    ONE composed plan (supersedes ``corpus_curate``, which lacks the
+    decontamination stage).
+
+    Scale shape: decontamination is all-broadcast (eval-sized shingle set
+    + contaminated-id list — the corpus text never shuffles), the
+    lang/quality filters fuse into the scan stage, and the dedup window
+    on the 16-byte fingerprint is the only corpus-sized shuffle in the
+    whole pipeline."""
+    from etl_to_iceberg_spark.ext import text as X
+    from etl_to_iceberg_spark.ext.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = words("text")
+    base = docs.select("doc_id", "text", _shingles(t, _SHINGLE).alias("sh"))
+    bench = (
+        base.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = base.where(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    scored = clean.select(
+        "doc_id",
+        "text",
+        X.fingerprint("text").alias("fp"),
+        X.lang_id("text").alias("detected_lang"),
+        X.quality_score("text").alias("quality"),
+    ).where((F.col("detected_lang") != "unknown") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "detected_lang",
+            "quality",
+            assign_split("text").alias("split"),
+        )
+    )

@@ -201,3 +201,12 @@ def test_ingest_scans_have_no_infer_pass(spark, sf_dir):
     for name in ("scan_jsonl_docs", "scan_csv_typed"):
         plan = _plan(spark, sf_dir, name)
         assert "Scan json" in plan or "Scan csv" in plan
+
+
+def test_curate_v2_decontamination_stays_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_curate_v2")
+    # The added decontamination stage must not change the pipeline's
+    # shuffle character: corpus text enters no sort-merge join.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
