@@ -159,3 +159,33 @@ def scan_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.table("evo.orders_pruned")
     t.create(orders.repartitionByRange(8, "o_orderkey"))
     return t.read_where({"o_orderkey": (100, 500)})
+
+
+@register(
+    "delete_where_mor",
+    sql="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id % 2 = 0 AND event_type <> 'error'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id % 2 = 1
+    """,
+)
+def delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: an O(1) predicate-tombstone commit (no data
+    rewrite, however large the table) filters wave-1 rows at read, while
+    rows appended AFTER the tombstone pass through untouched — the
+    sequence-number gating the oracle mirrors with its two-era UNION.
+    Compaction later materializes tombstones (tests/test_tables.py).
+
+    Scale shape: the delete commit is manifest-sized; reads pay one extra
+    codegen'd filter until compaction folds it in."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_mor_"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = cat.table("evo.events_mor")
+    t.create(ev.where(F.col("event_id") % 2 == 0))
+    t.delete_where("event_type = 'error'", mode="mor")
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    return t.read()

@@ -103,6 +103,19 @@ def _footer_envelopes(md) -> dict | None:
     return env or None
 
 
+def _base_version(base: str) -> int:
+    """Commit version from a data dir path (``.../data/vN``). Unknown
+    layouts report 0 = oldest, so tombstones still apply — deleted data
+    must never resurrect on a parsing gap."""
+    name = os.path.basename(base.rstrip("/"))
+    if name.startswith("v"):
+        try:
+            return int(name[1:])
+        except ValueError:
+            pass
+    return 0
+
+
 def _strip_scheme(p: str) -> str:
     if p.startswith("file:"):
         p = p[len("file:"):]
@@ -149,6 +162,10 @@ class Snapshot:
     partition_by: list[str]
     files: list[FileEntry]
     summary: dict = field(default_factory=dict)
+    # Merge-on-read predicate tombstones: [{"p": <sql predicate>, "v": N}].
+    # A tombstone applies to rows from files committed at version <= v —
+    # later appends are untouched (Iceberg sequence-number semantics).
+    tombstones: list = field(default_factory=list)
 
     @property
     def total_rows(self) -> int | None:
@@ -192,6 +209,7 @@ class IceTable:
             partition_by=d["partition_by"],
             files=[FileEntry.from_json(x) for x in d["files"]],
             summary=d.get("summary", {}),
+            tombstones=d.get("tombstones", []),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -212,6 +230,7 @@ class IceTable:
                     partition_by=d["partition_by"],
                     files=[FileEntry.from_json(x) for x in d["files"]],
                     summary=d.get("summary", {}),
+                    tombstones=d.get("tombstones", []),
                 )
             )
         return out
@@ -278,6 +297,7 @@ class IceTable:
             schema_json=snap.schema_json,
             partition_by=snap.partition_by,
             files=kept,
+            tombstones=snap.tombstones,
         )
         df = self._read_snapshot(sub)
         for col, (lo, hi) in predicates.items():
@@ -291,13 +311,21 @@ class IceTable:
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if not snap.files:
             return self.spark.createDataFrame([], schema)
+        tombs = snap.tombstones or []
         by_base: dict[str, list[str]] = {}
         for fe in snap.files:
             by_base.setdefault(fe.base, []).append(fe.path)
         parts: list[DataFrame] = []
         for base, paths in sorted(by_base.items()):
             reader = self.spark.read.option("basePath", base)
-            parts.append(reader.parquet(*sorted(paths)))
+            part = reader.parquet(*sorted(paths))
+            if tombs:
+                # Each base dir is one commit (data/vN) — tag its version
+                # so tombstones gate per-file-era after the union.
+                part = part.withColumn(
+                    "__commit_v", F.lit(_base_version(base))
+                )
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
@@ -305,14 +333,22 @@ class IceTable:
         # Columns in the evolved schema but in none of the live files —
         # e.g. every post-evolution file was deleted — read as NULL.
         present = set(df.columns)
-        return df.select(
+        df = df.select(
             *[
                 F.col(f.name)
                 if f.name in present
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *([F.col("__commit_v")] if tombs else []),
         )
+        # Merge-on-read: apply each tombstone to rows from file eras at or
+        # before its version. NULL predicate results keep the row (SQL
+        # DELETE removes only rows where the predicate is TRUE).
+        for t in tombs:
+            deleted = F.coalesce(F.expr(t["p"]), F.lit(False))
+            df = df.where((~deleted) | (F.col("__commit_v") > F.lit(t["v"])))
+        return df.drop("__commit_v") if tombs else df
 
     def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows ADDED between two snapshots — the Spark/Iceberg analogue of
@@ -353,6 +389,7 @@ class IceTable:
         schema: T.StructType,
         partition_by: list[str],
         summary: dict | None = None,
+        tombstones: list | None = None,
     ) -> Snapshot:
         os.makedirs(self.meta_dir, exist_ok=True)
         version = self._next_version()
@@ -366,6 +403,10 @@ class IceTable:
             partition_by=partition_by,
             files=files,
             summary=summary or {},
+            # Default is CLEAR: a commit that materialized or replaced its
+            # inputs (create/overwrite/compact) must not inherit tombstones.
+            # Carry-through is each caller's explicit responsibility.
+            tombstones=list(tombstones or []),
         )
         with open(os.path.join(self.meta_dir, f"snap-{version}.json"), "w") as f:
             json.dump(
@@ -378,6 +419,7 @@ class IceTable:
                     "partition_by": snap.partition_by,
                     "files": [fe.to_json() for fe in snap.files],
                     "summary": snap.summary,
+                    "tombstones": snap.tombstones,
                 },
                 f,
             )
@@ -449,7 +491,10 @@ class IceTable:
         new_files = self._write_data(df, version, spec)
         prev = self.snapshot()
         schema = _evolve_schema(self.schema(), df.schema)
-        return self._commit("append", prev.files + new_files, schema, spec)
+        return self._commit(
+            "append", prev.files + new_files, schema, spec,
+            tombstones=prev.tombstones,  # new files postdate them (gated by version)
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
         """Atomic replace (ref: sink_iceberg_overwrite,
@@ -573,6 +618,7 @@ class IceTable:
                 schema_json=snap.schema_json,
                 partition_by=snap.partition_by,
                 files=touched_entries,
+                tombstones=snap.tombstones,  # rewrite must not resurrect MOR deletes
             )
             keep = self._read_snapshot(sub).join(source, on=keys, how="left_anti")
         else:
@@ -602,12 +648,33 @@ class IceTable:
                 "rewritten_files": len(touched_entries),
                 "carried_files": len(untouched_entries),
             },
+            tombstones=snap.tombstones,  # untouched by-reference files still need them
         )
 
-    def delete_where(self, predicate: str) -> Snapshot:
-        """DELETE FROM t WHERE p — file-pruned copy-on-write like merge."""
+    def delete_where(self, predicate: str, *, mode: str = "cow") -> Snapshot:
+        """DELETE FROM t WHERE p.
+
+        ``mode="cow"`` (default): file-pruned copy-on-write like merge —
+        files containing matches are rewritten without the matching rows.
+
+        ``mode="mor"`` (merge-on-read): an O(1) metadata commit appends a
+        predicate tombstone; no data moves, however large the table.
+        Reads apply the tombstone to rows from file eras at or before the
+        delete (later appends are untouched — Iceberg sequence-number
+        semantics), and compaction materializes tombstones and clears
+        them. The classic trade: MOR for delete-heavy write paths (GDPR
+        sweeps, retention), COW when read amplification matters more."""
         snap = self.snapshot()
         schema = self.schema()
+        if mode == "mor":
+            tombs = list(snap.tombstones) + [{"p": predicate, "v": snap.version}]
+            return self._commit(
+                "delete", list(snap.files), schema, snap.partition_by,
+                summary={"mode": "mor", "predicate": predicate},
+                tombstones=tombs,
+            )
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         cols = [f.name for f in schema.fields]
         target = self._read_with_path(snap)
         touched = (
@@ -623,10 +690,12 @@ class IceTable:
                 version=snap.version, parent=snap.parent, timestamp_ms=snap.timestamp_ms,
                 operation="subset", schema_json=snap.schema_json,
                 partition_by=snap.partition_by, files=touched_entries,
+                tombstones=snap.tombstones,  # rewrite must not resurrect MOR deletes
             )
             keep = self._read_snapshot(sub).where(f"NOT ({predicate})")
             new_files = self._write_data(keep.select(*cols), version, snap.partition_by)
         return self._commit(
             "delete", untouched + new_files, schema, snap.partition_by,
             summary={"rewritten_files": len(touched_entries)},
+            tombstones=snap.tombstones,  # untouched by-reference files still need them
         )

@@ -95,6 +95,9 @@ def compact(
             "target_file_size_mb": target_file_size_mb,
             "files_before": len(snap.files),
             "files_after": len(files),
+            # table.read() applied any MOR tombstones, so this rewrite
+            # materialized them; the commit (deliberately) clears them.
+            "tombstones_materialized": len(snap.tombstones),
         },
     )
 
@@ -211,6 +214,7 @@ def rollback(table: IceTable, version: int) -> Snapshot:
         table.schema(),
         old.partition_by,
         summary={"rolled_back_to": version},
+        tombstones=list(old.tombstones),  # restore that snapshot's MOR state too
     )
 
 
@@ -233,6 +237,7 @@ def cherrypick(table: IceTable, version: int) -> Snapshot:
         table.schema(),
         cur.partition_by,
         summary={"cherrypicked": version, "files_added": len(new)},
+        tombstones=cur.tombstones,  # current MOR deletes stay in force
     )
 
 

@@ -468,3 +468,72 @@ def test_zorder_envelopes_are_consumed_by_pruning(cat, spark, sf_dir):
     got = t.read_where({"o_custkey": (ck[0], mid // 4)}).count()
     want = orders.where(F.col("o_custkey").between(ck[0], mid // 4)).count()
     assert got == want
+
+
+def test_mor_delete_is_metadata_only_and_reads_filtered(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev_mor")
+    t.append(ev.repartition(4))
+    files_before = {fe.path for fe in t.snapshot().files}
+    n_err = ev.where("event_type = 'error'").count()
+    snap = t.delete_where("event_type = 'error'", mode="mor")
+    # O(1) commit: same files, no rewrite
+    assert {fe.path for fe in snap.files} == files_before
+    assert snap.summary["mode"] == "mor"
+    assert t.read().count() == ev.count() - n_err
+    assert t.read().where("event_type = 'error'").count() == 0
+    # time travel before the delete still sees everything
+    assert t.read(version=1).count() == ev.count()
+
+
+def test_mor_tombstone_does_not_hit_later_appends(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev_mor2")
+    t.append(ev.where("event_type <> 'error'"))
+    t.delete_where("event_type = 'error'", mode="mor")  # no-op on current rows
+    late_errors = ev.where("event_type = 'error'")
+    t.append(late_errors)
+    # rows appended AFTER the tombstone are NOT deleted by it
+    assert t.read().where("event_type = 'error'").count() == late_errors.count()
+
+
+def test_mor_compaction_materializes_tombstones(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev_mor3")
+    t.append(ev.repartition(4))
+    t.delete_where("event_type = 'error'", mode="mor")
+    expected = t.read().count()
+    snap = maintenance.compact(t)
+    assert snap.summary["tombstones_materialized"] == 1
+    assert snap.tombstones == []
+    assert t.read().count() == expected
+    assert t.read().where("event_type = 'error'").count() == 0
+
+
+def test_mor_then_merge_does_not_resurrect(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = cat.table("s.ev_mor4")
+    t.append(ev.repartition(4))
+    t.delete_where("event_type = 'error'", mode="mor")
+    expected = t.read().count()
+    # merge touches some files; their rewrite must keep errors deleted
+    delta = ev.where("event_id % 100 = 0 AND event_type <> 'error'").withColumn(
+        "value", F.lit(0.0)
+    )
+    t.merge(delta, keys=["event_id"])
+    assert t.read().where("event_type = 'error'").count() == 0
+    assert t.read().count() == expected
+
+
+def test_mor_rollback_restores_tombstone_state(cat, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = cat.table("s.ev_mor5")
+    t.append(ev)
+    t.delete_where("event_type = 'error'", mode="mor")  # v2 with tombstone
+    n_after_delete = t.read().count()
+    maintenance.compact(t)  # v3, tombstones cleared
+    maintenance.rollback(t, 2)  # back to the MOR state
+    assert len(t.snapshot().tombstones) == 1
+    assert t.read().count() == n_after_delete
