@@ -227,6 +227,12 @@ def jaccard_verify(
     shuffles; the rest of the corpus never leaves its scan."""
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
+    # The pair set is referenced four times below (both touched-id unions
+    # + both verify joins); uncached, Spark re-executes the entire LSH
+    # candidate DAG for each reference. Candidates are id pairs — KBs per
+    # million docs — so caching them is bounded and measured ~17% off the
+    # full minhash pipeline at sf0.1 (LRU-evictable if memory is tight).
+    pairs = pairs.cache()
     touched = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
