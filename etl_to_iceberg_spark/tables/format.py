@@ -56,6 +56,11 @@ _META = "_meta"
 _HINT = "version-hint.txt"
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the same version first. Re-read the
+    table and retry (Iceberg optimistic-commit semantics)."""
+
+
 def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     """Union-of-columns schema evolution (Iceberg add-column semantics):
     columns new to the incoming batch are appended as nullable; a name
@@ -380,7 +385,19 @@ class IceTable:
     # -- write path --------------------------------------------------------
 
     def _next_version(self) -> int:
-        return self.current_version() + 1 if self.exists() else 1
+        """One past the highest version seen in the pointer OR on disk:
+        a writer that crashed between manifest write and pointer flip
+        leaves an orphaned snap file, and the next commit must skip that
+        number or every subsequent commit would conflict forever."""
+        if not self.exists():
+            return 1
+        latest = self.current_version()
+        for p in glob.glob(os.path.join(self.meta_dir, "snap-*.json")):
+            try:
+                latest = max(latest, int(os.path.basename(p)[5:-5]))
+            except ValueError:
+                continue
+        return latest + 1
 
     def _commit(
         self,
@@ -408,7 +425,19 @@ class IceTable:
             # Carry-through is each caller's explicit responsibility.
             tombstones=list(tombstones or []),
         )
-        with open(os.path.join(self.meta_dir, f"snap-{version}.json"), "w") as f:
+        # Exclusive create = optimistic concurrency control: a concurrent
+        # writer that claimed the same version number fails HERE instead
+        # of silently winning the pointer rename below (lost update). The
+        # loser re-reads the new current snapshot and retries its commit —
+        # exactly Iceberg's catalog-level optimistic commit protocol.
+        try:
+            f = open(os.path.join(self.meta_dir, f"snap-{version}.json"), "x")
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {version} of table {self.location} was committed "
+                "concurrently; re-read the table and retry"
+            ) from e
+        with f:
             json.dump(
                 {
                     "version": snap.version,

@@ -537,3 +537,37 @@ def test_mor_rollback_restores_tombstone_state(cat, spark, sf_dir):
     maintenance.rollback(t, 2)  # back to the MOR state
     assert len(t.snapshot().tombstones) == 1
     assert t.read().count() == n_after_delete
+
+
+def test_commit_conflict_detected_not_lost(cat, spark, sf_dir):
+    """Optimistic concurrency: a racing writer that claimed the next
+    version makes this commit FAIL instead of silently overwriting."""
+    from etl_to_iceberg_spark.tables.format import CommitConflictError
+
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_occ")
+    t.create(region)
+    # Freeze this writer's version choice, then let the rival write that
+    # manifest first — modelling the race window between version
+    # allocation and the exclusive manifest create.
+    nxt = t._next_version()
+    t._next_version = lambda: nxt
+    with open(os.path.join(t.meta_dir, f"snap-{nxt}.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(CommitConflictError):
+        t.append(region)
+
+
+def test_crashed_commit_leftover_does_not_wedge_table(cat, spark, sf_dir):
+    """A manifest orphaned by a crash between write and pointer flip must
+    be skipped by the next version allocation, not conflict forever."""
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_crash")
+    t.create(region)
+    # crashed writer: manifest for v2 exists, pointer still at v1
+    with open(os.path.join(t.meta_dir, "snap-2.json"), "w") as f:
+        f.write("{}")
+    assert t.current_version() == 1
+    snap = t.append(region)  # must allocate v3, not fight over v2
+    assert snap.version == 3
+    assert t.read().count() == 2 * region.count()
