@@ -15,9 +15,11 @@ Design (a deliberately small subset of the Iceberg spec):
   - ``_meta/snap-<version>.json`` — one manifest per committed snapshot:
     operation, parent version, wall-clock ms, schema JSON, partition
     columns, and the FULL list of data files (path + basePath + row count).
-  - ``_meta/version-hint.txt`` — current version, updated by atomic rename
-    (single-writer; a real multi-writer deployment uses Iceberg's catalog
-    for optimistic commit, which is exactly why the catalog exists).
+  - ``_meta/version-hint.txt`` — current version, updated by atomic rename.
+    Concurrent writers are handled optimistically: the per-version manifest
+    is created exclusively, so a racing commit raises
+    :class:`CommitConflictError` for retry instead of silently winning the
+    pointer flip (the same protocol Iceberg's catalog provides).
   - ``data/v<version>/`` — files written BY that commit (possibly
     Hive-partitioned below). Commits never touch other commits' files, so
     every snapshot is immutable and time travel is just reading an older
