@@ -189,3 +189,83 @@ def delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("event_type = 'error'", mode="mor")
     t.append(ev.where(F.col("event_id") % 2 == 1))
     return t.read()
+
+
+@register(
+    "pipeline_incremental_rollup",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: an hourly rollup table kept current
+    by aggregating ONLY each tick's table delta (``incremental_read``)
+    and additively MERGEing it in. The oracle recomputes the whole
+    rollup from raw events — incremental must equal batch, exactly.
+
+    The running sums live as DECIMAL in the rollup table: decimal
+    addition is exact and order-independent, so three incremental ticks
+    equal one batch aggregation bit-for-bit (a double accumulator could
+    not promise that). Scale shape: each tick scans only the delta's
+    files (snapshot-range read, no diffing), aggregates them, and
+    merges rollup-sized rows — history is never rescanned."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_ivm_"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    raw = cat.table("evo.events_raw")
+    roll = cat.table("evo.events_rollup")
+    dec30 = "decimal(30,6)"
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+                .alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast(dec30)
+                .alias("sum_dec"),
+            )
+        )
+
+    for wave in range(3):
+        batch = ev.where(F.col("event_id") % 3 == wave)
+        prev_v = raw.current_version() if raw.exists() else None
+        raw.append(batch)
+        # Tick delta recovered from the TABLE (snapshot-range read), not
+        # trusted from the producer — ticks after the first exercise it.
+        delta = batch if prev_v is None else raw.incremental_read(prev_v)
+        d = agg(delta)
+        if not roll.exists():
+            roll.create(d)
+            continue
+        cur = roll.read().select(
+            "hour", "event_type",
+            F.col("cnt").alias("cur_cnt"), F.col("sum_dec").alias("cur_sum"),
+        )
+        combined = (
+            d.join(cur, ["hour", "event_type"], "full")
+            .select(
+                "hour", "event_type",
+                (F.coalesce("cnt", F.lit(0)) + F.coalesce("cur_cnt", F.lit(0)))
+                .alias("cnt"),
+                (
+                    F.coalesce(F.col("sum_dec"), F.lit(0).cast(dec30))
+                    + F.coalesce(F.col("cur_sum"), F.lit(0).cast(dec30))
+                ).cast(dec30).alias("sum_dec"),
+            )
+        )
+        roll.merge(combined, keys=["hour", "event_type"])
+    return roll.read().select(
+        "hour", "event_type", "cnt",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
