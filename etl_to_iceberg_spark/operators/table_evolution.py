@@ -269,3 +269,38 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour", "event_type", "cnt",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "catalog_sql_query",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def catalog_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over managed tables: two tables registered as views, queried
+    with plain Spark SQL (join + filter + grouped exact-decimal sum) —
+    the entry point for DAGs that address tables by name rather than
+    through the DataFrame API.
+
+    Scale shape: identical to the DataFrame plan — Catalyst compiles the
+    SQL to the same broadcast-join + two-phase agg, with filters pushed
+    into the snapshot scans."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_sql_"))
+    cat.table("lake.orders").create(load_table(spark, sf_dir, "orders"))
+    cat.table("lake.customer").create(load_table(spark, sf_dir, "customer"))
+    views = cat.register_views("lake")
+    assert views == ["lake_customer", "lake_orders"]
+    return cat.sql("""
+        SELECT o.o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price
+        FROM lake_orders o JOIN lake_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+    """)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from etl_to_iceberg_spark.tables.format import IceTable
@@ -54,6 +54,25 @@ class Catalog:
             for d in os.listdir(ns_dir)
             if os.path.exists(os.path.join(ns_dir, d, "_meta", "version-hint.txt"))
         )
+
+    # -- SQL surface -------------------------------------------------------
+
+    def register_views(self, namespace: str) -> list[str]:
+        """Expose every table in ``namespace`` as a Spark temp view named
+        ``<namespace>_<table>`` and return the view names — the SQL entry
+        point for users migrating DAGs that query by table name. (With the
+        Iceberg jar, the ``ice`` catalog makes the dotted names first-class
+        in SQL; temp views are the jar-less equivalent.)"""
+        names = []
+        for t in self.list_tables(namespace):
+            vname = f"{namespace}_{t}"
+            self.table(f"{namespace}.{t}").read().createOrReplaceTempView(vname)
+            names.append(vname)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over previously registered managed-table views."""
+        return self.spark.sql(query)
 
     # -- tables ------------------------------------------------------------
 
