@@ -199,3 +199,117 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("transitions"))
     )
+
+
+_DQ_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+@register(
+    "data_quality_report",
+    sql="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {f'CAST(MIN({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS min_d,
+           {f'CAST(MAX({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS max_d
+    FROM orders
+    """
+        for c, num in _DQ_COLS
+    ),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile validation report (the Deequ/expectations stage a
+    training pipeline runs before trusting an ingest): null counts,
+    exact distinct cardinalities, numeric min/max — per column, in ONE
+    scan.
+
+    Scale shape: all metrics compute in a single pass; Spark plans the
+    multiple DISTINCT aggregates via one Expand (rows × |distinct cols|)
+    feeding a two-phase agg — no per-column rescans. At 100 TB swap the
+    exact distincts for approx_count_distinct (same call shape) when ±2%
+    suffices."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, num in _DQ_COLS:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+        ]
+        if num:
+            aggs += [
+                F.min(c).cast("double").alias(f"__min_{c}"),
+                F.max(c).cast("double").alias(f"__max_{c}"),
+            ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (F.col(f"__min_{c}") if num else F.lit(None).cast("double")).alias("min_d"),
+            (F.col(f"__max_{c}") if num else F.lit(None).cast("double")).alias("max_d"),
+        )
+        for c, num in _DQ_COLS
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+
+
+@register(
+    "corpus_drift_psi",
+    sql="""
+    WITH bucketed AS (
+      SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS grp,
+             least(n_chars // 50, 9) AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(*) FILTER (grp = 'a') AS na,
+             COUNT(*) FILTER (grp = 'b') AS nb
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM counts)
+    SELECT bucket,
+           round((na / ta - nb / tb)
+                 * ln(greatest(na / ta, 1e-9) / greatest(nb / tb, 1e-9)),
+                 6) AS psi_term
+    FROM counts, tot
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus slices (population stability
+    index over fixed doc-length buckets) — the check a pipeline runs
+    when a new crawl arrives: per-bucket PSI terms; Σ terms > 0.2 means
+    the length distribution shifted materially.
+
+    Determinism: FIXED bucket boundaries (50-char steps, capped) — a
+    percentile-based bucketing would make the report depend on the very
+    distribution it measures. Scale shape: one scan → 10-bucket agg; the
+    totals re-enter as a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        F.when(F.col("source") == "src0", F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(9)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("na"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pa = F.col("na") / F.col("ta")
+    pb = F.col("nb") / F.col("tb")
+    term = (pa - pb) * F.log(
+        F.greatest(pa, F.lit(1e-9)) / F.greatest(pb, F.lit(1e-9))
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.round(term, 6).alias("psi_term")
+    )
