@@ -73,7 +73,7 @@ _CHANGED_THIS_ROUND = [
 
 
 @lru_cache(maxsize=1)
-def _checked_history() -> tuple[frozenset[str], frozenset[str], int]:
+def _checked_history() -> tuple[frozenset[str], frozenset[str], int, dict[str, int]]:
     """(ever_green, ever_failed) query names from prior rounds'
     CORRECTNESS_r*.json files (repo root, two levels up from this file).
 
@@ -89,6 +89,7 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str], int]:
 
     green: set[str] = set()
     failed: set[str] = set()
+    last_seen: dict[str, int] = {}
     latest_round = 0
     root = Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -97,12 +98,14 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str], int]:
         except (OSError, ValueError):
             continue
         try:
-            latest_round = max(latest_round, int(p.stem.split("_r")[-1]))
+            rnd = int(p.stem.split("_r")[-1])
         except ValueError:
-            pass
+            rnd = 0
+        latest_round = max(latest_round, rnd)
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
             err = row.get("err")
             ok_err = err is None or err == "no_oracle"
             ok_vals = row.get("rows_match") is not False and row.get(
@@ -112,7 +115,7 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str], int]:
                 green.add(name)
             else:
                 failed.add(name)
-    return frozenset(green - failed), frozenset(failed), latest_round
+    return frozenset(green - failed), frozenset(failed), latest_round, last_seen
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -137,7 +140,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.ingest_formats  # noqa: F401
     import etl_to_iceberg_spark.operators.sketches  # noqa: F401
 
-    green, failed, latest_round = _checked_history()
+    green, failed, latest_round, last_seen = _checked_history()
     # The changed list is only live until the driver check for its round
     # has run; after that its entries were re-verified (their fresh rows
     # are already in `green`/`failed`) and it expires automatically.
@@ -147,21 +150,25 @@ def all_specs() -> dict[str, QuerySpec]:
     unknown = changed - _REGISTRY.keys()
     assert not unknown, f"_CHANGED_THIS_ROUND has stale/unknown ids: {unknown}"
 
-    def rank(name: str) -> int:
+    def rank(name: str) -> tuple[int, int]:
         # Changed and previously-failed queries lead: they have a stale or
         # red driver row that must be refreshed this round no matter how
         # many brand-new (never-checked) queries registered since — new
         # ops can wait a round; a wrong green/red row cannot. Within the
         # never-checked rank the stable sort keeps registration order, so
         # ops added in later-imported modules queue behind the older
-        # never-checked tail instead of displacing it.
+        # never-checked tail instead of displacing it. Greens order by
+        # STALENESS (oldest driver row first): leftover budget re-verifies
+        # the rows that have gone longest unchecked, so every green row
+        # refreshes round-robin instead of the same early registrations
+        # soaking up the slack each round.
         if name in changed:
-            return 0
+            return (0, 0)
         if name in failed:
-            return 1
+            return (1, 0)
         if name in green:
-            return 3
-        return 2  # never checked
+            return (3, last_seen.get(name, 0))
+        return (2, 0)  # never checked
 
     ordered = sorted(_REGISTRY, key=lambda n: rank(n))  # stable: keeps reg order within rank
     return {name: _REGISTRY[name] for name in ordered}

@@ -8,7 +8,7 @@ import etl_to_iceberg_spark.registry as R
 
 
 def _partition(names):
-    green, failed, _ = R._checked_history()
+    green, failed, _, _ = R._checked_history()
     never = [n for n in names if n not in green and n not in failed]
     return green, failed, never
 
@@ -31,9 +31,9 @@ def test_rotation_rank_order_holds():
 
 def test_changed_list_expires_once_its_round_is_checked(monkeypatch):
     R.all_specs()  # force registration
-    green, failed, _ = R._checked_history()
+    green, failed, _, seen = R._checked_history()
     monkeypatch.setattr(
-        R, "_checked_history", lambda: (green, failed, R._CHANGED_AS_OF_ROUND)
+        R, "_checked_history", lambda: (green, failed, R._CHANGED_AS_OF_ROUND, seen)
     )
     names = list(R.all_specs())
     idx = {n: i for i, n in enumerate(names)}
