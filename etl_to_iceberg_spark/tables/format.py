@@ -293,7 +293,12 @@ class IceTable:
         clustered layout (``maintenance.cluster_zorder``) confined it to.
         The residual row-level predicate is still applied (envelopes are
         necessary, not sufficient), and it also pushes into the parquet
-        row-group stats of the files that ARE read."""
+        row-group stats of the files that ARE read.
+
+        Partition columns have no footer envelope (they live in the path,
+        not the file), so a partition-column range doesn't skip at the
+        manifest — it prunes at the Spark scan via the recovered Hive
+        layout instead, which costs planning but not I/O."""
         snap = self.snapshot(version)
         kept, _ = self.pruned_files(predicates, version)
         sub = Snapshot(
