@@ -241,22 +241,31 @@ def cherrypick(table: IceTable, version: int) -> Snapshot:
     )
 
 
-def zvalue(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
-    """Morton (Z-order) interleave of two non-negative ints' low ``bits``.
+def zvalue_n(cols: list[F.Column], bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of N non-negative ints' low ``bits``
+    (bit i of column j lands at position i*N + j; N*bits must fit a long).
 
     Pure bitwise column expression (whole-stage codegen) — rows close in
-    BOTH dimensions get close z-values, so a z-sorted rewrite gives every
-    file a tight min/max envelope on both columns at once and parquet
-    row-group / file skipping works for predicates on either."""
+    EVERY dimension get close z-values, so a z-sorted rewrite gives each
+    file a tight min/max envelope on all clustered columns at once and
+    min/max pruning serves predicates on any of them."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_n interleaves at least 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} columns x {bits} bits exceeds a long")
     z = F.lit(0).cast("long")
-    a = a.cast("long")
-    b = b.cast("long")
+    cs = [c.cast("long") for c in cols]
     for i in range(bits):
-        z = (
-            z.bitwiseOR(a.bitwiseAND(F.lit(1 << i)) * (1 << i))
-            .bitwiseOR(b.bitwiseAND(F.lit(1 << i)) * (1 << (i + 1)))
-        )
+        for j, c in enumerate(cs):
+            # bit value (1 << i) relocated to position i*n + j
+            z = z.bitwiseOR(c.bitwiseAND(F.lit(1 << i)) * (1 << (i * (n - 1) + j)))
     return z
+
+
+def zvalue(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Two-column Morton interleave (see :func:`zvalue_n`)."""
+    return zvalue_n([a, b], bits=bits)
 
 
 def cluster_zorder(
@@ -264,7 +273,7 @@ def cluster_zorder(
     columns: list[str],
     *,
     target_file_size_mb: int = 512,
-    bits: int = 16,
+    bits: int | None = None,
     n_files: int | None = None,
 ) -> Snapshot:
     """Z-order clustering rewrite — the sort-strategy half of Iceberg's
@@ -285,9 +294,13 @@ def cluster_zorder(
     Each column is min/max-normalized to the ``bits``-wide domain before
     interleaving — raw interleaving of differently-scaled columns (e.g.
     a 0..150 key against a 0..2500-day range) degenerates to a sort on
-    the wider column because its high bits dominate every split."""
-    if len(columns) != 2:
-        raise ValueError("zorder clustering takes exactly 2 columns")
+    the wider column because its high bits dominate every split. Any
+    number of columns >= 2 works (``bits`` defaults to the widest per-
+    column precision that still fits a long: min(16, 63 // N))."""
+    if len(columns) < 2:
+        raise ValueError("zorder clustering takes at least 2 columns")
+    if bits is None:
+        bits = min(16, 63 // len(columns))
     snap = table.snapshot()
     if n_files is None:
         total_bytes = sum(
@@ -295,10 +308,13 @@ def cluster_zorder(
         )
         n_files = max(1, -(-total_bytes // (target_file_size_mb * 1024 * 1024)))
     df = table.read()
-    a, b = (F.col(c).cast("double") for c in columns)
+    cols = [F.col(c).cast("double") for c in columns]
     bounds = df.agg(
-        F.min(a).alias("__amin"), F.max(a).alias("__amax"),
-        F.min(b).alias("__bmin"), F.max(b).alias("__bmax"),
+        *[
+            x
+            for i, c in enumerate(cols)
+            for x in (F.min(c).alias(f"__min{i}"), F.max(c).alias(f"__max{i}"))
+        ]
     )
     top = (1 << bits) - 1
 
@@ -307,8 +323,9 @@ def cluster_zorder(
         return F.when(span > 0, ((col - F.col(lo)) * top / span))\
             .otherwise(F.lit(0)).cast("long")
 
-    z = zvalue(
-        norm(a, "__amin", "__amax"), norm(b, "__bmin", "__bmax"), bits=bits
+    z = zvalue_n(
+        [norm(c, f"__min{i}", f"__max{i}") for i, c in enumerate(cols)],
+        bits=bits,
     ).alias("__z")
     clustered = (
         df.crossJoin(F.broadcast(bounds))

@@ -571,3 +571,39 @@ def test_crashed_commit_leftover_does_not_wedge_table(cat, spark, sf_dir):
     snap = t.append(region)  # must allocate v3, not fight over v2
     assert snap.version == 3
     assert t.read().count() == 2 * region.count()
+
+
+def test_zorder_three_columns_tightens_all_envelopes(cat, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000)
+        .cast("bigint").alias("o_day"),
+    )
+    t = cat.table("s.o_z3")
+    t.append(orders.repartition(8))
+
+    def mean_spans(table):
+        r = (
+            table.read()
+            .withColumn("__f", F.col("_metadata.file_path"))
+            .groupBy("__f")
+            .agg(
+                (F.max("o_orderkey") - F.min("o_orderkey")).alias("ok"),
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("o_day") - F.min("o_day")).alias("dy"),
+            )
+            .agg(F.avg("ok").alias("ok"), F.avg("ck").alias("ck"), F.avg("dy").alias("dy"))
+            .collect()[0]
+        )
+        return r["ok"], r["ck"], r["dy"]
+
+    before = mean_spans(t)
+    snap = maintenance.cluster_zorder(
+        t, ["o_orderkey", "o_custkey", "o_day"], n_files=27
+    )
+    assert len(snap.files) > 1
+    after = mean_spans(t)
+    # all three dimensions tighten (bits defaults to 63//3 -> capped 16)
+    for b, a in zip(before, after):
+        assert a < b * 0.85, (before, after)
+    assert t.read().count() == orders.count()
