@@ -313,3 +313,60 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         "bucket", F.round(term, 6).alias("psi_term")
     )
+
+
+@register(
+    "sessionize_native_window",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate —
+    the built-in JVM operator this engine prefers over hand-rolled state
+    (`sessionize_events` shows the gaps-and-islands rewrite; the custom
+    `applyInPandasWithState` path exists for semantics the built-in
+    can't express). Same call works under ``readStream`` with a
+    watermark, where the state store merges windows incrementally.
+
+    Semantics matched in the oracle: an event at exactly gap distance
+    starts a NEW session (session end = last event + gap, exclusive).
+    Scale shape: one shuffle on the grouping key; per-key sessions merge
+    inside the aggregate, no per-user sort window needed."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
