@@ -1,11 +1,14 @@
-"""Mergeable-sketch aggregation and statistical anomaly queries.
+"""Statistical & time-series operators, tranche 4: mergeable HLL
+rollups, z-score anomaly detection, gap-filled time series, cohort
+journey transitions, data-quality profiling, drift (PSI), and native
+session windows.
 
-The 100 TB pattern for distinct counting is NOT a nightly
-``COUNT(DISTINCT ...)`` over all history — it is per-partition HLL
-sketches persisted once, then UNIONED to answer any date range in
-metadata-sized work (Datasketches HLL, the same sketches Iceberg/Druid
-persist). Spark's ``hll_sketch_agg``/``hll_union_agg`` are that exact
-surface.
+The through-line is the 100 TB statistics posture: mergeable sketches
+instead of rescans (HLL per day, unioned per range), exact decimal
+moments so both engines agree bit-for-bit, fixed bucket boundaries so
+reports don't depend on the distribution they measure, and built-in
+JVM aggregates (``session_window``) over hand-rolled state wherever
+the built-in expresses the semantics.
 
 Registered last (after ``ingest_formats``) — tail of the driver-check
 rotation.
