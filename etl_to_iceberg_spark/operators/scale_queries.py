@@ -88,9 +88,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -393,8 +393,8 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.try_cast("o_orderpriority", "int").alias("bad_cast"),
-        F.try_cast(F.substring("o_orderpriority", 1, 1), "int").alias(
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
             "priority_num"
         ),
     )

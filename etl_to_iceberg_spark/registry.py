@@ -61,14 +61,11 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 3
+_CHANGED_AS_OF_ROUND = 4
 _CHANGED_THIS_ROUND = [
-    "fn_type_cast",          # r2 rounding fix, never driver-confirmed
-    "fn_type_cast_decimal",  # new rows-only DECIMAL-surface sibling
-    "agg_collect_ordered",   # array→string surface (driver hasher fix)
-    "dedup_minhash_lsh",     # exact-collapse + bucket cap
-    "dedup_simhash",         # signature-collapse + bucket cap
-    "similarity_ann_ivf",    # distributed centroid seeding
+    "fn_try_cast",           # F.try_cast doesn't exist in 4.1.2 → Column.try_cast
+    "q12_priority_by_flag",  # oracle integer SUM cast to BIGINT (HUGEINT hash fix)
+    "sessionize_events",     # oracle window SUM cast to BIGINT (HUGEINT hash fix)
 ]
 
 
@@ -87,8 +84,11 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str], int, dict[str, i
     import json
     from pathlib import Path
 
-    green: set[str] = set()
-    failed: set[str] = set()
+    # Latest-row semantics: a query's status is its MOST RECENT driver row
+    # (files walk in ascending round order, so later rounds overwrite).
+    # Ever-failed semantics would pin a fixed-then-reverified query in the
+    # failed rank forever, burning check budget on it every round.
+    status: dict[str, bool] = {}
     last_seen: dict[str, int] = {}
     latest_round = 0
     root = Path(__file__).resolve().parent.parent
@@ -111,11 +111,10 @@ def _checked_history() -> tuple[frozenset[str], frozenset[str], int, dict[str, i
             ok_vals = row.get("rows_match") is not False and row.get(
                 "hash_match"
             ) is not False
-            if ok_err and ok_vals and row.get("spark_rows") is not None:
-                green.add(name)
-            else:
-                failed.add(name)
-    return frozenset(green - failed), frozenset(failed), latest_round, last_seen
+            status[name] = ok_err and ok_vals and row.get("spark_rows") is not None
+    green = {n for n, ok in status.items() if ok}
+    failed = {n for n, ok in status.items() if not ok}
+    return frozenset(green), frozenset(failed), latest_round, last_seen
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,42 @@
+"""Determinism lint over every registered DuckDB oracle.
+
+The driver hashes oracle results through pandas. Two output-type classes
+are known to break that hash even when values are identical:
+
+- ``HUGEINT`` (DuckDB's 128-bit result of ``SUM(integer)``) — pandas has
+  no int128, so it lands as float64 and hashes ``1085.0`` against Spark's
+  ``1085`` (r3 failures ``q12_priority_by_flag``, ``sessionize_events``).
+- ``LIST``/``STRUCT``/``MAP`` columns — the driver's canonicalizer
+  crashed on arrays in r2 (``agg_collect_ordered``); nested output must
+  be serialized (``concat_ws``/``to_json``) on both sides instead.
+
+This lint runs ``DESCRIBE <oracle>`` through DuckDB for every spec so
+the whole class is caught at test time, not in a driver round.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_to_iceberg_spark.registry import all_specs
+
+_BANNED = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
+
+
+def _oracle_specs():
+    return [(n, s.sql) for n, s in all_specs().items() if s.sql is not None]
+
+
+@pytest.mark.parametrize("name,sql", _oracle_specs(), ids=lambda v: v if isinstance(v, str) and "\n" not in v else "")
+def test_oracle_output_types_hash_safely(duck, name, sql):
+    cols = duck.execute(f"DESCRIBE {sql}").fetchall()
+    bad = [
+        (cname, ctype)
+        for cname, ctype, *_ in cols
+        if any(b in ctype.upper() for b in _BANNED) or ctype.upper().endswith("[]")
+    ]
+    assert not bad, (
+        f"oracle {name!r} outputs driver-hash-unsafe column types {bad}: "
+        "CAST integer SUMs to BIGINT; serialize arrays/structs with "
+        "concat_ws/to_json on both the Spark and oracle sides"
+    )
