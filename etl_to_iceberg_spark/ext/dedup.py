@@ -158,23 +158,15 @@ def oversized_buckets(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    bands: int = 8,
-    max_bucket_size: int | None = None,
+def _explode_bands(
+    sigs: DataFrame, *, id_col: str = "doc_id", bands: int = 8
 ) -> DataFrame:
-    """Candidate pairs = ids sharing ≥1 (band, band_hash) bucket.
-
-    Scale: the self-join is an equi-join on (band, hash) — hash-partitioned,
-    no cross product; distinct() bounds duplicate candidates from multiple
-    colliding bands. ``max_bucket_size`` bounds the worst case: a bucket of
-    n members yields n²/2 pairs, so one boilerplate-heavy bucket can
-    dominate the whole job — rows in buckets above the cap are skipped
-    (count them with :func:`oversized_buckets`)."""
+    """(id, band, band_hash) — one row per band per signature; each band
+    hash covers a contiguous ``num_hashes/bands`` slice of the signature.
+    Exposed (module-private) so :func:`oversized_buckets` accounting can
+    run on exactly the buckets :func:`lsh_candidate_pairs` would join."""
     rows_per_band = F.size(F.col("sig")) / bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -195,6 +187,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs = ids sharing ≥1 (band, band_hash) bucket.
+
+    Scale: the self-join is an equi-join on (band, hash) — hash-partitioned,
+    no cross product; distinct() bounds duplicate candidates from multiple
+    colliding bands. ``max_bucket_size`` bounds the worst case: a bucket of
+    n members yields n²/2 pairs, so one boilerplate-heavy bucket can
+    dominate the whole job — rows in buckets above the cap are skipped
+    (count them with :func:`oversized_buckets` over
+    :func:`_explode_bands` output)."""
+    banded = _explode_bands(sigs, id_col=id_col, bands=bands)
     banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"

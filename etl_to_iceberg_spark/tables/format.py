@@ -48,7 +48,10 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -111,16 +114,14 @@ def _footer_envelopes(md) -> dict | None:
 
 
 def _base_version(base: str) -> int:
-    """Commit version from a data dir path (``.../data/vN``). Unknown
-    layouts report 0 = oldest, so tombstones still apply — deleted data
-    must never resurrect on a parsing gap."""
+    """Commit version from a data dir path (``.../data/vN`` or
+    ``.../data/vN-<token>`` — the token is the per-write-attempt
+    uniquifier, see :meth:`IceTable._write_data`). Unknown layouts report
+    0 = oldest, so tombstones still apply — deleted data must never
+    resurrect on a parsing gap."""
     name = os.path.basename(base.rstrip("/"))
-    if name.startswith("v"):
-        try:
-            return int(name[1:])
-        except ValueError:
-            pass
-    return 0
+    m = re.match(r"v(\d+)", name)
+    return int(m.group(1)) if m else 0
 
 
 def _strip_scheme(p: str) -> str:

@@ -1,0 +1,235 @@
+"""Adversarial hardening tests.
+
+1. Optimistic-commit fault injection beyond the happy path: real
+   concurrent writer threads with the documented retry protocol, a loser
+   that retries after ``CommitConflictError``, and a VALID orphaned
+   manifest (crash after manifest create, before pointer flip) that must
+   stay invisible to readers.
+2. A planted 10k-identical-docs corpus proving the MinHash exact-collapse
+   + bucket-cap guards actually bound the LSH candidate set (the guards'
+   code paths exist since r2; this is the adversarial proof).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.tables import Catalog
+from etl_to_iceberg_spark.tables.format import CommitConflictError
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_conflict_loser_retries_and_succeeds(cat, spark, sf_dir):
+    """The documented recovery — re-read and retry — must actually work:
+    after a CommitConflictError the SAME table handle commits cleanly and
+    the rival's committed rows survive (no lost update)."""
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_retry")
+    t.create(region)
+
+    # Rival fully commits version 2 after our writer froze its choice.
+    rival = cat.table("s.r_retry")
+    nxt = t._next_version()
+    frozen = t._next_version
+    t._next_version = lambda: nxt
+    rival.append(region.withColumn("r_name", F.lit("RIVAL")))
+
+    with pytest.raises(CommitConflictError):
+        t.append(region)
+
+    # Retry: restore real version allocation (= re-read current state).
+    t._next_version = frozen
+    snap = t.append(region)
+    assert snap.version == 3
+    df = t.read()
+    assert df.count() == 3 * region.count()
+    assert df.where(F.col("r_name") == "RIVAL").count() == region.count()
+
+
+def test_concurrent_appends_all_land(cat, spark, sf_dir):
+    """N writer threads appending to one table with retry-on-conflict:
+    every append must land exactly once (serialized by the exclusive
+    manifest create), no lost updates, version chain contiguous."""
+    region = load_table(spark, sf_dir, "region").cache()
+    n_rows = region.count()
+    t0 = cat.table("s.r_conc")
+    t0.create(region.withColumn("writer", F.lit(-1)))
+
+    n_writers, errors = 6, []
+
+    def writer(i: int) -> None:
+        handle = cat.table("s.r_conc")  # own handle, like a real executor
+        batch = region.withColumn("writer", F.lit(i))
+        for _ in range(20):  # bounded retry
+            try:
+                handle.append(batch)
+                return
+            except CommitConflictError:
+                continue
+        errors.append(f"writer {i} exhausted retries")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    final = cat.table("s.r_conc")
+    df = final.read()
+    assert df.count() == (n_writers + 1) * n_rows
+    # every writer's batch landed exactly once
+    per_writer = {
+        r["writer"]: r["n"]
+        for r in df.groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_writer == {i: n_rows for i in range(-1, n_writers)}
+    # version chain is contiguous and parent-linked
+    snaps = sorted(final.snapshots(), key=lambda s: s.version)
+    assert [s.version for s in snaps] == list(range(1, n_writers + 2))
+    assert all(s.parent == s.version - 1 for s in snaps[1:])
+
+
+def test_valid_orphan_manifest_stays_invisible(cat, spark, sf_dir):
+    """Crash AFTER a fully valid manifest write but BEFORE the pointer
+    flip: readers must keep serving the old version (the orphan's files
+    must not leak into reads), and the next commit skips the orphaned
+    version number."""
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_orphan")
+    t.create(region)
+
+    # Simulate the crash by doing a real commit, then rolling the pointer
+    # back by hand: snap-2.json is VALID on disk, pointer says 1.
+    t.append(region.withColumn("r_name", F.lit("GHOST")))
+    with open(os.path.join(t.meta_dir, "version-hint.txt"), "w") as f:
+        f.write("1")
+
+    fresh = cat.table("s.r_orphan")
+    assert fresh.current_version() == 1
+    df = fresh.read()
+    assert df.count() == region.count()
+    assert df.where(F.col("r_name") == "GHOST").count() == 0
+
+    snap = fresh.append(region)  # must allocate 3, not collide on 2
+    assert snap.version == 3
+    # the ghost rows stay dead even after the table moves on
+    assert fresh.read().where(F.col("r_name") == "GHOST").count() == 0
+
+
+def test_torn_manifest_fails_loudly_not_silently(cat, spark, sf_dir):
+    """A truncated (torn-write) manifest for the CURRENT version is
+    corruption, not a state to paper over: reading must raise, not
+    silently serve partial data."""
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_torn")
+    t.create(region)
+    snap_path = os.path.join(t.meta_dir, "snap-1.json")
+    blob = open(snap_path).read()
+    with open(snap_path, "w") as f:
+        f.write(blob[: len(blob) // 2])
+    fresh = cat.table("s.r_torn")
+    with pytest.raises(Exception):
+        fresh.read().count()
+
+
+# --- MinHash adversarial corpus -------------------------------------------
+
+
+def _planted_corpus(spark, n_copies: int = 10_000, n_distinct: int = 50):
+    """n_copies byte-identical boilerplate docs + a tail of distinct docs
+    (two of which are true near-duplicates of each other)."""
+    boiler = "terms of service apply to all users of this site " * 6
+    rows = [(i, boiler) for i in range(n_copies)]
+    for j in range(n_distinct):
+        rows.append(
+            (
+                n_copies + j,
+                f"document {j} discusses topic {j} with unique content "
+                f"alpha beta gamma delta {j} " * 3,
+            )
+        )
+    # a genuine near-dup pair far from the boilerplate cluster
+    rows.append((90_000, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    rows.append((90_001, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_collapse_bounds_planted_identical_cluster(spark):
+    """10k identical docs must contribute ONE representative to the LSH
+    join — the banded candidate set stays small — while the pair output
+    still covers the whole cluster via re-emitted exact edges, and the
+    planted near-dup pair is found."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    df = _planted_corpus(spark)
+
+    # Guard 1 (collapse): the candidate join, fed post-collapse, is bounded.
+    sigs_fp = minhash_signatures(
+        df, extra_cols=[F.xxhash64("text").alias("__fp")]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    reps = (
+        sigs_fp.withColumn("__rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__rep"))
+        .select("doc_id", "sig")
+    )
+    assert reps.count() == 53  # 1 boilerplate rep + 50 distinct + fox pair
+    n_cands = lsh_candidate_pairs(reps, max_bucket_size=256).count()
+    assert n_cands < 200, f"candidate set not bounded: {n_cands}"
+
+    # End-to-end: full pipeline output covers the cluster without a
+    # quadratic candidate explosion (10k identical docs -> 9999 exact
+    # edges to the representative, NOT ~5e7 pairs).
+    pairs = minhash_near_duplicates(df, threshold=0.5)
+    total = pairs.count()
+    assert 9_999 <= total <= 9_999 + 300, total
+    fox = pairs.where(
+        (F.col("id_a") == 90_000) & (F.col("id_b") == 90_001)
+        | (F.col("id_a") == 90_001) & (F.col("id_b") == 90_000)
+    )
+    assert fox.count() == 1
+    cluster_edges = pairs.where((F.col("id_a") < 10_000) & (F.col("id_b") < 10_000))
+    assert cluster_edges.count() == 9_999
+
+
+def test_minhash_bucket_cap_bounds_residual_hot_bucket(spark):
+    """With collapse OFF (distinct ids, identical signatures — the
+    residual pathology the cap exists for), an uncapped run would emit
+    ~n^2/2 pairs; the cap must keep the candidate set at zero for the hot
+    bucket and the oversized_buckets accounting must report what was
+    skipped."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        _explode_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_buckets,
+    )
+
+    boiler = "identical hot bucket text repeated everywhere " * 5
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(2_000)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=256)
+    assert capped.count() == 0  # every bucket is oversized -> all skipped
+    banded = _explode_bands(sigs, bands=8)
+    over = oversized_buckets(banded, ["band", "band_hash"], 256)
+    rows = over.collect()
+    assert rows and all(r["n"] == 2_000 for r in rows)
