@@ -117,6 +117,12 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
         # read it as long and let the loader (sources.tables.load_table)
         # convert ns→µs timestamps via the parquet footer metadata.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Parquet TIMESTAMP without the isAdjustedToUTC flag would otherwise
+        # load as TIMESTAMP_NTZ (Spark 3.4+ inference), breaking LTZ-only
+        # functions (unix_micros, window, watermarks) and diverging from the
+        # engine's defined-in-UTC semantics. Read naive parquet timestamps
+        # as session-UTC instants, matching the DuckDB oracle's naive reads.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Keep partition discovery cheap on huge listings.
         "spark.sql.sources.parallelPartitionDiscovery.threshold": "32",
         # Reliable checkpoints (iterative fixpoints, ext/dedup.py) are
@@ -152,6 +158,8 @@ _REQUIRED_RUNTIME_CONFS = {
     # events.ts is parquet TIMESTAMP(NANOS) — illegal to Spark otherwise;
     # sources.tables.load_parquet_table does the long→timestamp fixup.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps load as UTC instants, not TIMESTAMP_NTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # All checked results are defined in UTC.
     "spark.sql.session.timeZone": "UTC",
     # Arrow batches for the Pandas-UDF extension operators.

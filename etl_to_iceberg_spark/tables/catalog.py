@@ -103,3 +103,22 @@ class Catalog:
         path = os.path.join(self.warehouse, ns, name)
         if os.path.isdir(path):
             shutil.rmtree(path)
+
+    def shallow_clone(self, dst_warehouse: str) -> "Catalog":
+        """Delta-style SHALLOW CLONE of the whole warehouse: copy only the
+        ``_meta`` manifests (KBs); data files stay where they are and are
+        referenced absolutely by the cloned manifests. Snapshots are
+        immutable — writes to the clone only ever ADD files under the
+        clone's own location — so the source is never perturbed, however
+        the clone is mutated. O(metadata) regardless of table size: the
+        cheap writable fork for tests, benchmarks, and what-if pipelines.
+
+        The source warehouse must outlive the clone (same lifetime rule
+        as Delta/Iceberg shallow clones)."""
+        dst = os.path.abspath(dst_warehouse)
+        for ns in self.list_namespaces():
+            for t in self.list_tables(ns):
+                src_meta = os.path.join(self.warehouse, ns, t, "_meta")
+                dst_meta = os.path.join(dst, ns, t, "_meta")
+                shutil.copytree(src_meta, dst_meta, dirs_exist_ok=True)
+        return Catalog(self.spark, dst)

@@ -20,10 +20,13 @@ Design (a deliberately small subset of the Iceberg spec):
     is created exclusively, so a racing commit raises
     :class:`CommitConflictError` for retry instead of silently winning the
     pointer flip (the same protocol Iceberg's catalog provides).
-  - ``data/v<version>/`` — files written BY that commit (possibly
-    Hive-partitioned below). Commits never touch other commits' files, so
-    every snapshot is immutable and time travel is just reading an older
-    manifest.
+  - ``data/v<version>-<token>/`` — files written BY that commit (possibly
+    Hive-partitioned below); the random token makes each write attempt's
+    dir private, so two writers racing for the same version never share a
+    Hadoop ``_temporary`` committer dir. Commits never touch other
+    commits' files, so every snapshot is immutable and time travel is
+    just reading an older manifest. A conflict loser's dir is removed on
+    conflict (or swept later as an orphan).
 
 - Reads reconstruct a snapshot by grouping its file entries by basePath
   (needed for partition-column recovery) and unioning the per-group scans.
@@ -415,9 +418,20 @@ class IceTable:
         partition_by: list[str],
         summary: dict | None = None,
         tombstones: list | None = None,
+        version: int | None = None,
+        on_conflict_cleanup: tuple[str, ...] = (),
     ) -> Snapshot:
+        """``version`` pins the commit to the number the caller allocated
+        BEFORE reading the snapshot state its file list derives from. A
+        rival landing in between claims that same number, so the exclusive
+        create below fails instead of this commit silently dropping the
+        rival's files (lost update). Unpinned (None) is only safe for
+        commits whose file list does not extend a previously-read state.
+        ``on_conflict_cleanup``: this writer's private data dirs, removed
+        on conflict so retries don't leak orphans."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        version = self._next_version()
+        if version is None:
+            version = self._next_version()
         parent = self.current_version() if self.exists() else None
         snap = Snapshot(
             version=version,
@@ -441,6 +455,8 @@ class IceTable:
         try:
             f = open(os.path.join(self.meta_dir, f"snap-{version}.json"), "x")
         except FileExistsError as e:
+            for d in on_conflict_cleanup:
+                shutil.rmtree(d, ignore_errors=True)
             raise CommitConflictError(
                 f"version {version} of table {self.location} was committed "
                 "concurrently; re-read the table and retry"
@@ -472,12 +488,29 @@ class IceTable:
     def _write_data(
         self, df: DataFrame, version: int, partition_by: list[str]
     ) -> list[FileEntry]:
-        out_dir = os.path.join(self.location, "data", f"v{version}")
+        """Write ``df`` into a data dir private to this write attempt.
+
+        The ``-<token>`` uniquifier means two concurrent writers that both
+        allocated the same version number write into DISJOINT directories —
+        without it they share one output dir and race inside Hadoop's
+        ``_temporary`` committer scratch (one job's cleanup deletes the
+        other's files: silently lost rows). The loser's dir becomes an
+        orphan, swept by ``_commit``'s conflict cleanup or
+        ``maintenance.remove_orphan_files`` — the same lifecycle real
+        Iceberg gives a failed write's files."""
+        token = uuid.uuid4().hex[:8]
+        out_dir = os.path.join(self.location, "data", f"v{version}-{token}")
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
         return self._list_written(out_dir)
+
+    @staticmethod
+    def _bases(entries: list[FileEntry]) -> tuple[str, ...]:
+        """The (token-unique, this-writer-private) data dirs behind
+        ``entries`` — safe to delete if the commit loses its race."""
+        return tuple({fe.base for fe in entries})
 
     @staticmethod
     def _list_written(out_dir: str) -> list[FileEntry]:
@@ -506,7 +539,10 @@ class IceTable:
             raise FileExistsError(f"table already exists at {self.location}")
         partition_by = [c.lower() for c in (partition_by or [])]
         files = self._write_data(df, 1, partition_by)
-        return self._commit("create", files, df.schema, partition_by)
+        return self._commit(
+            "create", files, df.schema, partition_by,
+            version=1, on_conflict_cleanup=self._bases(files),
+        )
 
     def _partition_spec(self) -> list[str]:
         return self.snapshot().partition_by if self.exists() else []
@@ -524,6 +560,9 @@ class IceTable:
         if not self.exists():
             return self.create(df)
         spec = self._partition_spec()
+        # Version BEFORE state read: a rival landing after this line claims
+        # this same number and our commit conflicts instead of silently
+        # dropping the rival's files.
         version = self._next_version()
         new_files = self._write_data(df, version, spec)
         prev = self.snapshot()
@@ -531,6 +570,7 @@ class IceTable:
         return self._commit(
             "append", prev.files + new_files, schema, spec,
             tombstones=prev.tombstones,  # new files postdate them (gated by version)
+            version=version, on_conflict_cleanup=self._bases(new_files),
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
@@ -540,7 +580,10 @@ class IceTable:
         spec = [c.lower() for c in partition_by] if partition_by else self._partition_spec()
         version = self._next_version()
         files = self._write_data(df, version, spec)
-        return self._commit("overwrite", files, df.schema, spec)
+        return self._commit(
+            "overwrite", files, df.schema, spec,
+            version=version, on_conflict_cleanup=self._bases(files),
+        )
 
     def get_or_create(
         self, schema: T.StructType, partition_by: list[str] | None = None
@@ -618,6 +661,9 @@ class IceTable:
 
         if not self.exists():
             return self.create(source)
+        # Version before state read (see append): serializes this merge
+        # against rival commits via the pinned exclusive create.
+        version = self._next_version()
         snap = self.snapshot()
         # Source batches may carry NEW columns (schema evolution, same as
         # append): they join the table schema as nullable, old files are
@@ -645,7 +691,6 @@ class IceTable:
         ]
 
         # Rewrite = unmatched rows of touched files + (filtered) source rows.
-        version = self._next_version()
         if touched_entries:
             sub = Snapshot(
                 version=snap.version,
@@ -686,6 +731,7 @@ class IceTable:
                 "carried_files": len(untouched_entries),
             },
             tombstones=snap.tombstones,  # untouched by-reference files still need them
+            version=version, on_conflict_cleanup=self._bases(new_files),
         )
 
     def delete_where(self, predicate: str, *, mode: str = "cow") -> Snapshot:
@@ -701,6 +747,7 @@ class IceTable:
         semantics), and compaction materializes tombstones and clears
         them. The classic trade: MOR for delete-heavy write paths (GDPR
         sweeps, retention), COW when read amplification matters more."""
+        version = self._next_version()  # before state read, see append
         snap = self.snapshot()
         schema = self.schema()
         if mode == "mor":
@@ -709,6 +756,7 @@ class IceTable:
                 "delete", list(snap.files), schema, snap.partition_by,
                 summary={"mode": "mor", "predicate": predicate},
                 tombstones=tombs,
+                version=version,
             )
         if mode != "cow":
             raise ValueError(f"unknown delete mode {mode!r}")
@@ -720,7 +768,6 @@ class IceTable:
         touched_files = {_strip_scheme(r["__file"]) for r in touched}
         untouched = [fe for fe in snap.files if os.path.abspath(fe.path) not in touched_files]
         touched_entries = [fe for fe in snap.files if os.path.abspath(fe.path) in touched_files]
-        version = self._next_version()
         new_files: list[FileEntry] = []
         if touched_entries:
             sub = Snapshot(
@@ -735,4 +782,5 @@ class IceTable:
             "delete", untouched + new_files, schema, snap.partition_by,
             summary={"rewritten_files": len(touched_entries)},
             tombstones=snap.tombstones,  # untouched by-reference files still need them
+            version=version, on_conflict_cleanup=self._bases(new_files),
         )

@@ -69,6 +69,7 @@ def compact(
     """
     if strategy != "binpack":
         raise ValueError(f"unknown compaction strategy {strategy!r}")
+    version = table._next_version()  # before state read: pin the commit
     snap = table.snapshot()
     total_bytes = sum(
         os.path.getsize(fe.path) for fe in snap.files if os.path.exists(fe.path)
@@ -77,7 +78,6 @@ def compact(
     n_files = max(1, -(-total_bytes // target_bytes))  # ceil
     df = table.read()
     spec = snap.partition_by
-    version = table._next_version()
     if spec:
         # One shuffle keyed by partition columns so each output partition
         # directory gets coherent, full-size files.
@@ -99,6 +99,7 @@ def compact(
             # materialized them; the commit (deliberately) clears them.
             "tombstones_materialized": len(snap.tombstones),
         },
+        version=version, on_conflict_cleanup=table._bases(files),
     )
 
 
@@ -207,6 +208,7 @@ def rollback(table: IceTable, version: int) -> Snapshot:
     stubbed at ``iceberg_snapshot_operator.py:158-173``; real semantics =
     ``CALL rollback_to_snapshot``). Implemented as a NEW snapshot that
     references the old file set, so the rollback itself is in history."""
+    new_version = table._next_version()  # pin: serialize vs rival commits
     old = table.snapshot(version)
     return table._commit(
         "rollback",
@@ -215,6 +217,7 @@ def rollback(table: IceTable, version: int) -> Snapshot:
         old.partition_by,
         summary={"rolled_back_to": version},
         tombstones=list(old.tombstones),  # restore that snapshot's MOR state too
+        version=new_version,
     )
 
 
@@ -222,6 +225,7 @@ def cherrypick(table: IceTable, version: int) -> Snapshot:
     """Apply the file additions of an (append/merge) snapshot onto the
     current state (ref: maint_cherrypick — stubbed at
     ``iceberg_snapshot_operator.py:175-187``)."""
+    new_version = table._next_version()  # pin: serialize vs rival commits
     picked = table.snapshot(version)
     if picked.parent is None:
         added = list(picked.files)
@@ -238,6 +242,7 @@ def cherrypick(table: IceTable, version: int) -> Snapshot:
         cur.partition_by,
         summary={"cherrypicked": version, "files_added": len(new)},
         tombstones=cur.tombstones,  # current MOR deletes stay in force
+        version=new_version,
     )
 
 
@@ -301,6 +306,7 @@ def cluster_zorder(
         raise ValueError("zorder clustering takes at least 2 columns")
     if bits is None:
         bits = min(16, 63 // len(columns))
+    version = table._next_version()  # before state read: pin the commit
     snap = table.snapshot()
     if n_files is None:
         total_bytes = sum(
@@ -334,7 +340,6 @@ def cluster_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    version = table._next_version()
     files = table._write_data(clustered, version, snap.partition_by)
     return table._commit(
         "replace",
@@ -347,4 +352,5 @@ def cluster_zorder(
             "files_before": len(snap.files),
             "files_after": len(files),
         },
+        version=version, on_conflict_cleanup=table._bases(files),
     )

@@ -607,3 +607,36 @@ def test_zorder_three_columns_tightens_all_envelopes(cat, spark, sf_dir):
     for b, a in zip(before, after):
         assert a < b * 0.85, (before, after)
     assert t.read().count() == orders.count()
+
+
+def test_shallow_clone_is_writable_fork(cat, spark, sf_dir, tmp_path):
+    """A shallow clone reads the source's data by reference, takes writes
+    (append AND merge) privately, and never perturbs the source — the
+    Delta SHALLOW CLONE contract."""
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("geo.nation")
+    t.append(nation)
+    t.delete_where("n_regionkey = 0", mode="mor")  # MOR state must clone too
+
+    clone_cat = cat.shallow_clone(str(tmp_path / "wh_clone"))
+    ct = clone_cat.table("geo.nation")
+    expected = t.read().count()
+    assert ct.read().count() == expected
+
+    # clone metadata is a copy, data is referenced (no parquet under clone)
+    import glob as _g
+    assert not _g.glob(
+        os.path.join(clone_cat.warehouse, "**", "*.parquet"), recursive=True
+    )
+
+    # mutations land in the clone only
+    ct.append(nation.withColumn("n_name", F.lit("CLONED")))
+    ct.merge(
+        nation.limit(3).withColumn("n_name", F.lit("MERGED")),
+        keys=["n_nationkey"],
+    )
+    assert ct.read().where("n_name = 'MERGED'").count() == 3
+    assert t.read().count() == expected
+    assert t.read().where("n_name IN ('CLONED','MERGED')").count() == 0
+    # version chains advanced independently
+    assert ct.current_version() > t.current_version()
