@@ -10,7 +10,10 @@ rows-only.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -30,6 +33,15 @@ def _scratch(spark: SparkSession) -> Catalog:
 # re-seeding the scratch table. Results are identical to seeding inline:
 # the clone is byte-equivalent table state.
 _PRISTINE: dict[tuple[str, str], Catalog] = {}
+_PRISTINE_LOCK = threading.Lock()
+# Clone warehouses accumulate one dir (with the measured mutation's real
+# parquet) per run of a cloning query; they stay on disk for the process
+# lifetime because a caller may hold an uncollected DataFrame over them,
+# but they are reclaimed at interpreter exit rather than leaked.
+_CLONES: list[str] = []
+atexit.register(
+    lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CLONES]
+)
 
 
 def seeded_clone(
@@ -37,14 +49,19 @@ def seeded_clone(
 ) -> Catalog:
     """Seed a scratch warehouse via ``seed(catalog)`` once per
     (key, sf_dir), then return a fresh shallow clone of it (private to
-    the caller — mutations never touch the pristine copy)."""
+    the caller — mutations never touch the pristine copy). Clone dirs are
+    removed at process exit; the lock makes first-call seeding
+    single-flight under concurrent tests."""
     k = (key, sf_dir)
-    cat = _PRISTINE.get(k)
-    if cat is None or cat.spark is not spark:
-        cat = _scratch(spark)
-        seed(cat)
-        _PRISTINE[k] = cat
-    return cat.shallow_clone(tempfile.mkdtemp(prefix="e2is_wh_"))
+    with _PRISTINE_LOCK:
+        cat = _PRISTINE.get(k)
+        if cat is None or cat.spark is not spark:
+            cat = _scratch(spark)
+            seed(cat)
+            _PRISTINE[k] = cat
+    dst = tempfile.mkdtemp(prefix="e2is_wh_")
+    _CLONES.append(dst)
+    return cat.shallow_clone(dst)
 
 
 @register(

@@ -109,16 +109,40 @@ class Catalog:
         ``_meta`` manifests (KBs); data files stay where they are and are
         referenced absolutely by the cloned manifests. Snapshots are
         immutable — writes to the clone only ever ADD files under the
-        clone's own location — so the source is never perturbed, however
+        clone's own location — and destructive maintenance
+        (:func:`~etl_to_iceberg_spark.tables.maintenance.expire_snapshots`,
+        ``remove_orphan_files``) deletes only files under the mutated
+        table's own location, so the source is never perturbed, however
         the clone is mutated. O(metadata) regardless of table size: the
         cheap writable fork for tests, benchmarks, and what-if pipelines.
+
+        Control-plane state rides along too: any non-table directory in a
+        namespace (e.g. the ``_system._cdc_metadata`` cursor store —
+        metadata-sized JSON, not snapshot-managed) is copied whole, so a
+        cloned pipeline resumes from the same cursor the source was at.
 
         The source warehouse must outlive the clone (same lifetime rule
         as Delta/Iceberg shallow clones)."""
         dst = os.path.abspath(dst_warehouse)
         for ns in self.list_namespaces():
-            for t in self.list_tables(ns):
-                src_meta = os.path.join(self.warehouse, ns, t, "_meta")
-                dst_meta = os.path.join(dst, ns, t, "_meta")
-                shutil.copytree(src_meta, dst_meta, dirs_exist_ok=True)
+            ns_dir = os.path.join(self.warehouse, ns)
+            tables = set(self.list_tables(ns))
+            for child in sorted(os.listdir(ns_dir)):
+                src_child = os.path.join(ns_dir, child)
+                if not os.path.isdir(src_child):
+                    continue
+                if child in tables:
+                    shutil.copytree(
+                        os.path.join(src_child, "_meta"),
+                        os.path.join(dst, ns, child, "_meta"),
+                        dirs_exist_ok=True,
+                    )
+                else:
+                    # control-plane dir (cursor store, state tables' kin):
+                    # metadata-sized by construction — copy in full.
+                    shutil.copytree(
+                        src_child,
+                        os.path.join(dst, ns, child),
+                        dirs_exist_ok=True,
+                    )
         return Catalog(self.spark, dst)

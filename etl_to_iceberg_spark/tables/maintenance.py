@@ -116,7 +116,12 @@ def expire_snapshots(
     ``iceberg_aging_operator.py:118-146``; defaults match :62-63).
 
     Never expires the current snapshot. Data files referenced by no
-    surviving snapshot are deleted.
+    surviving snapshot are deleted — but ONLY files under this table's own
+    location: a shallow-cloned table's manifests reference the source
+    warehouse's data files by absolute path, and expiring snapshots on the
+    clone must not reach into the shared source (the same ownership rule
+    ``remove_orphan_files`` applies). Externally-owned unreferenced files
+    are dropped from metadata and reported, not deleted.
     """
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     horizon = (
@@ -134,10 +139,17 @@ def expire_snapshots(
     ]
     surviving = [s for s in snaps if s not in expired]
     live_files = {fe.path for s in surviving for fe in s.files}
+    owned_root = os.path.abspath(table.location) + os.sep
     removed_files = 0
+    skipped_external = 0
     for s in expired:
         for fe in s.files:
-            if fe.path not in live_files and os.path.exists(fe.path):
+            if fe.path in live_files:
+                continue
+            if not os.path.abspath(fe.path).startswith(owned_root):
+                skipped_external += 1
+                continue
+            if os.path.exists(fe.path):
                 os.remove(fe.path)
                 removed_files += 1
         os.remove(os.path.join(table.meta_dir, f"snap-{s.version}.json"))
@@ -145,6 +157,7 @@ def expire_snapshots(
         "expired_snapshots": len(expired),
         "removed_data_files": removed_files,
         "surviving_snapshots": len(surviving),
+        "skipped_external_files": skipped_external,
     }
 
 

@@ -141,3 +141,37 @@ def test_function_to_script_and_submit():
     argv = spec.argv()
     assert argv[0] == "spark-submit" and argv[-1] == "/tmp/j.py"
     assert "--conf" in argv and "spark.executor.memory=4g" in argv
+
+
+def test_incremental_upsert_tick2_reads_delta_through_clone(spark, sf_dir):
+    """The seeded-clone harness must hand tick 2 the tick-1 cursor
+    (ADVICE r4: the cursor store now rides shallow_clone), so the
+    steady-state tick MERGEs the delta, not the full source."""
+    from etl_to_iceberg_spark.operators.cdc import CdcPipeline
+    from etl_to_iceberg_spark.operators.table_queries import seeded_clone
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def _pipe(c):
+        return CdcPipeline(
+            c, source_schema="sales", source_table="events",
+            target_identifier="sales.user_latest",
+            ts_col="ts", version_col="event_id",
+        )
+
+    cat = seeded_clone(
+        spark, "test_cdc_tick2_delta", sf_dir,
+        lambda c: _pipe(c).run(
+            ev.where(F.col("ts") <= cut), mode="upsert", primary_key=["user_id"]
+        ),
+    )
+    early = ev.where(F.col("ts") <= cut).count()
+    total = ev.count()
+    assert 0 < early < total
+    res = _pipe(cat).run(ev, mode="upsert", primary_key=["user_id"])
+    assert res.rows == total - early  # the delta, not the full source

@@ -640,3 +640,71 @@ def test_shallow_clone_is_writable_fork(cat, spark, sf_dir, tmp_path):
     assert t.read().where("n_name IN ('CLONED','MERGED')").count() == 0
     # version chains advanced independently
     assert ct.current_version() > t.current_version()
+
+
+def test_shallow_clone_carries_cursor_state(cat, spark, sf_dir, tmp_path):
+    """Non-table control-plane state (the CDC cursor store) must ride the
+    clone: a cloned pipeline resumes from the source's cursor, so its next
+    tick reads the DELTA, not the full source (ADVICE r4)."""
+    import datetime as dt
+
+    from etl_to_iceberg_spark.operators.cdc import CursorStore
+
+    nation = load_table(spark, sf_dir, "nation")
+    cat.table("geo.nation").append(nation)
+    store = CursorStore(cat)
+    store.set("sales", "events",
+              last_timestamp=dt.datetime(2024, 1, 15), last_scn=77)
+
+    clone_cat = cat.shallow_clone(str(tmp_path / "wh_clone"))
+    cur = CursorStore(clone_cat).get("sales", "events")
+    assert cur is not None
+    assert cur["last_timestamp"] == dt.datetime(2024, 1, 15)
+    assert cur["last_scn"] == 77
+    # and the clone's cursor is private: advancing it leaves the source's
+    CursorStore(clone_cat).set("sales", "events",
+                               last_timestamp=dt.datetime(2025, 1, 1))
+    assert store.get("sales", "events")["last_scn"] == 77
+
+
+def test_expire_snapshots_never_deletes_outside_table_location(
+    cat, spark, sf_dir, tmp_path
+):
+    """Snapshot expiry on a shallow clone must not delete the shared
+    source warehouse's data files (ADVICE r4): deletion is scoped to the
+    expiring table's own location, like remove_orphan_files."""
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("geo.region_exp")
+    for _ in range(4):
+        t.overwrite(region)
+    src_files = {fe.path for s in t.snapshots() for fe in s.files}
+    assert src_files and all(os.path.exists(p) for p in src_files)
+
+    clone_cat = cat.shallow_clone(str(tmp_path / "wh_clone"))
+    ct = clone_cat.table("geo.region_exp")
+    ct.overwrite(region.limit(2))  # clone-owned files now exist too
+    stats = maintenance.expire_snapshots(ct, older_than_ms=2**62, retain_last=1)
+    assert stats["expired_snapshots"] > 0
+    assert stats["skipped_external_files"] > 0
+    # every source-owned byte is still there; the pristine source reads fine
+    assert all(os.path.exists(p) for p in src_files)
+    assert t.read().count() == region.count()
+
+
+def test_seeded_clone_reuses_pristine_and_tracks_clones(spark, sf_dir):
+    """seeded_clone seeds once per key, returns distinct clone dirs, and
+    registers them for interpreter-exit cleanup (ADVICE r4)."""
+    from etl_to_iceberg_spark.operators import table_queries as tq
+
+    calls = []
+
+    def seed(c):
+        calls.append(1)
+        c.table("geo.n").append(load_table(spark, sf_dir, "nation"))
+
+    a = tq.seeded_clone(spark, "test_seed_reuse", sf_dir, seed)
+    b = tq.seeded_clone(spark, "test_seed_reuse", sf_dir, seed)
+    assert len(calls) == 1  # pristine built once
+    assert a.warehouse != b.warehouse
+    assert a.warehouse in tq._CLONES and b.warehouse in tq._CLONES
+    assert a.table("geo.n").read().count() == b.table("geo.n").read().count()
