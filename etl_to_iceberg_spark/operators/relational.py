@@ -777,6 +777,31 @@ def fn_type_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_try_cast",
+    sql="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
+    FROM orders
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-free typed ingest: ``try_cast`` yields NULL on malformed
+    input instead of failing the job ('1-URGENT' as a whole is not a
+    number → NULL; its leading digit is → typed). The row-level analogue
+    of the JSONL scan's PERMISSIVE corrupt-record quarantine: at 100 TB
+    one bad record must never kill a 6-hour job."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "priority_num"
+        ),
+    )
+
+
+@register(
     "fn_ts_format",
     sql="""
     SELECT event_id,

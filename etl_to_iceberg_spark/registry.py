@@ -61,11 +61,10 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 4
+_CHANGED_AS_OF_ROUND = 5
 _CHANGED_THIS_ROUND = [
-    "fn_try_cast",           # F.try_cast doesn't exist in 4.1.2 → Column.try_cast
-    "q12_priority_by_flag",  # oracle integer SUM cast to BIGINT (HUGEINT hash fix)
-    "sessionize_events",     # oracle window SUM cast to BIGINT (HUGEINT hash fix)
+    "cdc_incremental_upsert",  # clone now carries the cursor: tick 2 reads the delta
+    "maint_expire_snapshots",  # expiry deletes scoped to the table's own location
 ]
 
 
