@@ -63,6 +63,7 @@ def ingest_available_now(
     dedup_order_by: list[str] | None = None,
     watermark: tuple[str, str] | None = None,
     dedup_keys: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
     timeout_sec: float = 300.0,
 ) -> StreamingQuery:
     """Drain all currently-available new files into a managed table.
@@ -76,8 +77,16 @@ def ingest_available_now(
     late-duplicate dropping (the capability gap noted in SURVEY §2.8).
     ``mode='upsert'`` MERGEs each micro-batch by ``primary_key`` — replays
     after failure are idempotent.
+
+    ``max_files_per_trigger`` bounds each micro-batch (AvailableNow drains
+    the backlog in several batches instead of one) — the backfill-sizing
+    knob for a 100 TB catch-up, and what makes a mid-drain crash recover
+    from the last committed batch rather than restarting the whole drain.
     """
-    df = stream_files(spark, source_dir, fmt, schema=schema)
+    df = stream_files(
+        spark, source_dir, fmt, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     if watermark is not None:
         df = df.withWatermark(*watermark)
         if dedup_keys:

@@ -233,3 +233,130 @@ def test_minhash_bucket_cap_bounds_residual_hot_bucket(spark):
     over = oversized_buckets(banded, ["band", "band_hash"], 256)
     rows = over.collect()
     assert rows and all(r["n"] == 2_000 for r in rows)
+
+
+# --- streaming restart: crash mid-drain, resume from checkpoint ------------
+
+
+class _TableProxy:
+    """IceTable wrapper that injects a crash around the Nth write."""
+
+    def __init__(self, inner, state, crash_on, when):
+        self._inner = inner
+        self._state = state
+        self._crash_on = crash_on
+        self._when = when
+
+    def _gate(self, do_write):
+        self._state["writes"] += 1
+        n = self._state["writes"]
+        if self._when == "before" and n == self._crash_on:
+            raise RuntimeError("injected crash before write")
+        do_write()
+        if self._when == "after" and n == self._crash_on:
+            raise RuntimeError("injected crash after write")
+
+    def append(self, df):
+        self._gate(lambda: self._inner.append(df))
+
+    def merge(self, df, **kw):
+        self._gate(lambda: self._inner.merge(df, **kw))
+
+
+class _CrashingCatalog(Catalog):
+    """Catalog whose tables crash around the Nth micro-batch write —
+    simulates an executor/driver death mid-drain at the worst moments."""
+
+    def __init__(self, spark, warehouse, *, crash_on, when):
+        super().__init__(spark, warehouse)
+        self.state = {"writes": 0}
+        self._crash_on = crash_on
+        self._when = when
+
+    def table(self, identifier):
+        return _TableProxy(
+            super().table(identifier), self.state, self._crash_on, self._when
+        )
+
+
+def _write_source_files(spark, sf_dir, src_dir, n_files=6):
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    for i in range(n_files):
+        nation.where(F.col("n_nationkey") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    return nation
+
+
+def test_streaming_restart_append_no_loss_no_dupes(spark, sf_dir, tmp_path):
+    """Kill the drain before batch 3's write, restart from the checkpoint:
+    the resumed query must process exactly the unprocessed files — no lost
+    rows (batch 3 itself) and no duplicates (batches 1-2)."""
+    from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "_ckpt")
+    nation = _write_source_files(spark, sf_dir, src_dir)
+    schema = nation.schema
+
+    crashing = _CrashingCatalog(
+        spark, str(tmp_path / "wh"), crash_on=3, when="before"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        ingest_available_now(
+            spark, src_dir, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+            catalog=crashing, target_identifier="stream.nation",
+            max_files_per_trigger=1,
+        )
+    # partial progress landed: some but not all batches committed
+    clean = Catalog(spark, str(tmp_path / "wh"))
+    partial = clean.table("stream.nation").read().count()
+    assert 0 < partial < nation.count()
+
+    ingest_available_now(
+        spark, src_dir, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+        catalog=clean, target_identifier="stream.nation",
+        max_files_per_trigger=1,
+    )
+    got = clean.table("stream.nation").read()
+    assert got.count() == nation.count()
+    assert got.select("n_nationkey").distinct().count() == nation.count()
+
+
+def test_streaming_restart_upsert_idempotent_worst_case_crash(
+    spark, sf_dir, tmp_path
+):
+    """Worst crash window: batch 3's MERGE lands, then the process dies
+    BEFORE the checkpoint commit. The restarted query re-runs batch 3 —
+    at-least-once delivery — and MERGE idempotency must absorb the replay:
+    exactly one row per key at the end (the pairing the reference's
+    wall-clock-cursor CDC lacks, hdfs_to_iceberg_cdc_operator.py:291-313)."""
+    from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "_ckpt")
+    nation = _write_source_files(spark, sf_dir, src_dir)
+    schema = nation.schema
+
+    crashing = _CrashingCatalog(
+        spark, str(tmp_path / "wh"), crash_on=3, when="after"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        ingest_available_now(
+            spark, src_dir, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+            catalog=crashing, target_identifier="stream.nation_ups",
+            mode="upsert", primary_key=["n_nationkey"],
+            max_files_per_trigger=1,
+        )
+    clean = Catalog(spark, str(tmp_path / "wh"))
+    ingest_available_now(
+        spark, src_dir, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+        catalog=clean, target_identifier="stream.nation_ups",
+        mode="upsert", primary_key=["n_nationkey"],
+        max_files_per_trigger=1,
+    )
+    got = clean.table("stream.nation_ups").read()
+    assert got.count() == nation.count()  # replayed batch did not duplicate
+    assert got.select("n_nationkey").distinct().count() == nation.count()
