@@ -709,8 +709,15 @@ class IceTable:
         incoming = source
         if delete_matched_when is not None:
             # Matched keys satisfying the predicate are deleted, i.e. simply
-            # not re-inserted; unmatched source rows still insert.
-            matched_keys = source.join(target.select(*keys).distinct(), on=keys, how="left_semi")
+            # not re-inserted; unmatched source rows still insert. "Matched"
+            # is judged against the LOGICAL table (tombstones applied) —
+            # `target` above reads raw file rows (fine for touched-file
+            # detection, where a superset only over-rewrites), but a key
+            # whose rows were all MOR-deleted is NOT matched: its source row
+            # must take the WHEN NOT MATCHED THEN INSERT branch, not the
+            # matched-delete branch (caught by the randomized MERGE sweep).
+            logical_keys = self._read_snapshot(snap).select(*keys).distinct()
+            matched_keys = source.join(logical_keys, on=keys, how="left_semi")
             deletions = matched_keys.where(delete_matched_when).select(*keys)
             incoming = source.join(deletions, on=keys, how="left_anti")
 

@@ -328,3 +328,97 @@ def test_evolve_schema_rejects_type_change(tname):
     new = T.StructType([T.StructField("k", newtype)])
     with pytest.raises(TypeError):
         _evolve_schema(old, new)
+
+
+# --- randomized-oracle sweep: MERGE vs a pure-Python reference -------------
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [20250813, 971])
+def test_merge_randomized_equivalence_sweep(spark, tmp_path, seed):
+    """MERGE (file-pruned COW, tables/format.py) must equal the plain
+    window-dedup + keyed-upsert semantics across a random operation
+    sequence: overlapping keys, in-batch duplicate keys, schema evolution
+    mid-sweep, a MOR delete whose tombstones a later merge must not
+    resurrect, and a delete-matched-when clause. The reference model is a
+    dict keyed by primary key, updated latest-ts-wins."""
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(seed)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("p.merge_sweep")
+
+    state: dict[int, dict] = {}  # the pure-Python reference table
+    counter = [0]
+    has_extra = False
+
+    def make_batch(n):
+        rows = []
+        for _ in range(n):
+            counter[0] += 1
+            row = {
+                "k": rng.randrange(30),
+                "ts": counter[0],  # globally unique: no order ties
+                "v": rng.randrange(100),
+                "name": rng.choice(["alpha", "beta", "gamma"]),
+            }
+            if has_extra:
+                row["extra"] = rng.randrange(10)
+            rows.append(row)
+        return rows
+
+    def spark_df(rows):
+        ddl = "k int, ts long, v int, name string" + (
+            ", extra int" if has_extra else ""
+        )
+        data = [
+            tuple(r[c] for c in ("k", "ts", "v", "name", "extra")[: 5 if has_extra else 4])
+            for r in rows
+        ]
+        return spark.createDataFrame(data, ddl)
+
+    def ref_merge(rows, delete_when=None):
+        best: dict[int, dict] = {}
+        for r in rows:  # latest ts per key wins (the window dedup)
+            if r["k"] not in best or r["ts"] > best[r["k"]]["ts"]:
+                best[r["k"]] = r
+        for k, r in best.items():
+            if delete_when is not None and k in state and delete_when(r):
+                state.pop(k)
+            else:
+                state[k] = dict(r)
+
+    def check():
+        cols = sorted(c for c in ("k", "ts", "v", "name", "extra")
+                      if has_extra or c != "extra")
+        got = sorted(
+            (tuple(row[c] for c in cols)
+             for row in (r.asDict() for r in t.read().collect())),
+            key=repr,  # None-safe canonical order
+        )
+        want = sorted(
+            (tuple(r.get(c) for c in cols) for r in state.values()), key=repr
+        )
+        assert got == want
+
+    for step in range(10):
+        if step == 4:
+            has_extra = True  # schema evolution: later batches carry a new col
+        if step == 6:
+            # MOR delete; merge afterwards must not resurrect these rows
+            t.delete_where("v >= 80", mode="mor")
+            for k in [k for k, r in state.items() if r["v"] >= 80]:
+                state.pop(k)
+            check()
+            continue
+        rows = make_batch(rng.randrange(1, 20))
+        if step == 7:
+            t.merge(spark_df(rows), keys=["k"], dedup_order_by=["ts"],
+                    delete_matched_when="v < 30")
+            ref_merge(rows, delete_when=lambda r: r["v"] < 30)
+        else:
+            t.merge(spark_df(rows), keys=["k"], dedup_order_by=["ts"])
+            ref_merge(rows)
+        check()
