@@ -67,8 +67,14 @@ def load_parquet_table(spark: SparkSession, path: str) -> DataFrame:
 
     ensure_runtime_confs(spark)  # works on sessions the engine didn't build
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _nanos_timestamp_columns(path):
-        if c in df.columns:
+        # Gate on Spark actually having read the column as a long: the
+        # footer check alone over-matches Spark-written INT96 timestamps,
+        # which pyarrow reports as timestamp[ns] but Spark reads as a
+        # proper TIMESTAMP (no fixup needed — div 1000 would be a type
+        # error). Only TIMESTAMP(NANOS) + nanosAsLong arrives as bigint.
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -708,3 +708,22 @@ def test_seeded_clone_reuses_pristine_and_tracks_clones(spark, sf_dir):
     assert a.warehouse != b.warehouse
     assert a.warehouse in tq._CLONES and b.warehouse in tq._CLONES
     assert a.table("geo.n").read().count() == b.table("geo.n").read().count()
+
+
+def test_load_parquet_table_handles_spark_written_int96(spark, sf_dir, tmp_path):
+    """Spark's default parquet timestamp encoding is INT96, which pyarrow's
+    footer read reports as timestamp[ns] — the same signature as the
+    driver fixtures' TIMESTAMP(NANOS). The ns→µs fixup must fire only when
+    Spark actually read the column as a long, so re-loading Spark-written
+    output (a round-trip any derived dataset takes) keeps its TIMESTAMP
+    type and values."""
+    from etl_to_iceberg_spark.sources.tables import load_parquet_table, load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = str(tmp_path / "events_rt.parquet")
+    ev.write.parquet(out)  # default outputTimestampType = INT96
+
+    back = load_parquet_table(spark, out)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    orig = {(r["event_id"], r["ts"]) for r in ev.collect()}
+    assert {(r["event_id"], r["ts"]) for r in back.collect()} == orig
