@@ -1,0 +1,74 @@
+"""sf0.1 vs sf1 scaling measurement for the 5 most expensive headline
+queries: wall (warm, min of 3) + shuffle write bytes per run.
+
+Run tools/gen_scale_slice.py first; results table -> SCALING.md."""
+import json, os, sys, time, urllib.request
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from etl_to_iceberg_spark.registry import all_specs
+from etl_to_iceberg_spark.session import SessionConfig, get_spark
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "merge_keyed_upsert",
+    "join_multiway_star",
+    "cdc_incremental_upsert",
+]
+SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
+       "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
+
+spark = get_spark(SessionConfig(app_name="scale-bench", local_cores=32,
+                                shuffle_partitions=32))
+spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
+ui = spark.sparkContext.uiWebUrl
+
+
+def shuffle_write_bytes():
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/executors") as r:
+            execs = json.load(r)
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    except Exception:
+        return None
+
+
+# session warmup
+spark.range(1000).selectExpr("sum(id)").collect()
+def _noop(batches):
+    for b in batches:
+        yield b
+spark.range(0, 320, 1, 32).toDF("id").mapInPandas(_noop, "id long") \
+    .write.format("noop").mode("overwrite").save()
+
+specs = all_specs()
+out = {}
+for sf_name, sf_dir in SFS.items():
+    for q in QUERIES:
+        fn = specs[q].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best, sbytes = None, None
+        for _ in range(3):
+            s0 = shuffle_write_bytes()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            s1 = shuffle_write_bytes()
+            if best is None or el < best:
+                best = el
+                sbytes = (s1 - s0) if (s0 is not None and s1 is not None) else None
+        out[(sf_name, q)] = (round(best, 3), sbytes)
+        print(sf_name, q, round(best, 3), "s, shuffle", sbytes, flush=True)
+
+print("\n| query | sf0.1 wall | sf1 wall | wall x | sf0.1 shuffle MB | sf1 shuffle MB | shuffle x |")
+print("|---|---|---|---|---|---|---|")
+for q in QUERIES:
+    w1, b1 = out[("sf0.1", q)]
+    w2, b2 = out[("sf1", q)]
+    mb1 = b1 / 1e6 if b1 else float("nan")
+    mb2 = b2 / 1e6 if b2 else float("nan")
+    print(f"| {q} | {w1:.2f}s | {w2:.2f}s | {w2/w1:.1f}x | {mb1:.1f} | {mb2:.1f} | {mb2/mb1 if mb1 else 0:.1f}x |")
+spark.stop()
