@@ -552,20 +552,24 @@ def connected_components(
     "one doc per matched pair" under-deletes; one doc per component is
     the production semantics.
 
-    Scale shape: each round is one shuffle — edges join labels on dst,
+    Scale shape: each round is two shuffles — (1) edges join labels on dst,
     groupBy src takes the min neighbor label, and nodes fold it in with
-    ``least``. Rounds = graph diameter, which for near-dup clusters is
-    tiny (clusters are dense blobs, not paths). Each round is
-    RELIABLY checkpointed (``df.checkpoint()`` to the session's
+    ``least``; (2) POINTER DOUBLING — every node then jumps to its
+    label's label (labels self-joined), so label chains halve each round
+    and convergence is O(log diameter) rounds, not O(diameter): a
+    10M-node path converges in ~24 rounds where pure neighbor
+    propagation would need 10M (and would silently return a
+    half-propagated labeling when ``max_iterations`` ran out). Each
+    round is RELIABLY checkpointed (``df.checkpoint()`` to the session's
     checkpoint dir) so (a) the plan doesn't grow exponentially and
     (b) a lost executor mid-fixpoint recomputes from durable storage
     instead of killing the whole job — ``localCheckpoint`` keeps blocks
     only in executor memory, which is not survivable on a real cluster.
     The driver-side loop is inherent to iterative fixpoints (same as
-    GraphX/Pregel); everything inside the loop is distributed. For
-    web-scale graphs swap the propagation body for the large-star/
-    small-star rounds of Kiveris et al. — the harness (fixpoint +
-    checkpointed rounds) is identical.
+    GraphX/Pregel); everything inside the loop is distributed. (The
+    large-star/small-star rounds of Kiveris et al. are the same idea
+    with edge-set rewriting; label-side doubling keeps the edge relation
+    static and checkpoints only the label table.)
     """
     ckpt = _reliable_checkpoint(edges.sparkSession)
     sym = edges.select(
@@ -585,12 +589,26 @@ def connected_components(
             .groupBy("e_src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            nbr_min, labels.node == nbr_min.e_src, "left_outer"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer doubling: jump each node to its label's label. Chains
+        # halve per round — O(log diameter) total rounds.
+        hop = propagated.select(
+            F.col("node").alias("h_node"), F.col("label").alias("h_label")
+        )
         new_labels = ckpt(
-            labels.join(nbr_min, labels.node == nbr_min.e_src, "left_outer")
-            .select(
+            propagated.join(
+                hop, propagated.label == hop.h_node, "left_outer"
+            ).select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("h_label"), F.col("label"))
                 ).alias("label"),
             )
         )

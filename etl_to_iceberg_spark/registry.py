@@ -65,6 +65,7 @@ _CHANGED_AS_OF_ROUND = 5
 _CHANGED_THIS_ROUND = [
     "cdc_incremental_upsert",  # clone now carries the cursor: tick 2 reads the delta
     "maint_expire_snapshots",  # expiry deletes scoped to the table's own location
+    "dedup_connected_components",  # pointer-doubling rounds (O(log d) convergence)
 ]
 
 

@@ -197,6 +197,26 @@ def test_connected_components_planted_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """A 300-node path has diameter ~300: one-hop min-label propagation
+    would need ~299 rounds and silently return a half-propagated labeling
+    at the default max_iterations=50. Pointer doubling must collapse the
+    chain within O(log n) rounds — every node labels 0."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes, max_iterations=50).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == n
+
+
 def test_minhash_identical_flood_is_collapsed_not_quadratic(spark):
     """10k byte-identical docs — the crawl-boilerplate pathology. The
     exact-collapse guard must reduce the LSH join to ONE representative
