@@ -422,3 +422,87 @@ def test_merge_randomized_equivalence_sweep(spark, tmp_path, seed):
             t.merge(spark_df(rows), keys=["k"], dedup_order_by=["ts"])
             ref_merge(rows)
         check()
+
+
+@pytest.mark.parametrize("seed", [7, 4242])
+def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
+    """Randomized sequence over the full snapshot-table lifecycle —
+    append, overwrite, COW and MOR deletes, compaction (materializes
+    tombstones), rollback (restores tombstone state), snapshot expiry —
+    with the logical table compared to a pure-Python model after every
+    operation. The era-gating of MOR tombstones against later appends,
+    their clearance by compaction, and their restoration by rollback are
+    the interactions example tests cover one at a time; this drives them
+    composed in random order."""
+    from etl_to_iceberg_spark.tables import Catalog, maintenance
+
+    rng = random.Random(seed)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("p.lifecycle")
+
+    counter = [0]
+
+    def make_batch(n):
+        rows = []
+        for _ in range(n):
+            counter[0] += 1
+            rows.append((counter[0], rng.randrange(100),
+                         rng.choice(["alpha", "beta", "gamma"])))
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v int, name string")
+
+    PREDS = [
+        ("v < 40", lambda r: r[1] < 40),
+        ("name = 'alpha'", lambda r: r[2] == "alpha"),
+        ("v >= 70", lambda r: r[1] >= 70),
+    ]
+
+    model: list[tuple] = []
+    states: dict[int, list[tuple]] = {}
+
+    def record():
+        states[t.current_version()] = list(model)
+
+    def check():
+        got = sorted(tuple(r) for r in t.read().collect())
+        assert got == sorted(model)
+
+    first = make_batch(rng.randrange(3, 10))
+    t.append(df_of(first))
+    model.extend(first)
+    record()
+    check()
+
+    for _ in range(14):
+        op = rng.choices(
+            ["append", "overwrite", "delete_mor", "delete_cow",
+             "compact", "rollback", "expire"],
+            weights=[35, 10, 15, 10, 10, 15, 5],
+        )[0]
+        if op == "append":
+            rows = make_batch(rng.randrange(1, 8))
+            t.append(df_of(rows))
+            model.extend(rows)
+        elif op == "overwrite":
+            rows = make_batch(rng.randrange(2, 6))
+            t.overwrite(df_of(rows))
+            model = list(rows)
+        elif op in ("delete_mor", "delete_cow"):
+            sql_pred, py_pred = rng.choice(PREDS)
+            t.delete_where(sql_pred, mode="mor" if op == "delete_mor" else "cow")
+            model = [r for r in model if not py_pred(r)]
+        elif op == "compact":
+            maintenance.compact(t, target_file_size_mb=1)
+        elif op == "rollback":
+            candidates = [s.version for s in t.snapshots()
+                          if s.version != t.current_version() and s.version in states]
+            if candidates:
+                v = rng.choice(candidates)
+                maintenance.rollback(t, v)
+                model = list(states[v])
+        elif op == "expire":
+            maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=3)
+        record()
+        check()
