@@ -110,3 +110,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sessionize_hot_key_matches_native_session_window(spark):
+    """SCALING watchpoint: a bot-traffic key funnels its whole history
+    through one task in the islands-rewrite sort window. Plant one user
+    with 100k events (100 sessions of 1k events, breaks ≫ gap) among 50
+    normal users and assert the window path and the native session_window
+    aggregate produce identical sessions — the documented escape hatch
+    for skewed keys is semantics-preserving. (Timestamps avoid exact-gap
+    boundaries: the two paths differ there by design — islands breaks on
+    strict >, session_window on >=.)"""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.streaming.windows import sessionize
+
+    base = 1_700_000_000
+    bot = spark.range(100_000).select(
+        F.lit(0).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("id") * 10 + (F.col("id") / 1000).cast("long") * 7200
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    normals = spark.range(50 * 20).select(
+        (F.col("id") % 50 + 1).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") / 50).cast("long") * 60
+        ).alias("ts"),
+        (F.col("id") + 1_000_000).alias("event_id"),
+    )
+    ev = bot.unionByName(normals)
+
+    via_window = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(ev, gap="30 minutes")
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    via_native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .collect()
+    }
+    assert via_window == via_native
+    assert sum(1 for u, _, _ in via_window if u == 0) == 100  # bot sessions
