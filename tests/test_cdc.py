@@ -175,3 +175,39 @@ def test_incremental_upsert_tick2_reads_delta_through_clone(spark, sf_dir):
     assert 0 < early < total
     res = _pipe(cat).run(ev, mode="upsert", primary_key=["user_id"])
     assert res.rows == total - early  # the delta, not the full source
+
+
+def test_streaming_ingest_watermark_dedup_drops_redelivered_rows(
+    spark, sf_dir, tmp_path
+):
+    """The watermark + dedup-keys branch of ingest_available_now: an
+    at-least-once feed that redelivers the same event rows (same key,
+    within the watermark) must land exactly one copy per key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "_ckpt")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .limit(500)
+    )
+    # the same rows delivered twice (two files), one drain
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+
+    ingest_available_now(
+        spark, src_dir, fmt="parquet", schema=ev.schema, checkpoint_dir=ckpt,
+        catalog=cat, target_identifier="stream.events_wm",
+        watermark=("ts", "10 minutes"), dedup_keys=["event_id"],
+    )
+    got = cat.table("stream.events_wm").read()
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
