@@ -506,3 +506,79 @@ def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
             maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=3)
         record()
         check()
+
+
+@pytest.mark.parametrize("seed", [11, 2026])
+def test_schema_evolution_randomized_sweep(spark, tmp_path, seed):
+    """Progressive column additions arriving through BOTH writers (append
+    and MERGE), interleaved with MOR deletes, checked against a dict
+    model after every step: pre-evolution rows must read NULL for later
+    columns, evolved columns survive deletes, and MERGE's UPDATE SET *
+    over a wider schema never nulls data it shouldn't."""
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(seed)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("p.evolve")
+
+    all_extra = ["c1", "c2", "c3"]
+    active: list[str] = []
+    counter = [0]
+    model: dict[int, dict] = {}
+
+    def make_rows(n):
+        rows = []
+        for _ in range(n):
+            counter[0] += 1
+            r = {"k": counter[0], "v": rng.randrange(100)}
+            for c in active:
+                r[c] = rng.randrange(10)
+            rows.append(r)
+        return rows
+
+    def df_of(rows):
+        ddl = "k long, v int" + "".join(f", {c} int" for c in active)
+        return spark.createDataFrame(
+            [tuple(r.get(c) for c in ["k", "v", *active]) for r in rows], ddl
+        )
+
+    def check():
+        cols = ["k", "v", *active]
+        got = sorted(
+            (tuple(row[c] if c in row.asDict() else None for c in cols)
+             for row in t.read().collect()),
+            key=repr,
+        )
+        want = sorted(
+            (tuple(r.get(c) for c in cols) for r in model.values()), key=repr
+        )
+        assert got == want
+
+    rows = make_rows(5)
+    t.append(df_of(rows))
+    model.update({r["k"]: r for r in rows})
+    check()
+
+    for step in range(12):
+        if all_extra and rng.random() < 0.3:
+            active.append(all_extra.pop(0))  # evolution event
+        op = rng.choices(["append", "merge", "delete_mor"], weights=[45, 35, 20])[0]
+        if op == "append":
+            rows = make_rows(rng.randrange(1, 5))
+            t.append(df_of(rows))
+            model.update({r["k"]: r for r in rows})
+        elif op == "merge":
+            # half updates of existing keys, half inserts
+            rows = make_rows(rng.randrange(1, 4))
+            existing = rng.sample(sorted(model), min(2, len(model)))
+            for k in existing:
+                r = {"k": k, "v": rng.randrange(100)}
+                for c in active:
+                    r[c] = rng.randrange(10)
+                rows.append(r)
+            t.merge(df_of(rows), keys=["k"])
+            model.update({r["k"]: r for r in rows})
+        else:
+            t.delete_where("v < 20", mode="mor")
+            model = {k: r for k, r in model.items() if not r["v"] < 20}
+        check()
