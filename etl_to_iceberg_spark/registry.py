@@ -66,6 +66,8 @@ _CHANGED_THIS_ROUND = [
     "cdc_incremental_upsert",  # clone now carries the cursor: tick 2 reads the delta
     "maint_expire_snapshots",  # expiry deletes scoped to the table's own location
     "dedup_connected_components",  # pointer-doubling rounds (O(log d) convergence)
+    "cdc_scn_delta",               # incremental_read now classifies snapshot ops
+    "pipeline_incremental_rollup", # (replace skipped, rewrites rejected)
 ]
 
 

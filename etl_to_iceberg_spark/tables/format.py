@@ -366,17 +366,48 @@ class IceTable:
             df = df.where((~deleted) | (F.col("__commit_v") > F.lit(t["v"])))
         return df.drop("__commit_v") if tombs else df
 
-    def incremental_read(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def incremental_read(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
         """Rows ADDED between two snapshots — the Spark/Iceberg analogue of
         the reference's SCN-delta read (``cdc_scn_delta``, SURVEY §2.8):
-        only files committed by append/merge snapshots in the range are
-        scanned, no diffing of row contents."""
+        only files committed by additive snapshots in the range are
+        scanned, no diffing of row contents.
+
+        Snapshot classification (Iceberg incremental-scan semantics):
+        append/create/cherrypick files are the delta; ``replace``
+        (compaction / z-order) is provably data-neutral — its files are
+        skipped, so a compaction mid-range does NOT re-deliver the table;
+        overwrite/merge/delete/rollback REWRITE data, so "rows added" is
+        undefined across them — ``on_rewrite="error"`` (default) raises,
+        matching Iceberg's incremental scan; ``on_rewrite="skip"``
+        ignores them (Iceberg's streaming ``skip-overwrite-snapshots`` /
+        ``skip-delete-snapshots`` escape hatch — consumers must tolerate
+        missed updates)."""
+        if on_rewrite not in ("error", "skip"):
+            raise ValueError(f"on_rewrite must be 'error' or 'skip', got {on_rewrite!r}")
         to_version = self.current_version() if to_version is None else to_version
         base_files = {fe.path for fe in self.snapshot(from_version).files}
         snaps = [s for s in self.snapshots() if from_version < s.version <= to_version]
         new_entries: list[FileEntry] = []
         seen: set[str] = set(base_files)
         for s in snaps:
+            if s.operation == "replace" or (
+                on_rewrite == "skip"
+                and s.operation in ("overwrite", "merge", "delete", "rollback")
+            ):
+                seen.update(fe.path for fe in s.files)
+                continue
+            if s.operation in ("overwrite", "merge", "delete", "rollback"):
+                raise ValueError(
+                    f"snapshot {s.version} is a {s.operation!r}: rows-added is "
+                    "undefined across data rewrites — read the full table, or "
+                    "pass on_rewrite='skip' to ignore rewrite snapshots"
+                )
             for fe in s.files:
                 if fe.path not in seen:
                     seen.add(fe.path)

@@ -727,3 +727,27 @@ def test_load_parquet_table_handles_spark_written_int96(spark, sf_dir, tmp_path)
     assert dict(back.dtypes)["ts"] == "timestamp"
     orig = {(r["event_id"], r["ts"]) for r in ev.collect()}
     assert {(r["event_id"], r["ts"]) for r in back.collect()} == orig
+
+
+def test_incremental_read_skips_compaction_and_rejects_rewrites(
+    cat, spark, sf_dir
+):
+    """A compaction mid-range is data-neutral: the incremental read must
+    return only genuinely appended rows, not the rewritten table; a
+    rewrite snapshot (overwrite/merge) in range has no defined rows-added
+    and must raise unless explicitly skipped."""
+    sup = load_table(spark, sf_dir, "supplier")
+    t = cat.table("s.sup_inc2")
+    t.append(sup.where("s_suppkey % 4 = 0"))           # v1
+    maintenance.compact(t, target_file_size_mb=1)       # v2 (replace)
+    t.append(sup.where("s_suppkey % 4 = 1"))           # v3
+    inc = t.incremental_read(1, 3)
+    assert inc.count() == sup.where("s_suppkey % 4 = 1").count()
+    assert inc.where("s_suppkey % 4 = 0").count() == 0
+
+    t.overwrite(sup.limit(5))                          # v4 (rewrite)
+    t.append(sup.where("s_suppkey % 4 = 2"))           # v5
+    with pytest.raises(ValueError, match="overwrite"):
+        t.incremental_read(3, 5)
+    skipped = t.incremental_read(3, 5, on_rewrite="skip")
+    assert skipped.count() == sup.where("s_suppkey % 4 = 2").count()
