@@ -68,6 +68,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_connected_components",  # pointer-doubling rounds (O(log d) convergence)
     "cdc_scn_delta",               # incremental_read now classifies snapshot ops
     "pipeline_incremental_rollup", # (replace skipped, rewrites rejected)
+    "maint_cherrypick",            # cherry-pick restricted to append snapshots
 ]
 
 

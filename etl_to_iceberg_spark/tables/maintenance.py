@@ -235,11 +235,23 @@ def rollback(table: IceTable, version: int) -> Snapshot:
 
 
 def cherrypick(table: IceTable, version: int) -> Snapshot:
-    """Apply the file additions of an (append/merge) snapshot onto the
-    current state (ref: maint_cherrypick — stubbed at
-    ``iceberg_snapshot_operator.py:175-187``)."""
+    """Apply the file additions of an APPEND snapshot onto the current
+    state (ref: maint_cherrypick — stubbed at
+    ``iceberg_snapshot_operator.py:175-187``).
+
+    Only append/create snapshots are eligible — the same restriction as
+    Iceberg's ``cherrypick_snapshot``: a merge/overwrite/replace
+    snapshot's new files contain REWRITTEN carried rows, so re-applying
+    them onto a state that still holds the original files would
+    duplicate those rows."""
     new_version = table._next_version()  # pin: serialize vs rival commits
     picked = table.snapshot(version)
+    if picked.operation not in ("append", "create"):
+        raise ValueError(
+            f"cannot cherry-pick snapshot {version} ({picked.operation!r}): "
+            "its files carry rewritten rows, not pure additions — only "
+            "append/create snapshots are cherry-pickable"
+        )
     if picked.parent is None:
         added = list(picked.files)
     else:

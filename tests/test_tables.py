@@ -751,3 +751,31 @@ def test_incremental_read_skips_compaction_and_rejects_rewrites(
         t.incremental_read(3, 5)
     skipped = t.incremental_read(3, 5, on_rewrite="skip")
     assert skipped.count() == sup.where("s_suppkey % 4 = 2").count()
+
+
+def test_cherrypick_rejects_rewrite_snapshots(cat, spark, sf_dir):
+    """Cherry-picking a MERGE snapshot would re-apply files that carry
+    rewritten copies of rows still present in the current state —
+    duplicates. Only append/create snapshots are eligible (Iceberg's
+    cherrypick_snapshot restriction); the duplicate row count proves why."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    t = cat.table("s.sup_cp")
+    t.append(sup)                                             # v1
+    t.merge(
+        sup.limit(3).withColumn("s_name", F.lit("MERGED")),
+        keys=["s_suppkey"],
+    )                                                         # v2 (merge)
+    merge_v = t.current_version()
+    t.append(sup.limit(0))                                    # v3, moves head
+    with pytest.raises(ValueError, match="cherry-pick"):
+        maintenance.cherrypick(t, merge_v)
+    # append snapshots still cherry-pick fine
+    base = t.read().count()
+    extra = sup.limit(2).withColumn("s_suppkey", F.col("s_suppkey") + 10_000)
+    t.append(extra)                                           # v4
+    v4 = t.current_version()
+    maintenance.rollback(t, merge_v)                          # drop the extras
+    maintenance.cherrypick(t, v4)                             # re-apply them
+    assert t.read().count() == base + 2
