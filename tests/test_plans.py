@@ -210,3 +210,29 @@ def test_curate_v2_decontamination_stays_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_delta_cursor_filter_is_pushed_to_scan(spark, sf_dir, tmp_path):
+    """The steady-state CDC tick must restrict the SOURCE SCAN by the
+    persisted cursor — a pushed ts filter, not a post-scan one: at 100 TB
+    the delta read prunes row groups at the reader, so the tick costs
+    O(delta), not O(table). Guards the clone-carries-cursor fix: without
+    a cursor the plan shows no pushed ts bound at all."""
+    import datetime as dt
+
+    from etl_to_iceberg_spark.operators.cdc import CdcPipeline, CursorStore
+    from etl_to_iceberg_spark.plans import explain_str
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    store = CursorStore(cat)
+    store.set("sales", "events", last_timestamp=dt.datetime(2024, 1, 15))
+    pipe = CdcPipeline(
+        cat, source_schema="sales", source_table="events",
+        target_identifier="sales.sync", ts_col="ts", cursor_store=store,
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    plan = explain_str(pipe.read_delta(ev), "formatted")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan(ts" in pushed
