@@ -88,8 +88,9 @@ def main() -> None:
                 specs[wname].fn(spark, warm_sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            except Exception:
-                pass
+            except Exception as e:  # visible: a failed warm-up shifts its
+                # one-time JIT/pagecache cost into the first timed run
+                print(f"  warm-up failed for {wname}: {e!r}", file=sys.stderr)
 
     # One untimed warm pass at the measured SF, then three timed runs per
     # query, min reported: single-shot wall times at 1-10s/query are
@@ -105,8 +106,8 @@ def main() -> None:
         spec = specs[name]
         try:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"  warm-up failed for {name}: {e!r}", file=sys.stderr)
         best = None
         for _ in range(3):
             t0 = time.perf_counter()

@@ -137,6 +137,16 @@ class Catalog:
                         os.path.join(dst, ns, child, "_meta"),
                         dirs_exist_ok=True,
                     )
+                elif os.path.isdir(os.path.join(src_child, "data")) or os.path.isdir(
+                    os.path.join(src_child, "_meta")
+                ):
+                    # A table directory without a committed version-hint: a
+                    # writer crashed after staging data/ but before its first
+                    # commit. It is invisible to the catalog (list_tables) and
+                    # holds data-plane bytes, so deep-copying it would break
+                    # the O(metadata) contract — the clone must not carry
+                    # uncommitted state anyway. Skip it.
+                    continue
                 else:
                     # control-plane dir (cursor store, state tables' kin):
                     # metadata-sized by construction — copy in full.

@@ -735,10 +735,11 @@ class IceTable:
             )
             keep = self._read_snapshot(sub).join(source, on=keys, how="left_anti")
         else:
+            sub = None
             keep = None
 
         incoming = source
-        if delete_matched_when is not None:
+        if delete_matched_when is not None and sub is not None:
             # Matched keys satisfying the predicate are deleted, i.e. simply
             # not re-inserted; unmatched source rows still insert. "Matched"
             # is judged against the LOGICAL table (tombstones applied) —
@@ -747,7 +748,12 @@ class IceTable:
             # whose rows were all MOR-deleted is NOT matched: its source row
             # must take the WHEN NOT MATCHED THEN INSERT branch, not the
             # matched-delete branch (caught by the randomized MERGE sweep).
-            logical_keys = self._read_snapshot(snap).select(*keys).distinct()
+            # Any logically-matched key appears RAW in some touched file (the
+            # semi-join above found every file holding a matched key), so the
+            # logical-key projection only needs the touched-file sub-snapshot
+            # — tombstones still applied — not a full-table scan per merge.
+            # No touched files => no raw match => no logical match: skip.
+            logical_keys = self._read_snapshot(sub).select(*keys).distinct()
             matched_keys = source.join(logical_keys, on=keys, how="left_semi")
             deletions = matched_keys.where(delete_matched_when).select(*keys)
             incoming = source.join(deletions, on=keys, how="left_anti")

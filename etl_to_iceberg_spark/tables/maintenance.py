@@ -139,14 +139,16 @@ def expire_snapshots(
     ]
     surviving = [s for s in snaps if s not in expired]
     live_files = {fe.path for s in surviving for fe in s.files}
-    owned_root = os.path.abspath(table.location) + os.sep
+    # realpath on BOTH sides: a warehouse reached via a symlinked path must
+    # still classify its own files as owned, or GC silently never deletes.
+    owned_root = os.path.realpath(table.location) + os.sep
     removed_files = 0
     skipped_external = 0
     for s in expired:
         for fe in s.files:
             if fe.path in live_files:
                 continue
-            if not os.path.abspath(fe.path).startswith(owned_root):
+            if not os.path.realpath(fe.path).startswith(owned_root):
                 skipped_external += 1
                 continue
             if os.path.exists(fe.path):
@@ -200,10 +202,15 @@ def remove_orphan_files(table: IceTable, *, dry_run: bool = False) -> DataFrame:
     orphan (path, removed) so the sweep is auditable."""
     import glob as _glob
 
-    referenced = {fe.path for s in table.snapshots() for fe in s.files}
+    # realpath membership: manifests may record the path through a symlink
+    # while the filesystem walk sees the resolved one (or vice versa) — a
+    # mismatch would classify referenced files as orphans and delete them.
+    referenced = {
+        os.path.realpath(fe.path) for s in table.snapshots() for fe in s.files
+    }
     data_dir = os.path.join(table.location, "data")
     on_disk = [
-        os.path.abspath(p)
+        os.path.realpath(p)
         for p in _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     ]
     orphans = sorted(p for p in on_disk if p not in referenced)

@@ -234,5 +234,6 @@ def test_cdc_delta_cursor_filter_is_pushed_to_scan(spark, sf_dir, tmp_path):
     )
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
     plan = explain_str(pipe.read_delta(ev), "formatted")
+    assert "PushedFilters:" in plan, "no PushedFilters section in plan at all"
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThan(ts" in pushed

@@ -691,6 +691,50 @@ def test_expire_snapshots_never_deletes_outside_table_location(
     assert t.read().count() == region.count()
 
 
+def test_shallow_clone_skips_uncommitted_table_dirs(cat, spark, sf_dir, tmp_path):
+    """A table directory left by a writer that crashed before its first
+    commit (data/ staged, no _meta/version-hint.txt) must NOT be
+    deep-copied into the clone: it holds data-plane bytes and is invisible
+    to the catalog, so copying it would break the O(metadata) contract
+    (ADVICE r5). Control-plane dirs (no data/_meta subtree) still ride."""
+    nation = load_table(spark, sf_dir, "nation")
+    cat.table("geo.nation").append(nation)
+    # simulate a crashed writer: staged parquet, no committed metadata
+    crashed = os.path.join(cat.warehouse, "geo", "halfborn")
+    os.makedirs(os.path.join(crashed, "data"))
+    with open(os.path.join(crashed, "data", "part-000.parquet"), "wb") as f:
+        f.write(b"x" * 4096)
+
+    clone_cat = cat.shallow_clone(str(tmp_path / "wh_clone"))
+    assert not os.path.exists(os.path.join(clone_cat.warehouse, "geo", "halfborn"))
+    # and no data bytes anywhere in the clone (O(metadata) holds)
+    import glob as _g
+    assert not _g.glob(
+        os.path.join(clone_cat.warehouse, "**", "*.parquet"), recursive=True
+    )
+    assert clone_cat.table("geo.nation").read().count() == nation.count()
+
+
+def test_expire_snapshots_gc_through_symlinked_warehouse(spark, sf_dir, tmp_path):
+    """A warehouse reached via a symlinked path must still classify its own
+    files as owned (realpath both sides, ADVICE r5) — otherwise GC silently
+    never deletes and disk leaks."""
+    real = tmp_path / "wh_real"
+    real.mkdir()
+    link = tmp_path / "wh_link"
+    os.symlink(str(real), str(link))
+    cat = Catalog(spark, str(link))
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("geo.region_sym")
+    for _ in range(3):
+        t.overwrite(region)
+    stats = maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["removed_data_files"] > 0
+    assert stats["skipped_external_files"] == 0
+    assert t.read().count() == region.count()
+
+
 def test_seeded_clone_reuses_pristine_and_tracks_clones(spark, sf_dir):
     """seeded_clone seeds once per key, returns distinct clone dirs, and
     registers them for interpreter-exit cleanup (ADVICE r4)."""
