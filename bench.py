@@ -42,6 +42,11 @@ HEADLINE = [
     "similarity_ann_lsh",
     "text_quality_score",
     "multimodal_features",
+    # End-to-end pipeline composites (VERDICT r5 #5): the real workloads a
+    # user runs — curate = clean+lang-id+quality+dedup+decontaminate chained;
+    # connected components = the iterative dedup-cluster collapse.
+    "corpus_curate_v2",
+    "dedup_connected_components",
 ]
 
 

@@ -41,9 +41,11 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, not corpus-sized (natural-language vocabulary grows ~O(n^0.5)
     with corpus size, so the shuffle is tiny relative to the scan). The
     top-200 is TakeOrdered, not a global sort."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(words("text")).alias("token"))
+        explode_expensive(docs, [], words("text"), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
@@ -220,9 +222,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, and bit-identical across engines (the registry's
     exact-decimal discipline; plain SUM(double) would be partition-order
     dependent)."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
+    toks = explode_expensive(
+        docs, ["doc_id"], words(F.lower(F.col("text"))), "token"
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))

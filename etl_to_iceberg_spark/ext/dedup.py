@@ -579,8 +579,17 @@ def connected_components(
     )
     sym = ckpt(sym.where(F.col("e_src") != F.col("e_dst")).distinct())
 
+    # Only EDGE-INCIDENT nodes can ever change labels; in a near-dup graph
+    # the overwhelming majority of docs are isolated, so iterating over all
+    # of them joins, shuffles, and checkpoints dead weight every round. The
+    # fixpoint runs on nodes ∩ edge endpoints; isolated nodes rejoin at the
+    # end as their own singleton clusters (identical semantics, and the
+    # per-round state is O(candidate-pair nodes) instead of O(corpus)).
+    incident = sym.select(F.col("e_src").alias("node")).distinct()
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
     labels = ckpt(
-        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        all_nodes.join(incident, "node", "left_semi")
+        .select("node", F.col("node").alias("label"))
     )
 
     for _ in range(max_iterations):
@@ -623,6 +632,10 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    return (
+        all_nodes.join(labels, "node", "left_outer")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", F.col("node")).alias("cluster_id"),
+        )
     )
