@@ -541,6 +541,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``(id, cluster_id)`` where cluster_id = the smallest id reachable
@@ -592,7 +593,9 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
     )
 
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         nbr_min = (
             sym.join(labels, sym.e_dst == labels.node)
             .groupBy("e_src")
@@ -631,6 +634,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
 
     return (
         all_nodes.join(labels, "node", "left_outer")

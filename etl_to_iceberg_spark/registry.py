@@ -61,14 +61,20 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 5
+_CHANGED_AS_OF_ROUND = 6
 _CHANGED_THIS_ROUND = [
-    "cdc_incremental_upsert",  # clone now carries the cursor: tick 2 reads the delta
-    "maint_expire_snapshots",  # expiry deletes scoped to the table's own location
-    "dedup_connected_components",  # pointer-doubling rounds (O(log d) convergence)
-    "cdc_scn_delta",               # incremental_read now classifies snapshot ops
-    "pipeline_incremental_rollup", # (replace skipped, rewrites rejected)
-    "maint_cherrypick",            # cherry-pick restricted to append snapshots
+    # explode_expensive rewrite (generator-input re-evaluation fix)
+    "corpus_decontaminate",
+    "corpus_curate_v2",
+    "text_ngram_topk",
+    "text_token_histogram",
+    "text_unigram_logprob",
+    # iterates only edge-incident nodes; isolated rejoin as singletons
+    "dedup_connected_components",
+    # merge delete-clause logical keys now from touched-file sub-snapshot
+    "merge_keyed_upsert",
+    # expiry/orphan ownership checks resolve symlinks (realpath)
+    "maint_expire_snapshots",
 ]
 
 

@@ -16,6 +16,11 @@ QUERIES = [
     "merge_keyed_upsert",
     "join_multiway_star",
     "cdc_incremental_upsert",
+    # r6: the iterative + text/vocabulary families and the curation composite
+    "dedup_connected_components",
+    "text_unigram_logprob",
+    "text_ngram_topk",
+    "corpus_curate_v2",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
