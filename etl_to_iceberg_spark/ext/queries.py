@@ -624,7 +624,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation here is an oracle-expressible blocking proxy (same source,
     |n_chars| within 2) standing in for minhash/simhash candidate pairs —
     the component step is identical. The DuckDB oracle computes the same
-    components with a recursive CTE (min reachable id)."""
+    components with a recursive CTE (min reachable id).
+
+    The range predicate is BANDED into the equi-join key: a plain
+    same-source self-join compares every doc pair within a source
+    (quadratic per group — ~100M comparisons at sf1) and filters after;
+    banding n_chars into width-3 buckets (band width > max gap, so only
+    same-or-adjacent bands can satisfy |Δ| ≤ 2) and exploding ONE side to
+    its 3 candidate bands turns it into an equi-join on (source, band):
+    each true pair is produced exactly once (a doc's 3 exploded bands are
+    distinct), comparisons shrink to same-band pairs, and the original
+    range filter stays as the exact check."""
     from etl_to_iceberg_spark.ext.dedup import connected_components
 
     docs = _load_balanced(spark, sf_dir, "documents")
@@ -632,14 +642,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         F.col("source").alias("src_source"),
         F.col("n_chars").alias("src_len"),
+        F.floor(F.col("n_chars") / 3).alias("src_band"),
     )
     b = docs.select(
         F.col("doc_id").alias("dst"),
         F.col("source").alias("dst_source"),
         F.col("n_chars").alias("dst_len"),
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / 3) - 1,
+                F.floor(F.col("n_chars") / 3),
+                F.floor(F.col("n_chars") / 3) + 1,
+            )
+        ).alias("dst_band"),
     )
     edges = (
-        a.join(b, F.col("src_source") == F.col("dst_source"))
+        a.join(
+            b,
+            (F.col("src_source") == F.col("dst_source"))
+            & (F.col("src_band") == F.col("dst_band")),
+        )
         .where(
             (F.abs(F.col("src_len") - F.col("dst_len")) <= 2)
             & (F.col("src") < F.col("dst"))
