@@ -14,6 +14,38 @@ def _plan(spark, sf_dir, name) -> str:
     return explain_str(_SPECS[name].fn(spark, sf_dir), "formatted")
 
 
+def test_explode_expensive_evaluates_tokenizer_once(spark, sf_dir):
+    """Regression guard for the r6 generator-input fix: an inner explode
+    over a tokenizer-derived array lets InferFiltersFromGenerate push a
+    size()>0 filter below the projection with the whole expression
+    inlined — the regex then re-runs per array index (profiled 17x on the
+    decontamination stage). explode_expensive must keep the optimized
+    plan at exactly ONE tokenizer evaluation."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.pipeline_queries import (
+        _SHINGLE,
+        _shingles,
+        explode_expensive,
+    )
+    from etl_to_iceberg_spark.ext.text import words
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # plain token explode
+    ex = explode_expensive(docs, ["doc_id"], words("text"), "token")
+    plan = ex._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+
+    # shingle explode over a materialized token column (the curate shape)
+    toks = docs.select("doc_id", words("text").alias("__t"))
+    sh = toks.select("doc_id", _shingles(F.col("__t"), _SHINGLE).alias("sh"))
+    ex2 = explode_expensive(sh, ["doc_id"], F.col("sh"), "s")
+    plan2 = ex2._jdf.queryExecution().optimizedPlan().toString()
+    assert plan2.count("regexp_extract_all") == 1, plan2
+
+
 def test_projection_prunes_scan_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "project_columns")
     # ReadSchema carries only the 3 projected columns of 5
