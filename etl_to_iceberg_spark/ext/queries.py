@@ -308,7 +308,57 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
-@register("similarity_ann_ivf", sql=None)  # approximate; oracle = recall test
+@register(
+    "similarity_ann_ivf",
+    # Full-pipeline oracle (upgraded from rows-only in r6): seeding is the
+    # first nlist=16 vectors by id, cell routing ranks ROUNDED cosine with
+    # a cell tie-break, probes nprobe=4 — every stage deterministic and
+    # ANSI-SQL-expressible.
+    sql="""
+    WITH cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    query_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 5
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT DISTINCT qa.query_id, ca.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[]), 6) AS score
+      FROM query_assign qa
+      JOIN corpus_assign ca ON qa.cell = ca.cell
+      JOIN embeddings q ON q.vec_id = qa.query_id
+      JOIN embeddings ce ON ce.vec_id = ca.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: corpus inverted-listed under nlist=16 broadcast
     centroids; queries probe their 4 nearest cells, exact cosine re-rank
@@ -323,7 +373,53 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
-@register("similarity_ann_lsh", sql=None)  # approximate; oracle = recall test
+@register(
+    "similarity_ann_lsh",
+    # Full-pipeline oracle (upgraded from rows-only in r6): the hyperplane
+    # sign pattern is an LCG bit over the flat (plane, dim) index and the
+    # projection sums in DECIMAL — both exactly computable in ANSI SQL, so
+    # DuckDB reproduces buckets, candidates, and the re-ranked top-k
+    # bit-for-bit.
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    proj AS (
+      SELECT b.vec_id, p.plane,
+             SUM(CASE WHEN ((((p.plane * 64 + d.i - 1) * 1103515245 + 12345)
+                             >> 16) & 1) = 1
+                      THEN CAST(b.e[d.i] AS DECIMAL(28,10))
+                      ELSE -CAST(b.e[d.i] AS DECIMAL(28,10)) END) AS s
+      FROM base b
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS plane) p
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY b.vec_id, p.plane
+    ),
+    bucket AS (
+      SELECT vec_id,
+             SUM(CASE WHEN s >= 0 THEN 1 << plane ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+      FROM bucket qb JOIN bucket cb ON qb.bucket = cb.bucket
+      WHERE qb.vec_id < 5
+    ),
+    scored AS (
+      SELECT cands.query_id, cands.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS score
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets (deterministic planes) →
     in-bucket exact re-rank. Candidates/query ≈ corpus / 2^planes."""

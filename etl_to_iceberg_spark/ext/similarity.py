@@ -84,18 +84,34 @@ def cosine_topk(
 
 
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(Σ_d ±1 · v_d) with the ±1 pattern derived from
-    xxhash64(plane, d) — a fixed pseudo-random hyperplane."""
+    """sign(Σ_d ±1 · v_d) with the ±1 pattern from bit 16 of an LCG over
+    the flat index plane·dim+d — a fixed pseudo-random hyperplane that is
+    EXACTLY expressible in ANSI SQL (integer ·/+/>>/&), so the whole LSH
+    pipeline carries a DuckDB oracle (xxhash64 would be Spark-only; an
+    LCG's low bit would just be the index parity, hence bit 16).
+
+    The projection accumulates in DECIMAL(28,10): exact, order-independent
+    addition makes the sign — and therefore the bucket — bit-identical
+    across engines (a double fold could flip a near-zero sign between
+    summation orders)."""
     signs = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.when(
-            F.xxhash64(F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0)),
+            F.shiftright(
+                (F.lit(plane * dim).cast("long") + d) * F.lit(1103515245)
+                + F.lit(12345),
+                16,
+            ).bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
     )
     proj = F.aggregate(
-        F.zip_with(vec, signs, lambda x, s: x * s),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with(
+            vec, signs, lambda x, s: (x.cast("decimal(28,10)") * s)
+        ),
+        F.lit(0).cast("decimal(28,10)"),
+        lambda acc, x: (acc + x).cast("decimal(28,10)"),
     )
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 

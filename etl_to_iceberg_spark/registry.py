@@ -75,6 +75,9 @@ _CHANGED_THIS_ROUND = [
     "merge_keyed_upsert",
     # expiry/orphan ownership checks resolve symlinks (realpath)
     "maint_expire_snapshots",
+    # LCG hyperplanes + decimal projection; upgraded rows-only -> oracle
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
 ]
 
 
