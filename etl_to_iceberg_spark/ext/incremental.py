@@ -1,0 +1,299 @@
+"""Incremental (delta-tick) deduplication against a persisted index.
+
+The batch operators in ext/dedup.py re-scan the WHOLE corpus per run; a
+continuously-ingesting 100 TB pipeline cannot afford that. This module
+keeps dedup STATE in a managed index table (tables/format.py) and, per
+ingest tick, dedups only the new batch against it — the same delta
+discipline the reference applies to row sync with its persisted CDC
+cursor (ref: oracle_to_iceberg_cdc_operator.py:126-165, which re-reads
+only rows past the cursor), applied to dedup state instead of a cursor.
+
+Two index shapes:
+
+- **Exact** (`exact_index_rows` / `incremental_exact_tick`): index =
+  (fingerprint, doc_id), one row per ingested doc. A tick fingerprints
+  the batch, finds prior holders of its fingerprints, window-dedups
+  within the batch, and appends the surviving rows to the index.
+- **MinHash** (`minhash_index_rows` / `incremental_minhash_tick`): index
+  = (doc_id, sig, band_hashes) — k minhashes + b precomputed LSH band
+  hashes, one row per doc (~300 B at k=32, b=8, independent of document
+  size). A tick sketches the batch once, band-joins against the index,
+  and verifies candidates by SIGNATURE-ESTIMATED Jaccard (fraction of
+  equal minhash positions, an unbiased estimator of set Jaccard) — the
+  corpus text is never re-read or re-tokenized after its own ingest tick.
+
+Scale shape (the reason this module exists):
+
+- The index is scanned ONCE per tick and never shuffles. Batch-derived
+  rows are explicitly broadcast (a tick's batch is ≪ corpus by
+  construction), so every index-side join is a broadcast hash join riding
+  the index scan: the exact path semi-filters the index scan by the
+  batch's fingerprint set before any aggregation; the minhash path
+  broadcasts the batch's band rows into the index band explode.
+- Within-batch dedup shuffles only batch-sized data.
+- Tick cost is O(batch sketch + one narrow index scan); appends write
+  only the new rows (tables/format.py appends are O(new files)).
+
+tests/test_incremental.py pins the semantics (planted cross-tick and
+within-batch duplicates, idempotent re-tick, index growth) and the plan
+shape (no SortMergeJoin, no CartesianProduct anywhere in a tick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from etl_to_iceberg_spark.ext.dedup import minhash_signatures
+from etl_to_iceberg_spark.ext.text import fingerprint
+from etl_to_iceberg_spark.plans import ensure_parallelism
+
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_index_rows(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint) index rows for a batch — md5 of normalized
+    text, the same content address ext/dedup.py's exact_dedup keys on."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def incremental_exact_tick(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label a batch against the exact-fingerprint index.
+
+    Returns (doc_id, fingerprint, dup_of, is_new) — one row per batch
+    doc. ``dup_of`` is the lowest-id prior holder of the fingerprint
+    (index first, then earlier-in-batch); ``is_new`` marks first sight.
+    Rows where ``is_new`` (as exact_index_rows output) are what a caller
+    appends to the index table.
+
+    Shuffle budget: the index never shuffles — it is semi-joined down to
+    the batch's (broadcast) fingerprint set along its scan, and only the
+    surviving handful of rows enter the min-per-fingerprint aggregation,
+    which is then broadcast back against the batch. The window dedup
+    shuffles batch rows only.
+    """
+    b = exact_index_rows(batch, id_col=id_col, text_col=text_col)
+    # Index scan → broadcast-semi filter by batch fingerprints → tiny agg.
+    hits = index.join(
+        F.broadcast(b.select("fingerprint").distinct()),
+        on="fingerprint",
+        how="left_semi",
+    )
+    idx_min = hits.groupBy("fingerprint").agg(F.min("doc_id").alias("__idx_id"))
+    # Earliest earlier-in-batch holder of the same fingerprint.
+    w = (
+        Window.partitionBy("fingerprint")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.withColumn("__prior", F.min("doc_id").over(w))
+        .join(F.broadcast(idx_min), on="fingerprint", how="left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce("__idx_id", "__prior").alias("dup_of"),
+            F.coalesce("__idx_id", "__prior").isNull().alias("is_new"),
+        )
+    )
+
+
+# --- minhash ---------------------------------------------------------------
+
+
+def band_hashes(sig: Column | str, *, bands: int = 8) -> Column:
+    """array<long>[bands] of LSH band hashes over a minhash signature.
+
+    Bit-identical to ext/dedup.py's _explode_bands hashing (xxhash64 over
+    the comma-joined band slice), kept as an ARRAY column instead of
+    exploded rows so the index stores one row per doc."""
+    c = F.col(sig) if isinstance(sig, str) else sig
+    rows_per_band = F.size(c) / bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        c,
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_index_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, sig, band_hashes) index rows — one scan of the batch text
+    (minhash_signatures' shuffle-free fold), band hashes precomputed so a
+    later tick never touches this doc's text again."""
+    sigs = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    return sigs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        "sig",
+        band_hashes("sig", bands=bands).alias("band_hashes"),
+    )
+
+
+def sig_est_jaccard(a: Column | str, b: Column | str) -> Column:
+    """Signature-estimated Jaccard: fraction of agreeing minhash
+    positions (unbiased estimator of shingle-set Jaccard; stderr ≈
+    1/sqrt(k))."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    agree = F.size(F.filter(F.zip_with(ca, cb, lambda x, y: x == y), lambda e: e))
+    return agree.cast("double") / F.size(ca)
+
+
+def _best_match(
+    cands: DataFrame, doc_col: str, cand_col: str, est_col: str
+) -> DataFrame:
+    """Per doc_col, the candidate with max estimate (ties → lowest id):
+    (doc_col, match_id, est)."""
+    return (
+        cands.groupBy(doc_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(est_col).alias("est"),
+                    (-F.col(cand_col)).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col(doc_col),
+            (-F.col("b.neg_id")).cast("long").alias("match_id"),
+            F.col("b.est").alias("est"),
+        )
+    )
+
+
+def incremental_minhash_tick(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Label a batch against the minhash index.
+
+    Returns (doc_id, dup_of, est_jaccard, is_new) — one row per batch
+    doc. ``dup_of`` prefers an index match (highest estimated Jaccard,
+    ties → lowest doc_id) over an earlier-in-batch match: index docs are
+    by construction older than anything in the batch. ``est_jaccard`` is
+    NULL for novel docs. A doc whose best match clears ``threshold`` is a
+    duplicate; everything else is new and its minhash_index_rows belong
+    in the index.
+
+    Shuffle budget: the index explodes its precomputed band_hashes along
+    its scan (narrow) and broadcast-joins the batch's band rows — the
+    index never shuffles and its ``sig`` travels only for colliding
+    bucket rows. The within-batch self-join is batch×batch with one side
+    broadcast. Candidate verification is pure column arithmetic on the
+    signatures already in hand (sig_est_jaccard) — no text re-read.
+    """
+    brows = minhash_index_rows(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+    )
+    bb = brows.select(
+        "doc_id",
+        "sig",
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    # Index side: narrow explode riding the scan; batch bands broadcast in.
+    ib = index.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("sig").alias("idx_sig"),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
+    idx_cands = (
+        ib.join(F.broadcast(bb), on=["band", "band_hash"])
+        .select("doc_id", "idx_id", est.alias("est"))
+        .where(F.col("est") >= threshold)
+        .distinct()  # multiple colliding bands → one candidate row
+    )
+    idx_best = _best_match(idx_cands, "doc_id", "idx_id", "est")
+
+    # Within-batch: earlier doc (lower id) is the representative.
+    later = bb.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    est_ab = F.round(sig_est_jaccard("sig_b", "sig"), 6)
+    batch_cands = (
+        later.join(
+            F.broadcast(bb.select("doc_id", "sig", "band", "band_hash")),
+            on=["band", "band_hash"],
+        )
+        .where(F.col("doc_id") < F.col("id_b"))
+        .select(F.col("id_b"), F.col("doc_id").alias("id_a"), est_ab.alias("est"))
+        .where(F.col("est") >= threshold)
+        .distinct()
+    )
+    batch_best = _best_match(batch_cands, "id_b", "id_a", "est").select(
+        F.col("id_b").alias("doc_id"),
+        F.col("match_id").alias("__b_match"),
+        F.col("est").alias("__b_est"),
+    )
+
+    ids = brows.select("doc_id")
+    return (
+        ids.join(
+            F.broadcast(
+                idx_best.select(
+                    "doc_id",
+                    F.col("match_id").alias("__i_match"),
+                    F.col("est").alias("__i_est"),
+                )
+            ),
+            on="doc_id",
+            how="left",
+        )
+        .join(F.broadcast(batch_best), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("__i_match", "__b_match").alias("dup_of"),
+            F.when(F.col("__i_match").isNotNull(), F.col("__i_est"))
+            .otherwise(F.col("__b_est"))
+            .alias("est_jaccard"),
+            F.coalesce("__i_match", "__b_match").isNull().alias("is_new"),
+        )
+    )

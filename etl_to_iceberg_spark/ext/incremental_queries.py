@@ -1,0 +1,111 @@
+"""Registry queries for incremental dedup (ext/incremental.py).
+
+Both queries drive the REAL tick cycle against a managed index table:
+seed the index from the "already ingested" 80% of documents (doc_id % 5
+!= 4), run one tick over the remaining 20% batch, persist the surviving
+rows back to the index, and return the batch labeling. The seeded
+pristine warehouse + shallow-clone-per-run pattern mirrors
+operators/table_queries.py: repeated runs (bench loops, driver retries)
+time the tick, not re-seeding, and each run's append mutates a private
+clone.
+
+Ref analogue: the reference's CDC operators persist sync state and
+process only the delta each schedule tick
+(oracle_to_iceberg_cdc_operator.py:126-165, hdfs_to_iceberg_cdc_operator
+.py:114-167); these queries apply the same incremental discipline to
+dedup state, which the reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_to_iceberg_spark.ext.incremental import (
+    exact_index_rows,
+    incremental_exact_tick,
+    incremental_minhash_tick,
+    minhash_index_rows,
+)
+from etl_to_iceberg_spark.ext.queries import _load_balanced
+from etl_to_iceberg_spark.operators.table_queries import seeded_clone
+from etl_to_iceberg_spark.registry import register
+
+def _batch_mod():  # 20% delta batch; rest is the index. (A function:
+    # building a Column needs a live SparkContext, and this module is
+    # imported by registry enumeration before any session exists.)
+    return F.col("doc_id") % 5 == 4
+
+
+@register(
+    "dedup_incremental_exact",
+    sql="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS fingerprint
+      FROM documents
+    ),
+    idx AS (
+      SELECT fingerprint, min(doc_id) AS idx_id
+      FROM fp WHERE doc_id % 5 <> 4 GROUP BY fingerprint
+    ),
+    b AS (
+      SELECT doc_id, fingerprint,
+             min(doc_id) OVER (PARTITION BY fingerprint ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS batch_prior
+      FROM fp WHERE doc_id % 5 = 4
+    )
+    SELECT b.doc_id, b.fingerprint,
+           coalesce(i.idx_id, b.batch_prior) AS dup_of,
+           (coalesce(i.idx_id, b.batch_prior) IS NULL) AS is_new
+    FROM b LEFT JOIN idx i USING (fingerprint)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup tick: label the 20% batch against the
+    persisted fingerprint index of the 80% corpus, append the survivors.
+    The index scan is semi-filtered by the broadcast batch fingerprint
+    set — at 100 TB a tick reads the (fingerprint, doc_id) index once
+    and shuffles nothing corpus-sized."""
+    docs = _load_balanced(spark, sf_dir, "documents")
+    cat = seeded_clone(
+        spark,
+        "dedup_fp_index",
+        sf_dir,
+        lambda c: c.table("dedup.fp_index").append(
+            exact_index_rows(docs.where(~_batch_mod()))
+        ),
+    )
+    t = cat.table("dedup.fp_index")
+    labeled = incremental_exact_tick(t.read(), docs.where(_batch_mod()))
+    t.append(labeled.where("is_new").select("doc_id", "fingerprint"))
+    return labeled
+
+
+@register("dedup_incremental_minhash", sql=None)  # xxhash64 sketch; oracle =
+# planted-dup property tests (tests/test_incremental.py)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup tick: band-join the 20% batch's
+    signatures against the persisted (doc_id, sig, band_hashes) index,
+    verify candidates by signature-estimated Jaccard, append novel docs'
+    rows. The corpus text is sketched exactly once, at its own ingest
+    tick; later ticks touch only the ~300 B/doc index."""
+    docs = _load_balanced(spark, sf_dir, "documents")
+    cat = seeded_clone(
+        spark,
+        "dedup_minhash_index",
+        sf_dir,
+        lambda c: c.table("dedup.mh_index").append(
+            minhash_index_rows(docs.where(~_batch_mod()))
+        ),
+    )
+    t = cat.table("dedup.mh_index")
+    batch = docs.where(_batch_mod())
+    labeled = incremental_minhash_tick(t.read(), batch, threshold=0.5)
+    t.append(
+        minhash_index_rows(batch).join(
+            labeled.where("is_new").select("doc_id"), on="doc_id", how="left_semi"
+        )
+    )
+    return labeled

@@ -150,6 +150,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import etl_to_iceberg_spark.operators.table_evolution  # noqa: F401
     import etl_to_iceberg_spark.operators.ingest_formats  # noqa: F401
     import etl_to_iceberg_spark.operators.sketches  # noqa: F401
+    import etl_to_iceberg_spark.ext.incremental_queries  # noqa: F401
 
     green, failed, latest_round, last_seen = _checked_history()
     # The changed list is only live until the driver check for its round

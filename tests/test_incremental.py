@@ -1,0 +1,348 @@
+"""Incremental dedup (ext/incremental.py): tick semantics, index growth,
+idempotence, and the no-corpus-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.ext.incremental import (
+    band_hashes,
+    exact_index_rows,
+    incremental_exact_tick,
+    incremental_minhash_tick,
+    minhash_index_rows,
+    sig_est_jaccard,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while seventy two "
+    "pelicans debate the merits of distributed joins at sunset near "
+    "the harbor wall and nobody takes minutes of the meeting"
+)
+OTHER = (
+    "completely unrelated prose about compilers register allocation "
+    "graph coloring spill heuristics and the eternal sadness of "
+    "phi nodes in loop headers during strength reduction passes"
+)
+
+
+# --- exact -----------------------------------------------------------------
+
+
+def test_exact_tick_labels_index_batch_and_novel(spark):
+    index = exact_index_rows(
+        _docs(spark, [(1, LOREM), (2, OTHER), (3, LOREM)])
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, LOREM),        # dup of index doc 1 (lowest holder)
+            (11, "brand new"),  # novel
+            (12, "brand new"),  # within-batch dup of 11
+            (13, OTHER.upper()),  # normalization: dup of index doc 2
+        ],
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.is_new)
+        for r in incremental_exact_tick(index, batch).collect()
+    }
+    assert got == {
+        10: (1, False),
+        11: (None, True),
+        12: (11, False),
+        13: (2, False),
+    }
+
+
+def test_exact_tick_index_match_beats_batch_prior(spark):
+    # Doc 20 matches BOTH index doc 5 and earlier batch doc 19 — the
+    # index (older) representative wins.
+    index = exact_index_rows(_docs(spark, [(5, LOREM)]))
+    batch = _docs(spark, [(19, LOREM), (20, LOREM)])
+    got = {
+        r.doc_id: r.dup_of
+        for r in incremental_exact_tick(index, batch).collect()
+    }
+    assert got == {19: 5, 20: 5}
+
+
+def test_exact_tick_is_idempotent_through_the_table(spark, tmp_path):
+    """Re-ticking the same batch after persisting survivors marks every
+    doc a duplicate — the persisted index absorbs the batch exactly once."""
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("dedup.fp")
+    t.append(exact_index_rows(_docs(spark, [(1, LOREM)])))
+
+    batch = _docs(spark, [(10, LOREM), (11, OTHER), (12, OTHER)])
+    first = incremental_exact_tick(t.read(), batch)
+    t.append(first.where("is_new").select("doc_id", "fingerprint"))
+    assert t.read().count() == 2  # doc 11 joined doc 1
+
+    second = incremental_exact_tick(t.read(), batch).collect()
+    assert all(not r.is_new for r in second)
+    got = {r.doc_id: r.dup_of for r in second}
+    assert got == {10: 1, 11: 11, 12: 11}
+
+
+def test_exact_tick_plan_never_shuffles_the_index(spark):
+    """The index side must ride its scan: semi-filtered by a broadcast of
+    the batch fingerprint set, min-aggregated only on the hits, broadcast
+    back. No sort-merge join, no cartesian product anywhere."""
+    index = exact_index_rows(_docs(spark, [(i, f"doc {i}") for i in range(50)]))
+    batch = _docs(spark, [(100, "doc 1"), (101, "novel")])
+    from etl_to_iceberg_spark.plans import explain_str
+
+    plan = explain_str(incremental_exact_tick(index, batch), "formatted")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi + final left join
+
+
+# --- minhash ---------------------------------------------------------------
+
+
+def _perturb(text: str) -> str:
+    # Change a couple of words: high (not perfect) shingle overlap.
+    toks = text.split()
+    toks[5] = "emerald"
+    toks[-1] = "gavel"
+    return " ".join(toks)
+
+
+def test_minhash_tick_catches_cross_tick_near_dup(spark):
+    index = minhash_index_rows(
+        _docs(spark, [(1, LOREM), (2, OTHER)]), num_hashes=32, bands=8
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, _perturb(LOREM)),  # near-dup of index doc 1
+            (11, "totally novel text about gardening with hydraulic presses"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_minhash_tick(index, batch, threshold=0.4).collect()
+    }
+    assert rows[10].dup_of == 1 and not rows[10].is_new
+    assert rows[10].est_jaccard >= 0.4
+    assert rows[11].dup_of is None and rows[11].is_new
+
+
+def test_minhash_tick_within_batch_and_exact_dup_estimates(spark):
+    # Identical text → signature agreement 1.0; earlier batch doc is the
+    # representative.
+    index = minhash_index_rows(_docs(spark, [(1, OTHER)]))
+    batch = _docs(spark, [(10, LOREM), (11, LOREM)])
+    rows = {
+        r.doc_id: r
+        for r in incremental_minhash_tick(index, batch, threshold=0.5).collect()
+    }
+    assert rows[10].is_new
+    assert rows[11].dup_of == 10 and rows[11].est_jaccard == 1.0
+
+
+def test_minhash_tick_index_match_preferred_over_batch(spark):
+    index = minhash_index_rows(_docs(spark, [(1, LOREM)]))
+    batch = _docs(spark, [(10, LOREM), (11, LOREM)])
+    rows = {
+        r.doc_id: r.dup_of
+        for r in incremental_minhash_tick(index, batch, threshold=0.5).collect()
+    }
+    assert rows == {10: 1, 11: 1}
+
+
+def test_minhash_index_rows_match_batch_banding(spark):
+    """Index band hashes (array form) must be bit-identical to the
+    exploded banding ext/dedup.py's LSH uses — otherwise cross-tick
+    buckets silently never collide."""
+    from etl_to_iceberg_spark.ext.dedup import _explode_bands, minhash_signatures
+
+    df = _docs(spark, [(1, LOREM), (2, OTHER)])
+    via_index = {
+        (r.doc_id, b, h)
+        for r in minhash_index_rows(df).collect()
+        for b, h in enumerate(r.band_hashes)
+    }
+    via_lsh = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in _explode_bands(minhash_signatures(df)).collect()
+    }
+    assert via_index == via_lsh
+
+
+def test_minhash_tick_is_idempotent_through_the_table(spark, tmp_path):
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("dedup.mh")
+    t.append(minhash_index_rows(_docs(spark, [(1, LOREM)])))
+
+    batch = _docs(spark, [(10, OTHER), (11, _perturb(LOREM))])
+    first = incremental_minhash_tick(t.read(), batch, threshold=0.4)
+    survivors = first.where("is_new").select("doc_id")
+    t.append(
+        minhash_index_rows(batch).join(survivors, "doc_id", "left_semi")
+    )
+    assert t.read().count() == 2  # only doc 10 was novel
+
+    second = incremental_minhash_tick(t.read(), batch, threshold=0.4).collect()
+    assert all(not r.is_new for r in second)
+
+
+def test_minhash_tick_plan_no_sort_merge_join(spark):
+    index = minhash_index_rows(
+        _docs(spark, [(i, f"padding text number {i} with shared words") for i in range(30)])
+    )
+    batch = _docs(spark, [(100, LOREM), (101, OTHER)])
+    from etl_to_iceberg_spark.plans import explain_str
+
+    plan = explain_str(
+        incremental_minhash_tick(index, batch, threshold=0.5), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sig_est_jaccard_bounds(spark):
+    df = spark.range(1).select(
+        sig_est_jaccard(
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+            F.array(F.lit(1), F.lit(2), F.lit(9), F.lit(9)),
+        ).alias("e")
+    )
+    assert df.collect()[0].e == pytest.approx(0.5)
+
+
+def test_randomized_ticks_equal_batch_exact_dedup(spark, tmp_path):
+    """Randomized sweep: ingesting a corpus as a sequence of id-ordered
+    incremental exact ticks must reproduce batch-mode exact_dedup exactly
+    — same representative set, and every duplicate labeled with the
+    GLOBAL first holder of its text (the index carries min-per-
+    fingerprint, within-batch the earliest prior wins, so the composition
+    is associative across any batch cut)."""
+    import random
+
+    from etl_to_iceberg_spark.ext.dedup import exact_dedup
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(20260814)
+    pool = [
+        " ".join(rng.choice("alpha beta gamma delta epsilon zeta eta theta "
+                            "iota kappa".split()) for _ in range(12))
+        for _ in range(8)
+    ]
+    for prog in range(4):
+        n = rng.randint(15, 40)
+        docs = [(i, rng.choice(pool)) for i in range(n)]
+        # Python model: first holder per normalized text.
+        first: dict[str, int] = {}
+        expect: dict[int, int | None] = {}
+        for i, txt in docs:
+            expect[i] = first.get(txt)
+            first.setdefault(txt, i)
+
+        cat = Catalog(spark, str(tmp_path / f"wh{prog}"))
+        t = cat.table("dedup.fp")
+        t.append(spark.createDataFrame([], "doc_id long, fingerprint string"))
+        got: dict[int, int | None] = {}
+        pos = 0
+        while pos < n:
+            cut = rng.randint(pos + 1, n)
+            batch = _docs(spark, docs[pos:cut])
+            labeled = incremental_exact_tick(t.read(), batch).collect()
+            got.update({r.doc_id: r.dup_of for r in labeled})
+            t.append(
+                spark.createDataFrame(
+                    [(r.doc_id, r.fingerprint) for r in labeled if r.is_new],
+                    "doc_id long, fingerprint string",
+                )
+            )
+            pos = cut
+        assert got == expect, f"program {prog} diverged from the model"
+        # Representative set == batch-mode exact_dedup over the union.
+        reps = {r.doc_id for r in exact_dedup(_docs(spark, docs)).collect()}
+        assert {i for i, d in got.items() if d is None} == reps
+
+
+def test_randomized_ticks_minhash_exact_dup_recall(spark, tmp_path):
+    """Randomized sweep for the minhash tick: texts drawn from a pool of
+    mutually word-disjoint documents. Exact re-occurrences MUST be caught
+    (identical signature → identical band hashes → guaranteed bucket
+    collision, est 1.0) and first occurrences must never be flagged
+    (disjoint shingle sets → signature agreement ≈ 0 ≪ threshold)."""
+    import random
+
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(99)
+    # 6 docs over disjoint 12-word vocabularies.
+    pool = [
+        " ".join(f"w{p}_{k}" for k in range(12)) for p in range(6)
+    ]
+    n = 30
+    docs = [(i, rng.choice(pool)) for i in range(n)]
+    seen: set[str] = set()
+    first_new = {i for i, txt in docs if txt not in seen and not seen.add(txt)}
+
+    cat = Catalog(spark, str(tmp_path / "whm"))
+    t = cat.table("dedup.mh")
+    t.append(
+        spark.createDataFrame(
+            [], "doc_id long, sig array<bigint>, band_hashes array<bigint>"
+        )
+    )
+    got_new: set[int] = set()
+    pos = 0
+    while pos < n:
+        cut = rng.randint(pos + 1, n)
+        batch = _docs(spark, docs[pos:cut])
+        labeled = incremental_minhash_tick(
+            t.read(), batch, threshold=0.5
+        ).collect()
+        got_new.update(r.doc_id for r in labeled if r.is_new)
+        for r in labeled:
+            if not r.is_new:
+                assert r.est_jaccard == 1.0  # only exact dups exist here
+        t.append(
+            minhash_index_rows(batch).join(
+                spark.createDataFrame(
+                    [(r.doc_id,) for r in labeled if r.is_new], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        pos = cut
+    assert got_new == first_new
+
+
+def test_registered_queries_run_and_agree_with_semantics(spark, sf_dir):
+    """The registry entries return one row per batch doc; every non-new
+    row's dup_of precedes it (index docs or earlier batch docs)."""
+    from etl_to_iceberg_spark.ext.incremental_queries import (
+        dedup_incremental_exact,
+        dedup_incremental_minhash,
+    )
+
+    for fn in (dedup_incremental_exact, dedup_incremental_minhash):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == 100  # 20% of the 500-doc fixture
+        for r in rows:
+            if not r.is_new:
+                # dup_of is an index doc (any id ≢ 4 mod 5) or an
+                # EARLIER batch doc (the split is mod-5, so index ids
+                # are not numerically ordered before batch ids).
+                assert r.dup_of is not None
+                if r.dup_of % 5 == 4:
+                    assert r.dup_of < r.doc_id
+            else:
+                assert r.dup_of is None
