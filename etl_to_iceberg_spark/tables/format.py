@@ -69,22 +69,84 @@ class CommitConflictError(RuntimeError):
     table and retry (Iceberg optimistic-commit semantics)."""
 
 
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """Type with every nullable/containsNull/valueContainsNull flag (and
+    struct field casing) normalized away — the shape two batches must
+    share for their columns to be the same column."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name.lower(), _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    return dt
+
+
+def _widen_nullability(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Union of two same-shaped types' nullability flags: the stored
+    schema must admit every batch already written under either."""
+    if isinstance(a, T.StructType):
+        by_name = {f.name.lower(): f for f in b.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _widen_nullability(f.dataType, by_name[f.name.lower()].dataType),
+                    f.nullable or by_name[f.name.lower()].nullable,
+                )
+                for f in a.fields
+            ]
+        )
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            _widen_nullability(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return T.MapType(
+            _widen_nullability(a.keyType, b.keyType),
+            _widen_nullability(a.valueType, b.valueType),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    return a
+
+
 def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     """Union-of-columns schema evolution (Iceberg add-column semantics):
     columns new to the incoming batch are appended as nullable; a name
     reappearing with a different type is rejected — implicit type
-    coercion on write silently corrupts downstream readers at scale."""
+    coercion on write silently corrupts downstream readers at scale.
+    Nullability is NOT a type: a column re-appearing as `array<long>`
+    with containsNull flipped (e.g. an empty seed batch vs a computed
+    one) is the same column, and the stored schema widens to admit both
+    (tests/test_incremental.py's randomized tick sweep caught the strict
+    comparison rejecting exactly this)."""
     by_name = {f.name.lower(): f for f in old.fields}
     fields = list(old.fields)
     for f in new.fields:
         prev = by_name.get(f.name.lower())
         if prev is None:
             fields.append(T.StructField(f.name, f.dataType, nullable=True))
-        elif prev.dataType != f.dataType:
+        elif _strip_nullability(prev.dataType) != _strip_nullability(f.dataType):
             raise TypeError(
                 f"schema evolution cannot change column {f.name!r} from "
                 f"{prev.dataType.simpleString()} to {f.dataType.simpleString()}"
             )
+        elif prev.dataType != f.dataType or prev.nullable != f.nullable:
+            widened = T.StructField(
+                prev.name,
+                _widen_nullability(prev.dataType, f.dataType),
+                prev.nullable or f.nullable,
+            )
+            fields[fields.index(prev)] = widened
+            by_name[prev.name.lower()] = widened
     return T.StructType(fields)
 
 

@@ -314,6 +314,62 @@ def test_evolve_schema_union_properties(data):
     assert _evolve_schema(out, new) == out
 
 
+def test_evolve_schema_nullability_is_not_a_type_change():
+    """array<long> with containsNull flipped is the SAME column (an empty
+    seed batch infers permissive flags; a computed batch infers strict
+    ones) — evolution must widen to the union of flags, not reject.
+    Caught live by tests/test_incremental.py's randomized tick sweep."""
+    from pyspark.sql import types as T
+
+    from etl_to_iceberg_spark.tables.format import _evolve_schema
+
+    loose = T.StructType(
+        [T.StructField("sig", T.ArrayType(T.LongType(), True), True)]
+    )
+    strict = T.StructType(
+        [T.StructField("sig", T.ArrayType(T.LongType(), False), False)]
+    )
+    for old, new in ((loose, strict), (strict, loose)):
+        out = _evolve_schema(old, new)
+        assert out.fields[0].dataType.containsNull and out.fields[0].nullable
+    # nested: map value struct nullability also widens, shape still checked
+    m_loose = T.StructType(
+        [
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType([T.StructField("x", T.LongType(), True)]),
+                    True,
+                ),
+            )
+        ]
+    )
+    m_strict = T.StructType(
+        [
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType([T.StructField("x", T.LongType(), False)]),
+                    False,
+                ),
+            )
+        ]
+    )
+    out = _evolve_schema(m_strict, m_loose)
+    mt = out.fields[0].dataType
+    assert mt.valueContainsNull and mt.valueType.fields[0].nullable
+    # a genuinely different element type still rejects
+    import pytest as _pytest
+
+    bad = T.StructType(
+        [T.StructField("sig", T.ArrayType(T.StringType(), True), True)]
+    )
+    with _pytest.raises(TypeError):
+        _evolve_schema(loose, bad)
+
+
 @given(st.sampled_from(["bigint", "string", "double"]))
 @settings(max_examples=10, deadline=None)
 def test_evolve_schema_rejects_type_change(tname):
