@@ -47,6 +47,10 @@ HEADLINE = [
     # connected components = the iterative dedup-cluster collapse.
     "corpus_curate_v2",
     "dedup_connected_components",
+    # r6: the steady-state ingest workload — dedup a delta batch against
+    # the persisted signature index (tick cost must stay flat as the
+    # corpus grows; see tools/incremental_scale.py + SCALING.md).
+    "dedup_incremental_minhash",
 ]
 
 

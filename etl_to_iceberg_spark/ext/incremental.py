@@ -71,40 +71,66 @@ def incremental_exact_tick(
 ) -> DataFrame:
     """Label a batch against the exact-fingerprint index.
 
-    Returns (doc_id, fingerprint, dup_of, is_new) — one row per batch
-    doc. ``dup_of`` is the lowest-id prior holder of the fingerprint
-    (index first, then earlier-in-batch); ``is_new`` marks first sight.
-    Rows where ``is_new`` (as exact_index_rows output) are what a caller
-    appends to the index table.
+    Returns (doc_id, fingerprint, dup_of, is_new, already_ingested) —
+    one row per batch doc. ``dup_of`` is the lowest-id OTHER holder of
+    the fingerprint (index first, then earlier-in-batch);
+    ``already_ingested`` marks a REPLAY — the index already holds this
+    exact (fingerprint, doc_id) row; ``is_new`` marks rows to append to
+    the index (no other holder AND not a replay).
+
+    Replay safety (the property the streaming wrapper leans on): under
+    at-least-once delivery a re-delivered micro-batch re-ticks against
+    an index that already absorbed it — every previously-new doc matches
+    its OWN index row, so it reports already_ingested (not is_new, not a
+    duplicate of itself) and the index append is empty. The index can
+    never double-absorb a batch, with no transactional coupling between
+    the stream checkpoint and the table commit. (A same-id row arriving
+    with DIFFERENT content is not a replay and is labeled normally.)
 
     Shuffle budget: the index never shuffles — it is semi-joined down to
     the batch's (broadcast) fingerprint set along its scan, and only the
-    surviving handful of rows enter the min-per-fingerprint aggregation,
-    which is then broadcast back against the batch. The window dedup
-    shuffles batch rows only.
+    surviving handful of rows enter the per-doc aggregation, which is
+    then broadcast back against the batch. The window dedup shuffles
+    batch rows only.
     """
     b = exact_index_rows(batch, id_col=id_col, text_col=text_col)
-    # Index scan → broadcast-semi filter by batch fingerprints → tiny agg.
+    # Index scan → broadcast-semi filter by batch fingerprints → tiny
+    # hit set → per-batch-doc aggregation (hits × matching batch docs,
+    # both bounded by the batch's duplicate structure).
     hits = index.join(
         F.broadcast(b.select("fingerprint").distinct()),
         on="fingerprint",
         how="left_semi",
+    ).select("fingerprint", F.col("doc_id").alias("__idx_id"))
+    per_doc = (
+        hits.join(F.broadcast(b), on="fingerprint")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(F.col("__idx_id") != F.col("doc_id"), F.col("__idx_id"))
+            ).alias("__other"),
+            F.max((F.col("__idx_id") == F.col("doc_id")).cast("int")).alias(
+                "__self"
+            ),
+        )
     )
-    idx_min = hits.groupBy("fingerprint").agg(F.min("doc_id").alias("__idx_id"))
     # Earliest earlier-in-batch holder of the same fingerprint.
     w = (
         Window.partitionBy("fingerprint")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    dup = F.coalesce("__other", "__prior")
+    replay = F.coalesce(F.col("__self") == 1, F.lit(False))
     return (
         b.withColumn("__prior", F.min("doc_id").over(w))
-        .join(F.broadcast(idx_min), on="fingerprint", how="left")
+        .join(F.broadcast(per_doc), on="doc_id", how="left")
         .select(
             "doc_id",
             "fingerprint",
-            F.coalesce("__idx_id", "__prior").alias("dup_of"),
-            F.coalesce("__idx_id", "__prior").isNull().alias("is_new"),
+            dup.alias("dup_of"),
+            (dup.isNull() & ~replay).alias("is_new"),
+            replay.alias("already_ingested"),
         )
     )
 
@@ -210,13 +236,17 @@ def incremental_minhash_tick(
 ) -> DataFrame:
     """Label a batch against the minhash index.
 
-    Returns (doc_id, dup_of, est_jaccard, is_new) — one row per batch
-    doc. ``dup_of`` prefers an index match (highest estimated Jaccard,
-    ties → lowest doc_id) over an earlier-in-batch match: index docs are
-    by construction older than anything in the batch. ``est_jaccard`` is
-    NULL for novel docs. A doc whose best match clears ``threshold`` is a
-    duplicate; everything else is new and its minhash_index_rows belong
-    in the index.
+    Returns (doc_id, dup_of, est_jaccard, is_new, already_ingested) —
+    one row per batch doc. ``dup_of`` prefers an index match (highest
+    estimated Jaccard, ties → lowest doc_id) over an earlier-in-batch
+    match: index docs are by construction older than anything in the
+    batch. ``est_jaccard`` is NULL for novel docs. A doc whose best
+    OTHER match clears ``threshold`` is a duplicate; a doc whose OWN
+    index row is found (same id, identical signature — guaranteed
+    all-band collision) is a REPLAY and reports ``already_ingested``;
+    everything else is new and its minhash_index_rows belong in the
+    index. Replay safety matches incremental_exact_tick: re-delivered
+    batches never double-append.
 
     Shuffle budget: the index explodes its precomputed band_hashes along
     its scan (narrow) and broadcast-joins the batch's band rows — the
@@ -250,12 +280,21 @@ def incremental_minhash_tick(
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
     est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
-    idx_cands = (
+    raw = (
         ib.join(F.broadcast(bb), on=["band", "band_hash"])
         .select("doc_id", "idx_id", est.alias("est"))
         .where(F.col("est") >= threshold)
         .distinct()  # multiple colliding bands → one candidate row
+    ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
+    # A doc's OWN index row (same id, est 1.0) marks a replayed batch,
+    # not a duplicate; only OTHER docs are dup candidates.
+    replays = (
+        raw.where((F.col("idx_id") == F.col("doc_id")) & (F.col("est") == 1.0))
+        .select("doc_id")
+        .distinct()
+        .withColumn("__replay", F.lit(True))
     )
+    idx_cands = raw.where(F.col("idx_id") != F.col("doc_id"))
     idx_best = _best_match(idx_cands, "doc_id", "idx_id", "est")
 
     # Within-batch: earlier doc (lower id) is the representative.
@@ -293,12 +332,17 @@ def incremental_minhash_tick(
             how="left",
         )
         .join(F.broadcast(batch_best), on="doc_id", how="left")
+        .join(F.broadcast(replays), on="doc_id", how="left")
         .select(
             "doc_id",
             F.coalesce("__i_match", "__b_match").alias("dup_of"),
             F.when(F.col("__i_match").isNotNull(), F.col("__i_est"))
             .otherwise(F.col("__b_est"))
             .alias("est_jaccard"),
-            F.coalesce("__i_match", "__b_match").isNull().alias("is_new"),
+            (
+                F.coalesce("__i_match", "__b_match").isNull()
+                & ~F.coalesce("__replay", F.lit(False))
+            ).alias("is_new"),
+            F.coalesce("__replay", F.lit(False)).alias("already_ingested"),
         )
     )

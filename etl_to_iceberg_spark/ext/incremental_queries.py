@@ -58,7 +58,9 @@ def _batch_mod():  # 20% delta batch; rest is the index. (A function:
     )
     SELECT b.doc_id, b.fingerprint,
            coalesce(i.idx_id, b.batch_prior) AS dup_of,
-           (coalesce(i.idx_id, b.batch_prior) IS NULL) AS is_new
+           (coalesce(i.idx_id, b.batch_prior) IS NULL) AS is_new,
+           FALSE AS already_ingested  -- fixture batch ids are disjoint
+                                      -- from the index, so no replays
     FROM b LEFT JOIN idx i USING (fingerprint)
     """,
 )
@@ -81,6 +83,56 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = incremental_exact_tick(t.read(), docs.where(_batch_mod()))
     t.append(labeled.where("is_new").select("doc_id", "fingerprint"))
     return labeled
+
+
+@register(
+    "stream_incremental_dedup",
+    sql="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS fingerprint
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS dup_of,
+           (min(doc_id) OVER (PARTITION BY fingerprint ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) IS NULL) AS is_new,
+           FALSE AS already_ingested
+    FROM fp
+    """,
+)
+def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with durable dedup state: drain a document
+    drop through streaming/ingest.stream_incremental_dedup (foreachBatch
+    ticks against the persisted fingerprint index; labels MERGE by key)
+    and return the labels table. One AvailableNow drain = one reference
+    CDC tick with dedup state the reference has no analogue for. The
+    multi-batch/crash-replay behavior is pinned by
+    tests/test_fault_injection.py; this single-drain form is
+    deterministic, so it carries a full DuckDB oracle."""
+    import os
+    import tempfile
+
+    from etl_to_iceberg_spark.streaming.ingest import stream_incremental_dedup
+    from etl_to_iceberg_spark.tables import Catalog
+
+    docs = _load_balanced(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="e2is_sid_")
+    src = os.path.join(work, "incoming")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    cat = Catalog(spark, os.path.join(work, "wh"))
+    stream_incremental_dedup(
+        spark, src, fmt="parquet", schema=docs.schema,
+        checkpoint_dir=os.path.join(work, "_ckpt"), catalog=cat,
+        index_identifier="dedup.idx", labels_identifier="dedup.labels",
+    )
+    return cat.table("dedup.labels").read()
 
 
 @register("dedup_incremental_minhash", sql=None)  # xxhash64 sketch; oracle =

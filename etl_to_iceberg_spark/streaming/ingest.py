@@ -113,3 +113,74 @@ def ingest_available_now(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    fmt: str,
+    schema,
+    checkpoint_dir: str,
+    catalog: Catalog,
+    index_identifier: str,
+    labels_identifier: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 300.0,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with DURABLE exact-dedup state.
+
+    Each micro-batch runs ext/incremental.py's exact tick against the
+    persisted fingerprint index: novel docs' (doc_id, fingerprint) rows
+    append to ``index_identifier``; the full labeling (dup_of / is_new /
+    already_ingested) upserts into ``labels_identifier`` keyed by doc_id
+    when given. This is the steady-state 100 TB ingest shape: dedup
+    state lives in a table that survives restarts and is shared across
+    streams/backfills, not in stream operator state (contrast
+    ``dropDuplicatesWithinWatermark``, whose key state is bounded by the
+    watermark and private to one query).
+
+    Crash/replay safety needs NO transactional coupling between the
+    stream checkpoint and the table commits: foreachBatch is
+    at-least-once, and a re-delivered batch re-ticks against an index
+    that already absorbed it — every previously-new doc matches its own
+    index row, reports ``already_ingested``, and the index append is
+    empty; the labels write is an idempotent keyed MERGE. Killed
+    mid-drain, a restart resumes from the last committed micro-batch
+    with the index intact (tests/test_fault_injection.py).
+    """
+    from etl_to_iceberg_spark.ext.incremental import incremental_exact_tick
+
+    df = stream_files(
+        spark, source_dir, fmt, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        index = catalog.table(index_identifier)
+        idx_df = (
+            index.read()
+            if index.exists()
+            else spark.createDataFrame([], "doc_id long, fingerprint string")
+        )
+        labeled = incremental_exact_tick(
+            idx_df, batch_df, id_col=id_col, text_col=text_col
+        )
+        # The tick plan is consumed twice (index append + labels merge);
+        # it is batch-sized, so materialize once.
+        labeled = labeled.cache()
+        index.append(labeled.where("is_new").select("doc_id", "fingerprint"))
+        if labels_identifier is not None:
+            catalog.table(labels_identifier).merge(labeled, keys=["doc_id"])
+        labeled.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

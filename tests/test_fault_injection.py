@@ -262,6 +262,10 @@ class _TableProxy:
     def merge(self, df, **kw):
         self._gate(lambda: self._inner.merge(df, **kw))
 
+    def __getattr__(self, name):
+        # reads (read/exists/snapshots/...) pass through un-gated
+        return getattr(self._inner, name)
+
 
 class _CrashingCatalog(Catalog):
     """Catalog whose tables crash around the Nth micro-batch write —
@@ -360,3 +364,89 @@ def test_streaming_restart_upsert_idempotent_worst_case_crash(
     got = clean.table("stream.nation_ups").read()
     assert got.count() == nation.count()  # replayed batch did not duplicate
     assert got.select("n_nationkey").distinct().count() == nation.count()
+
+
+def test_streaming_incremental_dedup_survives_worst_case_crash(
+    spark, sf_dir, tmp_path
+):
+    """Streaming dedup with durable index state, killed in the NASTIEST
+    window: a micro-batch's index append lands, then the process dies
+    before the labels merge and before the checkpoint commit. The
+    restarted drain replays that batch at-least-once; the tick's replay
+    detection (docs matching their OWN index rows report
+    already_ingested, not is_new) must keep the index single-absorbed —
+    the durable-state analogue of MERGE idempotency."""
+    from etl_to_iceberg_spark.ext.dedup import exact_dedup
+    from etl_to_iceberg_spark.streaming.ingest import stream_incremental_dedup
+
+    src_dir = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "_ckpt")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 240)
+    )
+    n_files = 6
+    for i in range(n_files):
+        docs.where(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    # Each micro-batch = 1 index append + 1 labels merge; crash_on=5
+    # "after" dies right after batch 3's index append.
+    crashing = _CrashingCatalog(
+        spark, str(tmp_path / "wh"), crash_on=5, when="after"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        stream_incremental_dedup(
+            spark, src_dir, fmt="parquet", schema=docs.schema,
+            checkpoint_dir=ckpt, catalog=crashing,
+            index_identifier="dedup.idx", labels_identifier="dedup.labels",
+            max_files_per_trigger=1,
+        )
+    clean = Catalog(spark, str(tmp_path / "wh"))
+    partial = clean.table("dedup.idx").read().count()
+    assert partial > 0  # batch 3's append committed before the crash
+
+    stream_incremental_dedup(
+        spark, src_dir, fmt="parquet", schema=docs.schema,
+        checkpoint_dir=ckpt, catalog=clean,
+        index_identifier="dedup.idx", labels_identifier="dedup.labels",
+        max_files_per_trigger=1,
+    )
+
+    index = clean.table("dedup.idx").read().cache()
+    labels = clean.table("dedup.labels").read().cache()
+    n_docs = docs.count()
+    n_reps = exact_dedup(docs).count()
+
+    # every doc labeled exactly once; the index absorbed each fingerprint
+    # exactly once (no double-absorb through the crash/replay)
+    assert labels.count() == n_docs
+    assert labels.select("doc_id").distinct().count() == n_docs
+    assert index.count() == n_reps
+    assert index.select("fingerprint").distinct().count() == n_reps
+    assert index.select("doc_id").distinct().count() == n_reps
+    # representative accounting: is_new ∪ already_ingested = index docs
+    reps = labels.where("is_new OR already_ingested")
+    assert reps.count() == n_reps
+    assert (
+        reps.select("doc_id")
+        .exceptAll(index.select("doc_id"))
+        .count()
+        == 0
+    )
+    # every duplicate points at a doc holding the SAME fingerprint
+    dup_fp = (
+        labels.where("dup_of IS NOT NULL")
+        .alias("l")
+        .join(
+            index.alias("i"), F.col("l.dup_of") == F.col("i.doc_id"), "left"
+        )
+        .where(
+            F.col("i.doc_id").isNull()
+            | (F.col("l.fingerprint") != F.col("i.fingerprint"))
+        )
+    )
+    assert dup_fp.count() == 0
+    index.unpersist(); labels.unpersist()

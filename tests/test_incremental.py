@@ -88,8 +88,9 @@ def test_exact_tick_is_idempotent_through_the_table(spark, tmp_path):
 
     second = incremental_exact_tick(t.read(), batch).collect()
     assert all(not r.is_new for r in second)
-    got = {r.doc_id: r.dup_of for r in second}
-    assert got == {10: 1, 11: 11, 12: 11}
+    got = {r.doc_id: (r.dup_of, r.already_ingested) for r in second}
+    # Doc 11's own row is in the index now: a REPLAY, not a self-dup.
+    assert got == {10: (1, False), 11: (None, True), 12: (11, False)}
 
 
 def test_exact_tick_plan_never_shuffles_the_index(spark):
