@@ -136,6 +136,10 @@ def main() -> None:
         except ValueError:
             pass
 
+    # Like-for-like subtotal over the 17 queries BENCH_r01-r05 measured,
+    # so round-over-round comparison is not distorted by the composites
+    # added in r6 (`value` stays the full-set total).
+    r01_set = HEADLINE[:17]
     print(
         json.dumps(
             {
@@ -143,6 +147,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "r01_compat_total": round(
+                    sum(results[n] for n in r01_set if n in results), 3
+                ),
                 "sf": sf,
             }
         )

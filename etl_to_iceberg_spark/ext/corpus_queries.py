@@ -299,3 +299,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("purchased_after_click"),
     )
+
+
+@register(
+    "text_chunk_documents",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS nt,
+             greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT))
+                 AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, nt, unnest(range(n_chunks)) AS chunk_id FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+               list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+               ' ') AS chunk_text,
+           CAST(least(32, nt - chunk_id * 24) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    32-token chunks (stride 24; sized to the fixture's 10-100-token docs) — the dual of corpus_pack_sequences
+    (short docs pack UP to the window, long docs chunk DOWN into it).
+    One scan, pure Catalyst; the only shuffle-free explode in the
+    tokenization prep path."""
+    from etl_to_iceberg_spark.ext.text import chunk_documents
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_documents("text", chunk_tokens=32, overlap=8)),
+    ).select("doc_id", "col.chunk_id", "col.chunk_text", "col.n_tokens")

@@ -130,3 +130,40 @@ def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint = md5 of the normalized text
     (content-addressing for exact dedup and lineage)."""
     return F.md5(normalize_text(col))
+
+
+def chunk_documents(
+    col: Column | str, *, chunk_tokens: int = 128, overlap: int = 32
+) -> Column:
+    """Array of overlapping token-bounded chunks — the context-window
+    prep dual of pack_sequences (short docs pack UP to the window, long
+    docs chunk DOWN into it). Chunk i covers word tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the last chunk may be short; a doc at or under one window
+    yields exactly one chunk. Pure Catalyst (sequence/transform/slice
+    over the token array — one scan, no explode until the caller, no
+    Python), so at 100 TB chunking rides whole-stage codegen.
+
+    Returns array<struct<chunk_id int, chunk_text string, n_tokens
+    int>> — posexplode at the call site for one row per chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = words(normalize_text(col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride)
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )

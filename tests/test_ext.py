@@ -333,3 +333,49 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
         (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
     ).count()
     assert self_hits == 3
+
+
+def test_chunk_documents_covers_and_overlaps_exactly(spark):
+    """Chunking invariants: chunk 0 plus each later chunk minus its
+    `overlap` leading tokens reconstructs the token stream exactly; every
+    chunk except the last is full; short docs yield one chunk."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.text import chunk_documents
+
+    texts = [
+        (1, " ".join(f"tok{i}" for i in range(100))),
+        (2, " ".join(f"w{i}" for i in range(32))),   # exactly one window
+        (3, "short doc"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = (
+        df.select(
+            "doc_id",
+            F.posexplode(chunk_documents("text", chunk_tokens=32, overlap=8)),
+        )
+        .select("doc_id", "col.*")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    for doc_id, text in texts:
+        toks = text.split()
+        chunks = by_doc[doc_id]
+        # reconstruction
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            rebuilt.extend(c.chunk_text.split()[8:])
+        assert rebuilt == toks, doc_id
+        # all but the last chunk are full windows
+        assert all(c.n_tokens == 32 for c in chunks[:-1])
+        assert all(c.n_tokens == len(c.chunk_text.split()) for c in chunks if c.chunk_text)
+        if len(toks) <= 32:
+            assert len(chunks) == 1
+
+    with _pytest.raises(ValueError):
+        chunk_documents("text", chunk_tokens=16, overlap=16)
