@@ -503,6 +503,102 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- exact-substring span dedup --------------------------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 8,
+    min_span_tokens: int | None = None,
+    max_gram_freq: int | None = 64,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token SPANS shared across document pairs — the
+    span-level operator the set-similarity family can't express: two
+    documents with low overall Jaccard can still share a long verbatim
+    passage (a quoted license block, a syndicated paragraph) that a
+    training pipeline wants to find and trim.
+
+    Returns (id_a, id_b, a_start, b_start, span_tokens): for each doc
+    pair, every maximal run of ≥ ``min_span_tokens`` (default 2·gram_n)
+    identical consecutive word tokens, with its 0-based token offsets in
+    both docs.
+
+    Shape (all Catalyst, one pass per stage):
+    1. Position-stamped ``gram_n``-grams per doc (sequence/transform over
+       the token array — narrow).
+    2. Hot-gram cap: grams appearing in > ``max_gram_freq`` positions
+       corpus-wide are dropped (a boilerplate gram in f positions joins
+       f²/2 anchor pairs; same pathology — and same remedy — as LSH
+       bucket caps). The count window partitions on the join key, so the
+       cap rides the join's own exchange.
+    3. Anchor pairs: self equi-join on the gram key — hash-partitioned,
+       no cross product.
+    4. Maximal spans: within (id_a, id_b), anchors on one DIAGONAL
+       (pos_a − pos_b constant) with consecutive pos_a form one run —
+       classic gaps-and-islands: group on pos_a − row_number(), then
+       min/max per island. Span length = pos_a range + gram_n.
+
+    ``use_hash=True`` joins on xxhash64(gram) so the exchange carries
+    8 bytes per anchor instead of the gram text (the 100 TB posture; a
+    64-bit collision between distinct grams is ~n²/2⁶⁵ and could only
+    add a spurious anchor). The registered oracle joins on gram TEXT in
+    DuckDB; tests assert both key modes agree on the fixture.
+    """
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    if min_span_tokens is None:
+        min_span_tokens = 2 * gram_n
+    toks = words(normalize_text(F.col(text_col)))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+    grams = base.where(F.size("__t") >= gram_n).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - gram_n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, gram_n)),
+            )
+        ).alias("pos", "gram"),
+    )
+    key = F.xxhash64("gram").alias("__k") if use_hash else F.col("gram").alias("__k")
+    g = grams.select("__id", "pos", key)
+    if max_gram_freq is not None:
+        w = Window.partitionBy("__k")
+        g = (
+            g.withColumn("__f", F.count(F.lit(1)).over(w))
+            .where(F.col("__f") <= max_gram_freq)
+            .drop("__f")
+        )
+    a = g.select(F.col("__id").alias("id_a"), F.col("pos").alias("pos_a"), "__k")
+    b = g.select(F.col("__id").alias("id_b"), F.col("pos").alias("pos_b"), "__k")
+    anchors = a.join(b, on="__k").where(F.col("id_a") < F.col("id_b"))
+    wi = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    islands = anchors.withColumn(
+        "__grp", F.col("pos_a") - F.row_number().over(wi)
+    )
+    return (
+        islands.groupBy(
+            "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("__diag"), "__grp"
+        )
+        .agg(
+            F.min("pos_a").cast("int").alias("a_start"),
+            F.min("pos_b").cast("int").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + gram_n).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select("id_a", "id_b", "a_start", "b_start", "span_tokens")
+    )
+
+
 # --- connected components (dedup clusters) ---------------------------------
 
 

@@ -230,6 +230,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_exact_substring",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS pos
+      FROM t WHERE len(toks) >= 8
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram
+      FROM p
+    ),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+    gg AS (SELECT g.* FROM g JOIN f USING (gram)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM gg a JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id
+    ),
+    i AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b,
+                                        pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    )
+    SELECT id_a, id_b,
+           CAST(min(pos_a) AS INT) AS a_start,
+           CAST(min(pos_b) AS INT) AS b_start,
+           CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
+    FROM i
+    GROUP BY id_a, id_b, diag, grp
+    HAVING max(pos_a) - min(pos_a) + 8 >= 16
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup: maximal runs of ≥16 identical
+    consecutive word tokens shared across doc pairs (position-stamped
+    8-grams → hot-gram cap → anchor equi-join → diagonal gaps-and-islands
+    merge). Finds shared verbatim passages that whole-document set
+    similarity misses. The oracle joins on gram text; the Spark path
+    ships xxhash64(gram) — 8 B/anchor at 100 TB."""
+    from etl_to_iceberg_spark.ext.dedup import exact_substring_spans
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, gram_n=8, min_span_tokens=16)
+
+
 @register("dedup_minhash_lsh", sql=None)  # hash-bucket pipeline; oracle = planted-dup tests
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 32 seeded xxhash64 minhashes →

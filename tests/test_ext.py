@@ -379,3 +379,65 @@ def test_chunk_documents_covers_and_overlaps_exactly(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents("text", chunk_tokens=16, overlap=16)
+
+
+def test_exact_substring_spans_semantics(spark):
+    """Span dedup invariants: a planted shared passage is found ONCE as a
+    maximal span at the right offsets; short overlaps stay below
+    min_span_tokens; hash and text join keys agree; no cross product."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.dedup import exact_substring_spans
+
+    passage = " ".join(f"shared{i}" for i in range(20))  # 20-token passage
+    short = " ".join(f"tiny{i}" for i in range(10))      # 10 < min_span 16
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + passage + " delta epsilon"),
+            (2, "one two three four five " + passage + " six seven"),
+            (3, "unrelated words entirely " + short + " here now"),
+            (4, "other material with " + short + " also present"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(docs, gram_n=8, min_span_tokens=16).collect()
+    assert len(spans) == 1  # maximal: one span, not a run of sub-spans
+    s = spans[0]
+    assert (s.id_a, s.id_b) == (1, 2)
+    assert s.span_tokens == 20
+    assert s.a_start == 3 and s.b_start == 5  # 0-based token offsets
+
+    # text-key mode agrees with the hash-key default
+    spans_txt = exact_substring_spans(
+        docs, gram_n=8, min_span_tokens=16, use_hash=False
+    ).collect()
+    assert [tuple(r) for r in spans_txt] == [tuple(r) for r in spans]
+
+    from etl_to_iceberg_spark.plans import explain_str
+
+    plan = explain_str(exact_substring_spans(docs), "formatted")
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_hot_gram_cap_drops_boilerplate(spark):
+    """A passage repeated across MANY docs (boilerplate) exceeds
+    max_gram_freq and is dropped from anchoring — the quadratic-bucket
+    guard; a rare shared passage in the same corpus is still found."""
+    from etl_to_iceberg_spark.ext.dedup import exact_substring_spans
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rare = " ".join(f"r{i}" for i in range(16))
+    rows = [(i, f"doc number {i} says " + boiler) for i in range(50)]
+    rows += [(100, "prefix words " + rare), (101, "other prefix " + rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = exact_substring_spans(
+        docs, gram_n=8, min_span_tokens=16, max_gram_freq=16
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in spans}
+    assert pairs == {(100, 101)}  # boilerplate flood suppressed
+
+    uncapped = exact_substring_spans(
+        docs, gram_n=8, min_span_tokens=16, max_gram_freq=None
+    )
+    assert uncapped.where("id_a < 100").count() == 50 * 49 // 2
