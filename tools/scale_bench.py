@@ -21,6 +21,9 @@ QUERIES = [
     "text_unigram_logprob",
     "text_ngram_topk",
     "corpus_curate_v2",
+    # r6 additions: span-level dedup + chunking
+    "dedup_exact_substring",
+    "text_chunk_documents",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
