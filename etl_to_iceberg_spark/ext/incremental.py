@@ -135,6 +135,82 @@ def incremental_exact_tick(
     )
 
 
+# --- ANN (embedding) index -------------------------------------------------
+
+
+def ann_index_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding double[], bucket) — the vector's deterministic
+    random-hyperplane LSH bucket precomputed at ingest (same LCG planes
+    as ext/similarity.py, so buckets are engine-reproducible and the
+    whole incremental pipeline stays DuckDB-oracle-checkable)."""
+    from etl_to_iceberg_spark.ext.similarity import _hyperplane_sign, _to_double
+
+    v = _to_double(vec_col)
+    bucket = None
+    for p in range(planes):
+        bit = _hyperplane_sign(v, p, dim) * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        v.alias("embedding"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def incremental_ann_tick(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Search-then-insert ANN tick: top-k nearest INDEX vectors for each
+    batch vector, candidates restricted to the batch vector's LSH bucket,
+    exact cosine re-rank behind. Returns (query_id, vec_id, score, rank);
+    a batch vector whose bucket holds no index member yields no rows (an
+    LSH miss — raise `planes`' resolution or fall back to brute force).
+
+    Shuffle budget: the index is scanned once with its PRECOMPUTED bucket
+    column (no projection re-compute) and broadcast-joined by the batch's
+    bucket rows — the index never shuffles; only bucket-colliding
+    candidates (≈ |index| / 2^planes per query) enter the re-rank window.
+    The caller appends `ann_index_rows(batch)` afterwards (the insert
+    half), which writes only the batch."""
+    from etl_to_iceberg_spark.ext.similarity import cosine
+
+    brows = ann_index_rows(
+        batch, id_col=id_col, vec_col=vec_col, planes=planes, dim=dim
+    )
+    q = brows.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        "bucket",
+    )
+    scored = index.join(F.broadcast(q), on="bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__qv"), F.col("embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 # --- minhash ---------------------------------------------------------------
 
 

@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_to_iceberg_spark.ext.incremental import (
+    ann_index_rows,
     exact_index_rows,
+    incremental_ann_tick,
     incremental_exact_tick,
     incremental_minhash_tick,
     minhash_index_rows,
@@ -161,3 +163,71 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labeled
+
+
+@register(
+    "similarity_incremental_ann",
+    # Same fully-deterministic LCG-hyperplane oracle as similarity_ann_lsh,
+    # restricted to index (vec_id % 5 <> 4) vs batch (vec_id % 5 = 4).
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    proj AS (
+      SELECT b.vec_id, p.plane,
+             SUM(CASE WHEN ((((p.plane * 64 + d.i - 1) * 1103515245 + 12345)
+                             >> 16) & 1) = 1
+                      THEN CAST(b.e[d.i] AS DECIMAL(28,10))
+                      ELSE -CAST(b.e[d.i] AS DECIMAL(28,10)) END) AS s
+      FROM base b
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS plane) p
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY b.vec_id, p.plane
+    ),
+    bucket AS (
+      SELECT vec_id,
+             SUM(CASE WHEN s >= 0 THEN 1 << plane ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cands AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id
+      FROM bucket qb JOIN bucket cb ON qb.bucket = cb.bucket
+      WHERE qb.vec_id % 5 = 4 AND cb.vec_id % 5 <> 4
+    ),
+    scored AS (
+      SELECT cands.query_id, cands.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS score
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def similarity_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-then-insert ANN over a persisted embedding index: the 20%
+    batch queries the 80% index (bucket-restricted candidates, exact
+    cosine re-rank) and then appends its own rows — the vector analogue
+    of the incremental dedup ticks, completing the incremental family
+    across both modalities. Buckets are STORED, so a tick never
+    recomputes the corpus projection."""
+    emb = _load_balanced(spark, sf_dir, "embeddings")
+    batch_pred = F.col("vec_id") % 5 == 4
+    cat = seeded_clone(
+        spark,
+        "ann_lsh_index",
+        sf_dir,
+        lambda c: c.table("ann.index").append(
+            ann_index_rows(emb.where(~batch_pred))
+        ),
+    )
+    t = cat.table("ann.index")
+    batch = emb.where(batch_pred)
+    result = incremental_ann_tick(t.read(), batch, k=5)
+    t.append(ann_index_rows(batch))
+    return result

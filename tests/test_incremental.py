@@ -347,3 +347,77 @@ def test_registered_queries_run_and_agree_with_semantics(spark, sf_dir):
                     assert r.dup_of < r.doc_id
             else:
                 assert r.dup_of is None
+
+
+# --- ANN (embedding) -------------------------------------------------------
+
+
+def _vecs(spark, rows, dim=8):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_ann_tick_search_then_insert(spark, tmp_path):
+    """A batch vector identical to an index vector ranks it #1 with
+    score 1.0; after the insert half, a LATER tick can retrieve the
+    first batch's vectors — the index genuinely accretes."""
+    import numpy as np
+
+    from etl_to_iceberg_spark.ext.incremental import (
+        ann_index_rows,
+        incremental_ann_tick,
+    )
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = np.random.RandomState(7)
+    base = [(i, rng.randn(8)) for i in range(40)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("ann.idx")
+    t.append(ann_index_rows(_vecs(spark, base), planes=4, dim=8))
+
+    probe = _vecs(spark, [(100, base[3][1]), (101, rng.randn(8))])
+    res = {
+        r.query_id: r
+        for r in incremental_ann_tick(
+            t.read(), probe, k=3, planes=4, dim=8
+        ).collect()
+        if r.rank == 1
+    }
+    assert res[100].vec_id == 3 and res[100].score == 1.0
+    t.append(ann_index_rows(probe, planes=4, dim=8))
+
+    # a later probe of vector 100's value finds BOTH 3 and 100 now
+    probe2 = _vecs(spark, [(200, base[3][1])])
+    hits = {
+        r.vec_id
+        for r in incremental_ann_tick(
+            t.read(), probe2, k=3, planes=4, dim=8
+        ).collect()
+        if r.score == 1.0
+    }
+    assert {3, 100} <= hits
+    assert t.read().count() == 42
+
+
+def test_ann_tick_plan_index_never_shuffles(spark):
+    import numpy as np
+
+    from etl_to_iceberg_spark.ext.incremental import (
+        ann_index_rows,
+        incremental_ann_tick,
+    )
+    from etl_to_iceberg_spark.plans import explain_str
+
+    rng = np.random.RandomState(1)
+    index = ann_index_rows(
+        _vecs(spark, [(i, rng.randn(8)) for i in range(30)]), planes=4, dim=8
+    )
+    batch = _vecs(spark, [(100, rng.randn(8))])
+    plan = explain_str(
+        incremental_ann_tick(index, batch, k=3, planes=4, dim=8), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
