@@ -474,3 +474,32 @@ def maint_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.repartition(8))
     maintenance.cluster_zorder(t, ["o_custkey", "o_day"], target_file_size_mb=1)
     return t.read()
+
+
+@register(
+    "maint_partition_evolution",
+    sql="""
+    SELECT l_orderkey, l_quantity,
+           CAST(year(l_shipdate) AS INT) AS l_year, l_returnflag
+    FROM lineitem
+    WHERE year(l_shipdate) IN (1994, 1995)
+    """,
+)
+def maint_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition evolution (metadata-only; the reference
+    fixes partitioning at table creation, utils/catalog_manager.py:57-69):
+    1994 data lands under spec [l_year], the spec evolves to
+    [l_returnflag] in an O(1) commit, 1995 data lands under the new
+    layout, and one read serves both layouts — each commit dir recovers
+    its own Hive columns. At 100 TB evolving a spec costs one manifest
+    write, zero data movement."""
+    cat = _scratch(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity",
+        F.year("l_shipdate").cast("int").alias("l_year"), "l_returnflag",
+    )
+    t = cat.table("sales.li_spec_evo")
+    t.create(li.where(F.col("l_year") == 1994), partition_by=["l_year"])
+    t.evolve_partition_spec(["l_returnflag"])
+    t.append(li.where(F.col("l_year") == 1995))
+    return t.read()

@@ -640,6 +640,40 @@ class IceTable:
     def _partition_spec(self) -> list[str]:
         return self.snapshot().partition_by if self.exists() else []
 
+    def evolve_partition_spec(self, partition_by: list[str] | None) -> Snapshot:
+        """Iceberg-style partition evolution: a METADATA-ONLY commit that
+        changes the layout of FUTURE writes. Existing files keep their
+        old layout and stay readable as-is — each commit dir recovers its
+        own Hive partition columns via basePath (_read_snapshot), and a
+        column that stops being partitioned simply rides inside the new
+        files' parquet instead of their paths. O(1): no data rewrite, no
+        scan; incremental reads classify the commit as data-neutral (its
+        file list adds nothing unseen).
+
+        The reference can only set partitioning at table creation
+        (utils/catalog_manager.py:57-69); real Iceberg evolves specs the
+        same metadata-only way (v2 spec-id per manifest)."""
+        spec = [c.lower() for c in (partition_by or [])]
+        names = {f.name.lower() for f in self.schema().fields}
+        unknown = [c for c in spec if c not in names]
+        if unknown:
+            raise ValueError(
+                f"partition columns not in table schema: {unknown}"
+            )
+        prev = self.snapshot()
+        if spec == prev.partition_by:
+            return prev  # no-op: don't burn a version on an equal spec
+        version = self._next_version()
+        return self._commit(
+            "evolve-partition",
+            prev.files,
+            self.schema(),
+            spec,
+            summary={"previous_spec": prev.partition_by, "new_spec": spec},
+            tombstones=prev.tombstones,  # metadata-only: deletes still apply
+            version=version,
+        )
+
     def append(self, df: DataFrame) -> Snapshot:
         """Append (ref: sink_iceberg_append, ``oracle_to_iceberg_operator.py:121-122,147-155``).
         New files only; prior snapshot's files carried by reference.

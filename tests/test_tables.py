@@ -823,3 +823,87 @@ def test_cherrypick_rejects_rewrite_snapshots(cat, spark, sf_dir):
     maintenance.rollback(t, merge_v)                          # drop the extras
     maintenance.cherrypick(t, v4)                             # re-apply them
     assert t.read().count() == base + 2
+
+
+# --- partition-spec evolution ----------------------------------------------
+
+
+def test_partition_evolution_is_metadata_only_and_layouts_coexist(
+    spark, sf_dir, tmp_path
+):
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity",
+        F.year("l_shipdate").cast("int").alias("l_year"), "l_returnflag",
+    )
+    t = cat.table("s.li_evo")
+    t.create(li.where("l_year = 1994"), partition_by=["l_year"])
+    v1_files = {fe.path for fe in t.snapshot().files}
+
+    snap = t.evolve_partition_spec(["l_returnflag"])
+    assert snap.operation == "evolve-partition"
+    assert {fe.path for fe in snap.files} == v1_files  # metadata-only
+    assert t.snapshot().partition_by == ["l_returnflag"]
+
+    t.append(li.where("l_year = 1995"))  # laid out by the NEW spec
+    got = t.read()
+    expect = li.where("l_year IN (1994, 1995)")
+    assert got.count() == expect.count()
+    # both layouts' partition columns fully recovered
+    assert got.where("l_year IS NULL OR l_returnflag IS NULL").count() == 0
+    assert (
+        got.groupBy("l_year").count().orderBy("l_year").collect()
+        == expect.groupBy("l_year").count().orderBy("l_year").collect()
+    )
+
+    # incremental read across the evolve commit: data-neutral, no error
+    inc = t.incremental_read(1)
+    assert inc.count() == li.where("l_year = 1995").count()
+
+
+def test_partition_evolution_guards_and_rollback(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog, maintenance
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_evo")
+    t.create(region, partition_by=["r_regionkey"])
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.evolve_partition_spec(["no_such_col"])
+    # equal spec: no-op, no version burned
+    v = t.current_version()
+    t.evolve_partition_spec(["r_regionkey"])
+    assert t.current_version() == v
+
+    t.evolve_partition_spec([])  # un-partition future writes
+    assert t.snapshot().partition_by == []
+    maintenance.rollback(t, v)
+    assert t.snapshot().partition_by == ["r_regionkey"]  # spec restored
+
+
+def test_compact_after_partition_evolution_migrates_layout(
+    spark, sf_dir, tmp_path
+):
+    """Compaction rewrites with the CURRENT spec, so it doubles as the
+    on-demand migration path for pre-evolution files."""
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog, maintenance
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    nation = load_table(spark, sf_dir, "nation")
+    t = cat.table("s.n_evo_cmp")
+    t.create(nation, partition_by=["n_regionkey"])
+    t.evolve_partition_spec([])  # new spec: unpartitioned
+    maintenance.compact(t, target_file_size_mb=512)
+    snap = t.snapshot()
+    assert snap.operation == "replace" and snap.partition_by == []
+    # every live file now lives under the new (flat) layout
+    assert all("n_regionkey=" not in fe.path for fe in snap.files)
+    assert t.read().count() == nation.count()
