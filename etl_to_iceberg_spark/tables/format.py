@@ -729,6 +729,14 @@ class IceTable:
 
     def _read_with_path(self, snap: Snapshot) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if not snap.files:
+            # Empty table (e.g. a COW delete removed every file): MERGE
+            # degrades to insert-all, DELETE to a no-op — not an
+            # IndexError. Found by the randomized lifecycle sweep.
+            empty = T.StructType(
+                list(schema.fields) + [T.StructField("__file", T.StringType())]
+            )
+            return self.spark.createDataFrame([], empty)
         by_base: dict[str, list[str]] = {}
         for fe in snap.files:
             by_base.setdefault(fe.base, []).append(fe.path)

@@ -534,8 +534,8 @@ def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
     for _ in range(14):
         op = rng.choices(
             ["append", "overwrite", "delete_mor", "delete_cow",
-             "compact", "rollback", "expire"],
-            weights=[35, 10, 15, 10, 10, 15, 5],
+             "compact", "rollback", "expire", "evolve_spec"],
+            weights=[35, 10, 15, 10, 10, 15, 5, 10],
         )[0]
         if op == "append":
             rows = make_batch(rng.randrange(1, 8))
@@ -560,6 +560,12 @@ def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
                 model = list(states[v])
         elif op == "expire":
             maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=3)
+        elif op == "evolve_spec":
+            # Layout is invisible to the logical table: evolving the
+            # partition spec mid-history (including between a MOR delete
+            # and its compaction, or across a later rollback) must never
+            # change what reads return.
+            t.evolve_partition_spec(rng.choice([[], ["name"], ["v"]]))
         record()
         check()
 
@@ -617,8 +623,8 @@ def _lifecycle_program(spark, wh_dir: str, rng: random.Random) -> dict:
     for _ in range(rng.randint(2, 5)):
         op = rng.choices(
             ["append", "delete_mor", "delete_cow", "compact", "overwrite",
-             "expire"],
-            weights=[45, 15, 10, 12, 8, 10],
+             "expire", "evolve_spec"],
+            weights=[45, 15, 10, 12, 8, 10, 10],
         )[0]
         if op == "append":
             rows = batch(rng.randint(1, 5))
@@ -641,6 +647,10 @@ def _lifecycle_program(spark, wh_dir: str, rng: random.Random) -> dict:
             maintenance.expire_snapshots(
                 t, older_than_ms=2**62, retain_last=rng.randint(2, 4)
             )
+        elif op == "evolve_spec":
+            # data-neutral: delivers no rows in any incremental range and
+            # never makes a clean range count as rewritten
+            t.evolve_partition_spec(rng.choice([[], ["name"], ["v"]]))
 
     # full-table parity after the composed program
     assert sorted(tuple(r) for r in t.read().collect()) == sorted(model)

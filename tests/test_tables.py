@@ -907,3 +907,28 @@ def test_compact_after_partition_evolution_migrates_layout(
     # every live file now lives under the new (flat) layout
     assert all("n_regionkey=" not in fe.path for fe in snap.files)
     assert t.read().count() == nation.count()
+
+
+def test_merge_and_delete_on_emptied_table(spark, sf_dir, tmp_path):
+    """A ZERO-FILE snapshot (fresh explicit-schema table; also reachable
+    when Spark writes no part files for an emptied table) must support
+    MERGE (insert-all) and DELETE (no-op), not crash with IndexError in
+    _read_with_path. Found by the randomized lifecycle sweep."""
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.r_emptied")
+    t.create(region)
+    # Whether Spark emits a 0-row part file for an empty write is
+    # plan-dependent; commit the zero-file snapshot directly (the state
+    # the sweep reached) so the repro is deterministic.
+    t._commit("delete", [], t.schema(), [], summary={"mode": "cow"})
+    assert t.read().count() == 0 and not t.snapshot().files
+
+    t.delete_where("r_regionkey = 1", mode="cow")  # no-op, no crash
+    assert t.read().count() == 0
+
+    t.merge(region, keys=["r_regionkey"])  # all rows insert
+    assert t.read().count() == region.count()
