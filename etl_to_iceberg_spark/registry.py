@@ -71,8 +71,12 @@ _CHANGED_THIS_ROUND = [
     "text_unigram_logprob",
     # iterates only edge-incident nodes; isolated rejoin as singletons
     "dedup_connected_components",
-    # merge delete-clause logical keys now from touched-file sub-snapshot
+    # merge delete-clause logical keys now from touched-file sub-snapshot;
+    # zero-file-snapshot guard in _read_with_path; nullability-widening
+    # schema evolution on the append path
     "merge_keyed_upsert",
+    "delete_where",
+    "sink_iceberg_append",
     # expiry/orphan ownership checks resolve symlinks (realpath)
     "maint_expire_snapshots",
     # LCG hyperplanes + decimal projection; upgraded rows-only -> oracle
