@@ -781,3 +781,64 @@ def test_schema_evolution_randomized_sweep(spark, tmp_path, seed):
             t.delete_where("v < 20", mode="mor")
             model = {k: r for k, r in model.items() if not r["v"] < 20}
         check()
+
+
+# --- exact-substring spans vs a brute-force Python model -------------------
+
+
+def _py_spans(docs: dict[int, list[str]], n: int, min_span: int):
+    """Brute-force model: all maximal diagonal runs of matching n-grams
+    between each doc pair, as (id_a, id_b, a_start, b_start, span)."""
+    out = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = docs[a], docs[b]
+            ga = {i: tuple(ta[i:i + n]) for i in range(len(ta) - n + 1)}
+            gb = {j: tuple(tb[j:j + n]) for j in range(len(tb) - n + 1)}
+            anchors = {
+                (i, j) for i, g in ga.items() for j, h in gb.items() if g == h
+            }
+            # maximal diagonal runs
+            for (i, j) in anchors:
+                if (i - 1, j - 1) in anchors:
+                    continue  # not a run start
+                k = 0
+                while (i + k + 1, j + k + 1) in anchors:
+                    k += 1
+                span = k + n
+                if span >= min_span:
+                    out.add((a, b, i, j, span))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_exact_substring_spans_match_python_model(spark, seed):
+    """Randomized docs over a tiny vocabulary (heavy accidental n-gram
+    overlap) — Spark's capped-join + gaps-and-islands span merge must
+    produce EXACTLY the brute-force model's maximal spans."""
+    from etl_to_iceberg_spark.ext.dedup import exact_substring_spans
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(6, 40))]
+        for i in range(10)
+    }
+    # plant one long shared run to guarantee non-trivial cases
+    shared = [rng.choice(vocab) for _ in range(12)]
+    docs[3] = docs[3][:4] + shared + docs[3][4:]
+    docs[7] = shared + docs[7][:6]
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+        for r in exact_substring_spans(
+            df, gram_n=4, min_span_tokens=6, max_gram_freq=None
+        ).collect()
+    }
+    expect = _py_spans(docs, n=4, min_span=6)
+    assert got == expect
