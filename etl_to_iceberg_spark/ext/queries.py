@@ -850,3 +850,51 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, tokens_col="n_tokens", group_col="source", budget=512
     )
+
+
+@register(
+    "multimodal_byte_segments",
+    # DuckDB has no BLOB substring, so the oracle computes each segment's
+    # offset/length arithmetically; Spark measures octet_length of the
+    # REAL binary slice — equality proves the slicing is byte-exact.
+    sql="""
+    SELECT doc_id AS media_id,
+           CAST(s AS INT) AS seg_no,
+           CAST(s * 128 AS BIGINT) AS seg_offset,
+           CAST(least(128, octet_length(encode(text)) - s * 128) AS INT)
+               AS seg_len
+    FROM documents,
+         UNNEST(range(CAST(ceil(octet_length(encode(text)) / 128.0) AS INT)))
+             AS t(s)
+    """,
+)
+def multimodal_byte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size byte segmentation of binary media — the chunked-upload /
+    windowed-decode prep step (segment a blob BEFORE shipping it to a
+    Pandas-UDF decoder so one 4 GB video never pins one task). Pure
+    Catalyst: sequence+posexplode for segment numbers, SQL substring on
+    the binary column for the actual slice; seg_len is measured from the
+    sliced bytes, not inferred."""
+    docs = _load_balanced(spark, sf_dir, "documents")
+    seg = 128
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    blen = F.length("content")
+    n_segs = F.ceil(blen.cast("double") / seg).cast("int")
+    return (
+        media.select(
+            "media_id",
+            "content",
+            F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_no", "_"),
+        )
+        .select(
+            "media_id",
+            F.col("seg_no").cast("int").alias("seg_no"),
+            (F.col("seg_no").cast("bigint") * seg).alias("seg_offset"),
+            F.length(
+                F.expr(f"substring(content, seg_no * {seg} + 1, {seg})")
+            ).cast("int").alias("seg_len"),
+        )
+    )

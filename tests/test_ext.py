@@ -441,3 +441,32 @@ def test_exact_substring_hot_gram_cap_drops_boilerplate(spark):
         docs, gram_n=8, min_span_tokens=16, max_gram_freq=None
     )
     assert uncapped.where("id_a < 100").count() == 50 * 49 // 2
+
+
+def test_byte_segments_reconstruct_content(spark):
+    """Concatenating a doc's byte segments in order must reproduce the
+    original UTF-8 payload exactly (segmentation loses nothing, overlaps
+    nothing) — including multi-byte codepoints split across boundaries."""
+    from pyspark.sql import functions as F
+
+    texts = [(1, "héllo wörld " * 40), (2, "short"), (3, "")]
+    df = spark.createDataFrame(texts, "media_id long, text string")
+    seg = 32
+    media = df.select("media_id", F.col("text").cast("binary").alias("content"))
+    n = F.ceil(F.length("content").cast("double") / seg).cast("int")
+    parts = (
+        media.select(
+            "media_id", "content",
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("seg_no", "_"),
+        )
+        .select(
+            "media_id", "seg_no",
+            F.expr(f"substring(content, seg_no * {seg} + 1, {seg})").alias("b"),
+        )
+        .collect()
+    )
+    rebuilt: dict[int, bytes] = {}
+    for r in sorted(parts, key=lambda r: (r.media_id, r.seg_no)):
+        rebuilt[r.media_id] = rebuilt.get(r.media_id, b"") + bytes(r.b)
+    for mid, text in texts:
+        assert rebuilt.get(mid, b"") == text.encode("utf-8")
