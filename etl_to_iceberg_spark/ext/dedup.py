@@ -599,6 +599,67 @@ def exact_substring_spans(
     )
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 8,
+    min_span_tokens: int | None = None,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """Span-level dedup that actually TRIMS: for every duplicated span
+    found by :func:`exact_substring_spans`, remove the covered tokens
+    from the LATER doc of the pair (id_a < id_b keeps the earliest
+    occurrence). Returns one row per input doc: (id, text_clean,
+    kept_tokens, removed_tokens) — ``text_clean`` is the doc's
+    NORMALIZED token stream with covered positions dropped (span dedup
+    operates in token space; reconstruction is token-joined, not the
+    raw original text).
+
+    Coverage is positional — a token at position p is removed iff ANY
+    span interval covers p — so overlapping spans need no interval
+    merging and the semantics mirror 1:1 into SQL. The per-doc interval
+    list is span-count-bounded (collect_list after the span pipeline's
+    frequency cap), then token filtering is a pure Catalyst
+    filter/transform over the token array: one scan of the corpus after
+    the span join."""
+    spans = exact_substring_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        gram_n=gram_n,
+        min_span_tokens=min_span_tokens,
+        max_gram_freq=max_gram_freq,
+    )
+    per_doc = spans.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.collect_list(F.struct("b_start", "span_tokens")).alias("__ivs")
+    )
+    toks = words(normalize_text(F.col(text_col)))
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__ivs"),
+        lambda iv: (p >= iv["b_start"]) & (p < iv["b_start"] + iv["span_tokens"]),
+    )
+    base = df.join(F.broadcast(per_doc), on=id_col, how="left").select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.coalesce(
+            "__ivs", F.array().cast("array<struct<b_start:int,span_tokens:int>>")
+        ).alias("__ivs"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("__t") - 1), lambda p: ~covered(p)
+    )
+    return base.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at("__t", p + 1))
+        ).alias("text_clean"),
+        F.size(kept).cast("int").alias("kept_tokens"),
+        (F.size("__t") - F.size(kept)).cast("int").alias("removed_tokens"),
+    )
+
+
 # --- connected components (dedup clusters) ---------------------------------
 
 

@@ -898,3 +898,74 @@ def multimodal_byte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("seg_len"),
         )
     )
+
+
+@register(
+    "text_trim_duplicate_spans",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS pos
+      FROM t WHERE len(toks) >= 8
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram
+      FROM p
+    ),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+    gg AS (SELECT g.* FROM g JOIN f USING (gram)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM gg a JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id
+    ),
+    i AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b,
+                                        pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT id_b AS doc_id, min(pos_b) AS b_start,
+             max(pos_a) - min(pos_a) + 8 AS span_tokens
+      FROM i GROUP BY id_a, id_b, diag, grp
+      HAVING max(pos_a) - min(pos_a) + 8 >= 16
+    ),
+    ivs AS (
+      SELECT doc_id,
+             list(struct_pack(b_start := b_start,
+                              span_tokens := span_tokens)) AS ivs
+      FROM spans GROUP BY doc_id
+    ),
+    k AS (
+      SELECT t.doc_id, t.toks,
+             CASE WHEN i.ivs IS NULL THEN range(len(t.toks))
+                  ELSE list_filter(range(len(t.toks)),
+                       p -> len(list_filter(i.ivs,
+                            iv -> p >= iv.b_start
+                                  AND p < iv.b_start + iv.span_tokens)) = 0)
+             END AS kept
+      FROM t LEFT JOIN ivs i USING (doc_id)
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_transform(kept, p -> toks[p + 1]),
+                                    ' '), '') AS text_clean,
+           CAST(len(kept) AS INT) AS kept_tokens,
+           CAST(len(toks) - len(kept) AS INT) AS removed_tokens
+    FROM k
+    """,
+)
+def text_trim_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup that TRIMS: duplicated passages (≥16 identical
+    consecutive tokens shared with an earlier doc) are removed from the
+    later doc; the earliest occurrence survives. One row per doc with
+    the cleaned token stream and removal accounting — the
+    Lee-et-al-style repetition removal whole-document dedup can't do."""
+    from etl_to_iceberg_spark.ext.dedup import trim_duplicate_spans
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    return trim_duplicate_spans(docs, gram_n=8, min_span_tokens=16)

@@ -470,3 +470,43 @@ def test_byte_segments_reconstruct_content(spark):
         rebuilt[r.media_id] = rebuilt.get(r.media_id, b"") + bytes(r.b)
     for mid, text in texts:
         assert rebuilt.get(mid, b"") == text.encode("utf-8")
+
+
+def test_trim_duplicate_spans_removes_later_copy(spark):
+    """The later doc loses exactly the shared passage; the earlier doc is
+    untouched; a doc fully contained in an earlier one trims to empty;
+    and the trimmed corpus is span-free (fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.dedup import (
+        exact_substring_spans,
+        trim_duplicate_spans,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + passage + " delta epsilon"),
+            (2, "one two three four five " + passage + " six seven"),
+            (3, passage),  # fully contained in doc 1's passage
+            (4, "totally unrelated words about nothing in particular here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trim_duplicate_spans(
+            docs, gram_n=8, min_span_tokens=16
+        ).collect()
+    }
+    assert out[1].removed_tokens == 0  # earliest occurrence survives
+    assert out[1].text_clean.startswith("alpha beta gamma shared0")
+    assert out[2].removed_tokens == 20
+    assert out[2].text_clean == "one two three four five six seven"
+    assert out[3].text_clean == "" and out[3].kept_tokens == 0
+    assert out[4].removed_tokens == 0
+
+    cleaned = spark.createDataFrame(
+        [(k, v.text_clean) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert exact_substring_spans(cleaned, gram_n=8, min_span_tokens=16).count() == 0
