@@ -510,3 +510,43 @@ def test_trim_duplicate_spans_removes_later_copy(spark):
         [(k, v.text_clean) for k, v in out.items()], "doc_id long, text string"
     )
     assert exact_substring_spans(cleaned, gram_n=8, min_span_tokens=16).count() == 0
+
+
+@pytest.mark.parametrize("chunk_tokens,overlap", [(32, 8), (16, 0), (10, 9)])
+def test_chunk_documents_params_reconstruct(spark, chunk_tokens, overlap):
+    """Reconstruction invariant across parameter corners: any
+    (chunk_tokens, overlap) with 0 <= overlap < chunk_tokens rebuilds
+    the exact token stream, including zero overlap and maximal overlap
+    (stride 1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.text import chunk_documents
+
+    rng = random.Random(chunk_tokens * 100 + overlap)
+    texts = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 70))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = (
+        df.select(
+            "doc_id",
+            F.posexplode(
+                chunk_documents("text", chunk_tokens=chunk_tokens, overlap=overlap)
+            ),
+        )
+        .select("doc_id", "col.*")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts:
+        toks = text.split()
+        chunks = by_doc[doc_id]
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            rebuilt.extend(c.chunk_text.split()[overlap:])
+        assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
