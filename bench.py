@@ -51,6 +51,8 @@ HEADLINE = [
     # the persisted signature index (tick cost must stay flat as the
     # corpus grows; see tools/incremental_scale.py + SCALING.md).
     "dedup_incremental_minhash",
+    # r6: span-level dedup (anchor join + gaps-and-islands merge)
+    "dedup_exact_substring",
 ]
 
 
