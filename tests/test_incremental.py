@@ -421,3 +421,65 @@ def test_ann_tick_plan_index_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_concurrent_exact_ticks_serialize_and_stay_consistent(spark, tmp_path):
+    """Two ingest workers tick disjoint batches against the SAME index
+    concurrently with retry-on-conflict. Appends serialize via the
+    optimistic commit; if both workers sketch the same novel content
+    before either lands, the index may hold two entries for one
+    fingerprint — the documented union semantics — and every later tick
+    must still resolve to the deterministic (min-id) representative."""
+    import threading
+
+    from etl_to_iceberg_spark.tables import Catalog
+    from etl_to_iceberg_spark.tables.format import CommitConflictError
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("dedup.fp_conc")
+    t.append(exact_index_rows(_docs(spark, [(1, LOREM)])))
+
+    batches = {
+        "A": [(10, OTHER), (11, LOREM)],
+        "B": [(20, OTHER), (21, "a third distinct document")],
+    }
+    errors: list[str] = []
+
+    def worker(name):
+        handle = cat.table("dedup.fp_conc")
+        batch = _docs(spark, batches[name])
+        for _ in range(20):
+            labeled = incremental_exact_tick(handle.read(), batch)
+            rows = labeled.where("is_new").select("doc_id", "fingerprint")
+            try:
+                handle.append(rows)
+                return
+            except CommitConflictError:
+                continue  # re-tick against the refreshed index
+        errors.append(f"worker {name} exhausted retries")
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in batches]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    idx = cat.table("dedup.fp_conc").read().collect()
+    by_fp: dict[str, list[int]] = {}
+    for r in idx:
+        by_fp.setdefault(r.fingerprint, []).append(r.doc_id)
+    # LOREM was pre-seeded, so 11 was a dup and never appended; OTHER may
+    # hold one or two entries depending on interleaving; the third doc is
+    # unique to B.
+    assert by_fp[
+        exact_index_rows(_docs(spark, [(1, LOREM)])).collect()[0].fingerprint
+    ] == [1]
+    other_fp = exact_index_rows(_docs(spark, [(0, OTHER)])).collect()[0].fingerprint
+    assert set(by_fp[other_fp]) <= {10, 20} and by_fp[other_fp]
+
+    # deterministic representative for a later tick, whatever landed
+    later = incremental_exact_tick(
+        cat.table("dedup.fp_conc").read(), _docs(spark, [(30, OTHER)])
+    ).collect()[0]
+    assert later.dup_of == min(by_fp[other_fp]) and not later.is_new
