@@ -1,10 +1,12 @@
-"""Registry queries for incremental dedup (ext/incremental.py).
+"""Registry queries for the incremental index family (ext/incremental.py):
+exact and minhash dedup ticks, the streaming dedup drain, and the
+search-then-insert ANN tick.
 
-Both queries drive the REAL tick cycle against a managed index table:
-seed the index from the "already ingested" 80% of documents (doc_id % 5
-!= 4), run one tick over the remaining 20% batch, persist the surviving
-rows back to the index, and return the batch labeling. The seeded
-pristine warehouse + shallow-clone-per-run pattern mirrors
+Each batch-tick query drives the REAL cycle against a managed index
+table: seed the index from the "already ingested" 80% of the fixture
+(id % 5 != 4), run one tick over the remaining 20% batch, persist the
+surviving rows back to the index, and return the tick's output. The
+seeded pristine warehouse + shallow-clone-per-run pattern mirrors
 operators/table_queries.py: repeated runs (bench loops, driver retries)
 time the tick, not re-seeding, and each run's append mutates a private
 clone.
