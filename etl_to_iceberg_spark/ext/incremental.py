@@ -309,6 +309,7 @@ def incremental_minhash_tick(
     shingle_n: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Label a batch against the minhash index.
 
@@ -327,10 +328,18 @@ def incremental_minhash_tick(
     Shuffle budget: the index explodes its precomputed band_hashes along
     its scan (narrow) and broadcast-joins the batch's band rows — the
     index never shuffles and its ``sig`` travels only for colliding
-    bucket rows. The within-batch self-join is batch×batch with one side
-    broadcast. Candidate verification is pure column arithmetic on the
-    signatures already in hand (sig_est_jaccard) — no text re-read.
+    bucket rows. The within-batch self-join runs on signature
+    REPRESENTATIVES only (identical-sig docs collapse to their earliest
+    member — the flood guard of the batch LSH pipeline, applied per
+    tick) with residual buckets capped at ``max_bucket_size``; both
+    sides broadcast batch-sized data. Candidate verification is pure
+    column arithmetic on the signatures already in hand
+    (sig_est_jaccard) — no text re-read. The index needs no cap: it
+    only ever absorbs novel (is_new) content, so a flood contributes
+    one row per tick to the index, forever.
     """
+    from etl_to_iceberg_spark.ext.dedup import _cap_buckets
+
     # The batch sketch feeds FOUR consumers (index-candidate broadcast,
     # both sides of the within-batch self-join, and the result id spine);
     # uncached, each broadcast/branch re-runs the k×|shingles| signature
@@ -344,7 +353,26 @@ def incremental_minhash_tick(
         shingle_n=shingle_n,
         bands=bands,
     ).cache()
-    bb = brows.select(
+    # Exact-signature collapse (same flood guard as the batch LSH
+    # pipeline): batch docs with IDENTICAL signatures collapse to their
+    # earliest member; the twins label directly (est 1.0 → the rep, or
+    # the rep's index match — identical sigs see identical candidates)
+    # and never enter the banded joins, so 10k boilerplate copies in one
+    # tick contribute ONE row to every join instead of a 10k² bucket.
+    sig_key = F.xxhash64(
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+    )
+    wk = Window.partitionBy("__sk").orderBy("doc_id")
+    marked = (
+        brows.withColumn("__sk", sig_key)
+        .withColumn("__rep", F.first("doc_id").over(wk))
+        .cache()
+    )
+    reps = marked.where(F.col("doc_id") == F.col("__rep"))
+    twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
+        "doc_id", "__rep"
+    )
+    bb = reps.select(
         "doc_id",
         "sig",
         F.posexplode("band_hashes").alias("band", "band_hash"),
@@ -373,14 +401,17 @@ def incremental_minhash_tick(
     idx_cands = raw.where(F.col("idx_id") != F.col("doc_id"))
     idx_best = _best_match(idx_cands, "doc_id", "idx_id", "est")
 
-    # Within-batch: earlier doc (lower id) is the representative.
-    later = bb.select(
+    # Within-batch (representatives only): earlier doc is preferred. The
+    # residual-bucket cap bounds near-identical (not byte-identical)
+    # floods, exactly like lsh_candidate_pairs.
+    bbc = _cap_buckets(bb, ["band", "band_hash"], max_bucket_size)
+    later = bbc.select(
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
     )
     est_ab = F.round(sig_est_jaccard("sig_b", "sig"), 6)
     batch_cands = (
         later.join(
-            F.broadcast(bb.select("doc_id", "sig", "band", "band_hash")),
+            F.broadcast(bbc.select("doc_id", "sig", "band", "band_hash")),
             on=["band", "band_hash"],
         )
         .where(F.col("doc_id") < F.col("id_b"))
@@ -394,9 +425,9 @@ def incremental_minhash_tick(
         F.col("est").alias("__b_est"),
     )
 
-    ids = brows.select("doc_id")
-    return (
-        ids.join(
+    rep_labels = (
+        reps.select("doc_id")
+        .join(
             F.broadcast(
                 idx_best.select(
                     "doc_id",
@@ -422,3 +453,27 @@ def incremental_minhash_tick(
             F.coalesce("__replay", F.lit(False)).alias("already_ingested"),
         )
     )
+    # Twins inherit their rep's index decision (identical signature ⇒
+    # identical index candidates); with no index match they dup to the
+    # rep at est 1.0. Never new: the rep carries the novel content.
+    twin_labels = (
+        twins.join(
+            F.broadcast(
+                idx_best.select(
+                    F.col("doc_id").alias("__rep"),
+                    F.col("match_id").alias("__i_match"),
+                    F.col("est").alias("__i_est"),
+                )
+            ),
+            on="__rep",
+            how="left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("__i_match", "__rep").alias("dup_of"),
+            F.coalesce("__i_est", F.lit(1.0)).alias("est_jaccard"),
+            F.lit(False).alias("is_new"),
+            F.lit(False).alias("already_ingested"),
+        )
+    )
+    return rep_labels.unionByName(twin_labels)

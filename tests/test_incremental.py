@@ -483,3 +483,25 @@ def test_concurrent_exact_ticks_serialize_and_stay_consistent(spark, tmp_path):
         cat.table("dedup.fp_conc").read(), _docs(spark, [(30, OTHER)])
     ).collect()[0]
     assert later.dup_of == min(by_fp[other_fp]) and not later.is_new
+
+
+def test_minhash_tick_flood_batch_is_collapsed(spark):
+    """10k byte-identical docs arriving in ONE tick: the within-batch
+    join must see one representative (not a 10k² bucket), every twin
+    labels to the earliest member at est 1.0, the rep is the single
+    is_new row, and the planted near-dup pair is still caught."""
+    boiler = "terms of service apply to all users of this site " * 6
+    rows = [(i, boiler) for i in range(10_000)]
+    rows.append((20_000, _perturb(LOREM)))
+    batch = _docs(spark, rows)
+    index = minhash_index_rows(_docs(spark, [(1, LOREM)]))
+
+    out = incremental_minhash_tick(index, batch, threshold=0.4)
+    labeled = {r.doc_id: r for r in out.collect()}
+    assert len(labeled) == 10_001
+    assert labeled[0].is_new  # flood representative
+    twins = [r for i, r in labeled.items() if 0 < i < 10_000]
+    assert all(r.dup_of == 0 and r.est_jaccard == 1.0 for r in twins)
+    assert sum(r.is_new for r in labeled.values()) <= 2  # rep + maybe near-dup
+    # the near-dup of the indexed doc is still caught across the flood
+    assert labeled[20_000].dup_of == 1 and not labeled[20_000].is_new
