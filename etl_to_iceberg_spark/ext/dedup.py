@@ -710,20 +710,24 @@ def connected_components(
     "one doc per matched pair" under-deletes; one doc per component is
     the production semantics.
 
-    Scale shape: each round is two shuffles — (1) edges join labels on dst,
-    groupBy src takes the min neighbor label, and nodes fold it in with
-    ``least``; (2) POINTER DOUBLING — every node then jumps to its
-    label's label (labels self-joined), so label chains halve each round
-    and convergence is O(log diameter) rounds, not O(diameter): a
-    10M-node path converges in ~24 rounds where pure neighbor
-    propagation would need 10M (and would silently return a
-    half-propagated labeling when ``max_iterations`` ran out). Each
-    round is RELIABLY checkpointed (``df.checkpoint()`` to the session's
-    checkpoint dir) so (a) the plan doesn't grow exponentially and
-    (b) a lost executor mid-fixpoint recomputes from durable storage
-    instead of killing the whole job — ``localCheckpoint`` keeps blocks
-    only in executor memory, which is not survivable on a real cluster.
-    The driver-side loop is inherent to iterative fixpoints (same as
+    Scale shape: each round is (1) edges join labels on dst, groupBy src
+    takes the min neighbor label, and nodes fold it in with ``least``;
+    (2) POINTER DOUBLING — every node jumps to its label's label (a
+    self-join of the label table, which is tiny next to the edge
+    relation), so label chains halve each round and convergence is
+    O(log diameter) rounds, not O(diameter): a 10M-node path converges
+    in ~24 rounds where pure neighbor propagation would need 10M (and
+    would silently return a half-propagated labeling when
+    ``max_iterations`` ran out). Each round is RELIABLY checkpointed
+    (``df.checkpoint()`` to the session's checkpoint dir) so (a) the
+    plan doesn't grow exponentially and (b) a lost executor
+    mid-fixpoint recomputes from durable storage instead of killing the
+    whole job — ``localCheckpoint`` keeps blocks only in executor
+    memory, which is not survivable on a real cluster. The round's OLD
+    label rides the checkpointed frame as ``__old``, so termination
+    detection is a trivial scan of the checkpoint (label != __old,
+    limit 1) instead of a per-round join of two label tables. The
+    driver-side loop is inherent to iterative fixpoints (same as
     GraphX/Pregel); everything inside the loop is distributed. (The
     large-star/small-star rounds of Kiveris et al. are the same idea
     with edge-set rewriting; label-side doubling keeps the edge relation
@@ -762,12 +766,18 @@ def connected_components(
             nbr_min, labels.node == nbr_min.e_src, "left_outer"
         ).select(
             "node",
+            F.col("label").alias("__old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
         # Pointer doubling: jump each node to its label's label. Chains
-        # halve per round — O(log diameter) total rounds.
+        # halve per round — O(log diameter) total rounds. ONE hop per
+        # round: multi-hop in-round compression was measured twice and
+        # lost both ways (see SCALING.md negative results) — nesting the
+        # raw plan blows up Catalyst size estimation, and hopping over an
+        # intermediate checkpoint trades one round for three extra
+        # stages' scheduling overhead per round.
         hop = propagated.select(
             F.col("node").alias("h_node"), F.col("label").alias("h_label")
         )
@@ -776,19 +786,18 @@ def connected_components(
                 hop, propagated.label == hop.h_node, "left_outer"
             ).select(
                 "node",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("h_label"), F.col("label"))
                 ).alias("label"),
             )
         )
+        # __old rides the checkpointed frame: termination is a scan of
+        # durable data, not a join of two label tables.
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if stats is not None:
