@@ -640,16 +640,24 @@ def trim_duplicate_spans(
         F.col("__ivs"),
         lambda iv: (p >= iv["b_start"]) & (p < iv["b_start"] + iv["span_tokens"]),
     )
-    base = df.join(F.broadcast(per_doc), on=id_col, how="left").select(
+    # No broadcast hint: per_doc has one row per doc WITH any duplicated
+    # span — corpus-sized in the worst case (pairwise-syndicated corpora),
+    # far beyond the 8 GB broadcast ceiling. AQE broadcasts it when it is
+    # actually small; otherwise this is a plain doc_id equi-join.
+    base = df.join(per_doc, on=id_col, how="left").select(
         F.col(id_col),
         toks.alias("__t"),
         F.coalesce(
             "__ivs", F.array().cast("array<struct<b_start:int,span_tokens:int>>")
         ).alias("__ivs"),
     )
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size("__t") - 1), lambda p: ~covered(p)
-    )
+    # Guard the empty-token case: sequence(0, -1) is the DESCENDING array
+    # [0, -1], so an un-guarded position list would index into the empty
+    # token array and abort the job on any punctuation-only/empty doc.
+    positions = F.when(
+        F.size("__t") > 0, F.sequence(F.lit(0), F.size("__t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(positions, lambda p: ~covered(p))
     return base.select(
         F.col(id_col),
         F.concat_ws(

@@ -180,6 +180,14 @@ def incremental_ann_tick(
     a batch vector whose bucket holds no index member yields no rows (an
     LSH miss — raise `planes`' resolution or fall back to brute force).
 
+    Replay safety (same at-least-once posture as the dedup ticks): a
+    query's OWN index row — present when a redelivered batch already
+    completed its insert half — is excluded from the candidates, so a
+    replay cannot self-match at cosine 1.0 and displace a true neighbor
+    from the top-k. The insert half stays idempotent on the caller side
+    by anti-joining the batch against the index's ids before appending
+    (see ext/incremental_queries.similarity_incremental_ann).
+
     Shuffle budget: the index is scanned once with its PRECOMPUTED bucket
     column (no projection re-compute) and broadcast-joined by the batch's
     bucket rows — the index never shuffles; only bucket-colliding
@@ -196,10 +204,15 @@ def incremental_ann_tick(
         F.col("embedding").alias("__qv"),
         "bucket",
     )
-    scored = index.join(F.broadcast(q), on="bucket").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("__qv"), F.col("embedding")), 6).alias("score"),
+    scored = (
+        index.join(F.broadcast(q), on="bucket")
+        # A query's own index row (replayed batch) is not a neighbor.
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("embedding")), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -340,11 +353,6 @@ def incremental_minhash_tick(
     """
     from etl_to_iceberg_spark.ext.dedup import _cap_buckets
 
-    # The batch sketch feeds FOUR consumers (index-candidate broadcast,
-    # both sides of the within-batch self-join, and the result id spine);
-    # uncached, each broadcast/branch re-runs the k×|shingles| signature
-    # fold — measured 5.3s → 1.4s for a 500-doc tick at sf0.1 with the
-    # cache. Batch-sized by construction (~300 B/doc), LRU-evictable.
     brows = minhash_index_rows(
         batch,
         id_col=id_col,
@@ -352,7 +360,7 @@ def incremental_minhash_tick(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
         bands=bands,
-    ).cache()
+    )
     # Exact-signature collapse (same flood guard as the batch LSH
     # pipeline): batch docs with IDENTICAL signatures collapse to their
     # earliest member; the twins label directly (est 1.0 → the rep, or
@@ -363,6 +371,12 @@ def incremental_minhash_tick(
         F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
     )
     wk = Window.partitionBy("__sk").orderBy("doc_id")
+    # The marked sketch feeds FOUR consumers (index-candidate broadcast,
+    # both sides of the within-batch self-join, and the result id spine);
+    # uncached, each broadcast/branch re-runs the k×|shingles| signature
+    # fold — measured 5.3s → 1.4s for a 500-doc tick at sf0.1 with the
+    # cache. Batch-sized by construction (~300 B/doc), LRU-evictable.
+    # (brows itself is NOT cached: marked is its only consumer.)
     marked = (
         brows.withColumn("__sk", sig_key)
         .withColumn("__rep", F.first("doc_id").over(wk))
@@ -456,6 +470,21 @@ def incremental_minhash_tick(
     # Twins inherit their rep's index decision (identical signature ⇒
     # identical index candidates); with no index match they dup to the
     # rep at est 1.0. Never new: the rep carries the novel content.
+    # Two self-reference guards (caught by adversarial review):
+    # - a twin whose OWN index row is the rep's match (redelivered batch
+    #   where a lower-id identical doc arrived alongside the replay) must
+    #   not become dup_of itself — it falls back to the rep, exactly the
+    #   earlier-in-batch holder the exact tick reports;
+    # - the same twin IS a replay: its (doc_id, identical sig) already
+    #   sits in the index, so already_ingested must be true. Detected
+    #   from the cached candidate set — an est-1.0 raw row (rep ↔ the
+    #   twin's own index row) — with no extra index scan.
+    twin_self_hits = raw.where(F.col("est") == 1.0).select(
+        F.col("doc_id").alias("__rep"), F.col("idx_id").alias("doc_id")
+    )
+    inherited_other = F.when(
+        F.col("__i_match") != F.col("doc_id"), F.col("__i_match")
+    )  # NULL when the inherited match is the twin itself (or absent)
     twin_labels = (
         twins.join(
             F.broadcast(
@@ -468,12 +497,21 @@ def incremental_minhash_tick(
             on="__rep",
             how="left",
         )
+        .join(
+            F.broadcast(
+                twin_self_hits.distinct().withColumn("__replay", F.lit(True))
+            ),
+            on=["__rep", "doc_id"],
+            how="left",
+        )
         .select(
             "doc_id",
-            F.coalesce("__i_match", "__rep").alias("dup_of"),
-            F.coalesce("__i_est", F.lit(1.0)).alias("est_jaccard"),
+            F.coalesce(inherited_other, F.col("__rep")).alias("dup_of"),
+            F.when(inherited_other.isNotNull(), F.col("__i_est"))
+            .otherwise(F.lit(1.0))
+            .alias("est_jaccard"),
             F.lit(False).alias("is_new"),
-            F.lit(False).alias("already_ingested"),
+            F.coalesce("__replay", F.lit(False)).alias("already_ingested"),
         )
     )
     return rep_labels.unionByName(twin_labels)

@@ -231,5 +231,12 @@ def similarity_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.table("ann.index")
     batch = emb.where(batch_pred)
     result = incremental_ann_tick(t.read(), batch, k=5)
-    t.append(ann_index_rows(batch))
+    # Idempotent insert half: only ids the index doesn't already hold are
+    # appended, so a redelivered batch can't double-store its rows (the
+    # anti-join reads the index projected to vec_id — column-pruned scan).
+    t.append(
+        ann_index_rows(batch).join(
+            t.read().select("vec_id"), on="vec_id", how="left_anti"
+        )
+    )
     return result

@@ -47,6 +47,42 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def byte_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    seg: int = 128,
+) -> DataFrame:
+    """Fixed-size byte segmentation of a binary column — the
+    chunked-upload / windowed-decode prep step (segment a blob BEFORE
+    shipping it to a Pandas-UDF decoder so one 4 GB video never pins one
+    task). Pure Catalyst: sequence+posexplode for segment numbers, SQL
+    substring on the binary column for the slice; seg_len is measured
+    from the sliced bytes, not inferred. A zero-byte payload produces NO
+    segment rows: sequence(0, -1) is the DESCENDING [0, -1], not empty,
+    so the count expression is guarded to an empty array (posexplode
+    then emits nothing) — unguarded it emitted two phantom segments."""
+    blen = F.length(content_col)
+    n_segs = F.ceil(blen.cast("double") / seg).cast("int")
+    return df.select(
+        id_col,
+        content_col,
+        F.posexplode(
+            F.when(n_segs > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("seg_no", "_"),
+    ).select(
+        id_col,
+        F.col("seg_no").cast("int").alias("seg_no"),
+        (F.col("seg_no").cast("bigint") * seg).alias("seg_offset"),
+        F.length(
+            F.expr(f"substring({content_col}, seg_no * {seg} + 1, {seg})")
+        ).cast("int").alias("seg_len"),
+    )
+
+
 def attach_media_metadata(
     df: DataFrame, content_col: str = "content", mime: str = "application/octet-stream"
 ) -> DataFrame:

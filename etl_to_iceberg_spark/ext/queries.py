@@ -875,29 +875,14 @@ def multimodal_byte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst: sequence+posexplode for segment numbers, SQL substring on
     the binary column for the actual slice; seg_len is measured from the
     sliced bytes, not inferred."""
+    from etl_to_iceberg_spark.ext.multimodal import byte_segments
+
     docs = _load_balanced(spark, sf_dir, "documents")
-    seg = 128
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
-    blen = F.length("content")
-    n_segs = F.ceil(blen.cast("double") / seg).cast("int")
-    return (
-        media.select(
-            "media_id",
-            "content",
-            F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_no", "_"),
-        )
-        .select(
-            "media_id",
-            F.col("seg_no").cast("int").alias("seg_no"),
-            (F.col("seg_no").cast("bigint") * seg).alias("seg_offset"),
-            F.length(
-                F.expr(f"substring(content, seg_no * {seg} + 1, {seg})")
-            ).cast("int").alias("seg_len"),
-        )
-    )
+    return byte_segments(media, seg=128)
 
 
 @register(

@@ -449,16 +449,15 @@ def test_byte_segments_reconstruct_content(spark):
     nothing) — including multi-byte codepoints split across boundaries."""
     from pyspark.sql import functions as F
 
+    from etl_to_iceberg_spark.ext.multimodal import byte_segments
+
     texts = [(1, "héllo wörld " * 40), (2, "short"), (3, "")]
     df = spark.createDataFrame(texts, "media_id long, text string")
     seg = 32
     media = df.select("media_id", F.col("text").cast("binary").alias("content"))
-    n = F.ceil(F.length("content").cast("double") / seg).cast("int")
+    segs = byte_segments(media, seg=seg)
     parts = (
-        media.select(
-            "media_id", "content",
-            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("seg_no", "_"),
-        )
+        segs.join(media, on="media_id")
         .select(
             "media_id", "seg_no",
             F.expr(f"substring(content, seg_no * {seg} + 1, {seg})").alias("b"),
@@ -470,6 +469,28 @@ def test_byte_segments_reconstruct_content(spark):
         rebuilt[r.media_id] = rebuilt.get(r.media_id, b"") + bytes(r.b)
     for mid, text in texts:
         assert rebuilt.get(mid, b"") == text.encode("utf-8")
+
+
+def test_byte_segments_empty_payload_emits_no_rows(spark):
+    """A zero-byte payload yields ZERO segment rows — unguarded,
+    sequence(0, ceil(0/seg)-1) = sequence(0, -1) is the DESCENDING
+    [0, -1] and posexplode emitted two phantom segments (one claimed at
+    offset 128 of a 0-byte blob). Non-empty payloads are unaffected."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.multimodal import byte_segments
+
+    media = spark.createDataFrame(
+        [(1, ""), (2, "x" * 200)], "media_id long, text string"
+    ).select("media_id", F.col("text").cast("binary").alias("content"))
+    rows = byte_segments(media, seg=128).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 1 not in by_id
+    assert [(r.seg_no, r.seg_offset, r.seg_len) for r in sorted(
+        by_id[2], key=lambda r: r.seg_no
+    )] == [(0, 0, 128), (1, 128, 72)]
 
 
 def test_trim_duplicate_spans_removes_later_copy(spark):
@@ -510,6 +531,34 @@ def test_trim_duplicate_spans_removes_later_copy(spark):
         [(k, v.text_clean) for k, v in out.items()], "doc_id long, text string"
     )
     assert exact_substring_spans(cleaned, gram_n=8, min_span_tokens=16).count() == 0
+
+
+def test_trim_duplicate_spans_survives_tokenless_docs(spark):
+    """A doc with NO word tokens (empty, punctuation-only, emoji-only)
+    must trim to an empty clean text, not abort the job — unguarded,
+    the kept-position list was sequence(0, -1) = [0, -1] and element_at
+    indexed past the empty token array (INVALID_ARRAY_INDEX)."""
+    from etl_to_iceberg_spark.ext.dedup import trim_duplicate_spans
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + passage),
+            (2, "!!! ??? ..."),          # tokenless
+            (3, ""),                     # empty
+            (4, passage + " tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trim_duplicate_spans(docs, gram_n=8, min_span_tokens=16).collect()
+    }
+    assert len(out) == 4
+    assert out[2].text_clean == "" and out[2].kept_tokens == 0
+    assert out[2].removed_tokens == 0
+    assert out[3].text_clean == "" and out[3].kept_tokens == 0
+    assert out[4].removed_tokens == 20  # the real span still trims
 
 
 @pytest.mark.parametrize("chunk_tokens,overlap", [(32, 8), (16, 0), (10, 9)])

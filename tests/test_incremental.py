@@ -401,6 +401,66 @@ def test_ann_tick_search_then_insert(spark, tmp_path):
     assert t.read().count() == 42
 
 
+def test_minhash_tick_replay_with_lower_id_twin(spark):
+    """Redelivered batch containing an already-ingested doc PLUS a new
+    lower-id identical doc: the lower-id doc becomes the signature rep
+    and its index match IS the replayed twin's own row. The twin must
+    report already_ingested (its row is in the index) and dup_of the
+    rep (the earlier-in-batch holder), never dup_of itself."""
+    index = minhash_index_rows(_docs(spark, [(5, LOREM), (6, OTHER)]))
+    batch = _docs(spark, [(3, LOREM), (5, LOREM)])
+    got = {
+        r.doc_id: r
+        for r in incremental_minhash_tick(index, batch, threshold=0.5).collect()
+    }
+    assert got[3].dup_of == 5 and not got[3].is_new
+    assert not got[3].already_ingested
+    assert got[5].already_ingested
+    assert not got[5].is_new
+    assert got[5].dup_of == 3  # earlier-in-batch holder, not itself
+    assert got[5].dup_of != 5
+
+
+def test_ann_tick_replay_excludes_own_row_and_append_is_idempotent(
+    spark, tmp_path
+):
+    """Redelivered ANN batch whose insert half already committed: the
+    query's own index row must not occupy a top-k slot at cosine 1.0,
+    and re-running the registered caller pattern (anti-join before
+    append) must not double-store the batch."""
+    import numpy as np
+
+    from etl_to_iceberg_spark.ext.incremental import (
+        ann_index_rows,
+        incremental_ann_tick,
+    )
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = np.random.RandomState(11)
+    base = [(i, rng.randn(8)) for i in range(30)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("ann.idx")
+    t.append(ann_index_rows(_vecs(spark, base), planes=4, dim=8))
+
+    batch = _vecs(spark, [(100, base[7][1])])
+    t.append(ann_index_rows(batch, planes=4, dim=8))  # insert half done
+    n_before = t.read().count()
+
+    # replayed search half: own row excluded, true neighbor 7 at rank 1
+    res = incremental_ann_tick(t.read(), batch, k=3, planes=4, dim=8).collect()
+    assert all(r.vec_id != 100 for r in res)
+    top = [r for r in res if r.rank == 1]
+    assert top and top[0].vec_id == 7 and top[0].score == 1.0
+
+    # replayed insert half (the registered caller's anti-join pattern)
+    t.append(
+        ann_index_rows(batch, planes=4, dim=8).join(
+            t.read().select("vec_id"), on="vec_id", how="left_anti"
+        )
+    )
+    assert t.read().count() == n_before  # no double-store
+
+
 def test_ann_tick_plan_index_never_shuffles(spark):
     import numpy as np
 
