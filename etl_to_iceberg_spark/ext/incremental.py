@@ -55,10 +55,17 @@ def exact_index_rows(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, fingerprint) index rows for a batch — md5 of normalized
-    text, the same content address ext/dedup.py's exact_dedup keys on."""
+    text, the same content address ext/dedup.py's exact_dedup keys on.
+
+    NULL text coalesces to '' BEFORE fingerprinting: md5(NULL) is NULL,
+    and a NULL fingerprint never equi-joins against the index — a
+    null-text doc would re-label is_new on every tick and the index
+    would double-absorb it on replay, breaking the module's replay
+    invariant. Conflating NULL with empty text is the intended dedup
+    semantics (both carry no content)."""
     return ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("doc_id"),
-        fingerprint(text_col).alias("fingerprint"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
     )
 
 
@@ -150,17 +157,13 @@ def ann_index_rows(
     random-hyperplane LSH bucket precomputed at ingest (same LCG planes
     as ext/similarity.py, so buckets are engine-reproducible and the
     whole incremental pipeline stays DuckDB-oracle-checkable)."""
-    from etl_to_iceberg_spark.ext.similarity import _hyperplane_sign, _to_double
+    from etl_to_iceberg_spark.ext.similarity import lsh_bucket_expr, _to_double
 
     v = _to_double(vec_col)
-    bucket = None
-    for p in range(planes):
-        bit = _hyperplane_sign(v, p, dim) * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
     return df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         v.alias("embedding"),
-        bucket.cast("int").alias("bucket"),
+        lsh_bucket_expr(v, planes=planes, dim=dim).cast("int").alias("bucket"),
     )
 
 
@@ -264,9 +267,15 @@ def minhash_index_rows(
 ) -> DataFrame:
     """(doc_id, sig, band_hashes) index rows — one scan of the batch text
     (minhash_signatures' shuffle-free fold), band hashes precomputed so a
-    later tick never touches this doc's text again."""
+    later tick never touches this doc's text again.
+
+    NULL text coalesces to '' first (same reason as exact_index_rows:
+    a NULL shingle array folds to a NULL signature whose band hashes
+    never equi-join, so null-text docs would re-absorb on every replayed
+    tick). An empty text folds to the constant init signature, which
+    deterministically self-matches at est 1.0."""
     sigs = minhash_signatures(
-        df,
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))),
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,
@@ -323,8 +332,18 @@ def incremental_minhash_tick(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 256,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Label a batch against the minhash index.
+
+    ``caches``: pass a list to receive the tick's internal cached
+    DataFrames (the shared batch sketch and the candidate set). The
+    caches make the multi-consumer plan cheap but are function-local —
+    a LONG-LIVED caller (streaming loop, service) must unpersist them
+    after materializing the result, or each tick leaks two cached
+    frames into the block store for the session's lifetime (same
+    discipline as streaming/ingest.py's exact-tick wrapper). One-shot
+    sessions can ignore it; LRU eviction covers them.
 
     Returns (doc_id, dup_of, est_jaccard, is_new, already_ingested) —
     one row per batch doc. ``dup_of`` prefers an index match (highest
@@ -382,6 +401,8 @@ def incremental_minhash_tick(
         .withColumn("__rep", F.first("doc_id").over(wk))
         .cache()
     )
+    if caches is not None:
+        caches.append(marked)
     reps = marked.where(F.col("doc_id") == F.col("__rep"))
     twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
         "doc_id", "__rep"
@@ -404,6 +425,8 @@ def incremental_minhash_tick(
         .where(F.col("est") >= threshold)
         .distinct()  # multiple colliding bands → one candidate row
     ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
+    if caches is not None:
+        caches.append(raw)
     # A doc's OWN index row (same id, est 1.0) marks a replayed batch,
     # not a duplicate; only OTHER docs are dup candidates.
     replays = (

@@ -45,8 +45,8 @@ def _batch_mod():  # 20% delta batch; rest is the index. (A function:
     sql="""
     WITH fp AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                 AS fingerprint
+             md5(coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          '')) AS fingerprint
       FROM documents
     ),
     idx AS (
@@ -94,8 +94,8 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH fp AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                 AS fingerprint
+             md5(coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          '')) AS fingerprint
       FROM documents WHERE doc_id < 300
     )
     SELECT doc_id, fingerprint,

@@ -116,6 +116,19 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
+def lsh_bucket_expr(vec: Column, *, planes: int, dim: int) -> Column:
+    """Concatenated sign bits of `planes` deterministic LCG hyperplanes —
+    THE bucket function. Both the batch ANN path (rp_lsh_buckets) and
+    the incremental index (ext/incremental.ann_index_rows) call this one
+    expression: stored index buckets and query-side buckets must stay
+    bit-identical forever, or candidate lookups silently go empty."""
+    bucket = None
+    for p in range(planes):
+        bit = _hyperplane_sign(vec, p, dim) * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     *,
@@ -126,11 +139,9 @@ def rp_lsh_buckets(
 ) -> DataFrame:
     """(id, bucket int): concatenated sign bits of `planes` hyperplanes."""
     v = _to_double(vec_col)
-    bucket = None
-    for p in range(planes):
-        bit = _hyperplane_sign(v, p, dim) * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col), lsh_bucket_expr(v, planes=planes, dim=dim).alias("bucket")
+    )
 
 
 def lsh_topk(

@@ -71,10 +71,11 @@ _CHANGED_THIS_ROUND = [
     "text_unigram_logprob",
     # iterates only edge-incident nodes; isolated rejoin as singletons
     "dedup_connected_components",
-    # merge delete-clause logical keys now from touched-file sub-snapshot;
-    # zero-file-snapshot guard in _read_with_path; nullability-widening
-    # schema evolution on the append path
+    # merge delete-clause logical keys now from touched-file sub-snapshot
+    # (and a single shared read of it); zero-file-snapshot guard in
+    # _read_with_path; nullability-widening schema evolution on append
     "merge_keyed_upsert",
+    "cdc_incremental_upsert",
     "delete_where",
     "sink_iceberg_append",
     # expiry/orphan ownership checks resolve symlinks (realpath)

@@ -104,6 +104,25 @@ class Catalog:
         if os.path.isdir(path):
             shutil.rmtree(path)
 
+    @staticmethod
+    def _is_crashed_table_dir(path: str) -> bool:
+        """True iff ``path`` looks like a TABLE directory whose writer
+        crashed before the first commit (no version-hint, but table-format
+        artifacts present). Identification is positive — the format's own
+        ``data/v<N>-<token>`` commit-dir naming (format.py::_write_data)
+        or staged ``_meta/snap-*.json`` manifests — never just "has a
+        child named data/ or _meta/", which a user-managed control-plane
+        store may legitimately use for its own payload."""
+        import glob
+        import re
+
+        data = os.path.join(path, "data")
+        if os.path.isdir(data) and any(
+            re.fullmatch(r"v\d+-[0-9a-f]{8}", d) for d in os.listdir(data)
+        ):
+            return True
+        return bool(glob.glob(os.path.join(path, "_meta", "snap-*.json")))
+
     def shallow_clone(self, dst_warehouse: str) -> "Catalog":
         """Delta-style SHALLOW CLONE of the whole warehouse: copy only the
         ``_meta`` manifests (KBs); data files stay where they are and are
@@ -137,15 +156,17 @@ class Catalog:
                         os.path.join(dst, ns, child, "_meta"),
                         dirs_exist_ok=True,
                     )
-                elif os.path.isdir(os.path.join(src_child, "data")) or os.path.isdir(
-                    os.path.join(src_child, "_meta")
-                ):
+                elif self._is_crashed_table_dir(src_child):
                     # A table directory without a committed version-hint: a
                     # writer crashed after staging data/ but before its first
                     # commit. It is invisible to the catalog (list_tables) and
                     # holds data-plane bytes, so deep-copying it would break
                     # the O(metadata) contract — the clone must not carry
-                    # uncommitted state anyway. Skip it.
+                    # uncommitted state anyway. Skip it. (Detection is
+                    # POSITIVE — the table format's own v<N>-<token> commit
+                    # dirs or snap-*.json manifests — so a user control-plane
+                    # dir that merely CONTAINS a child named data/ or _meta/
+                    # is not silently dropped from the clone.)
                     continue
                 else:
                     # control-plane dir (cursor store, state tables' kin):

@@ -660,10 +660,16 @@ class IceTable:
             raise ValueError(
                 f"partition columns not in table schema: {unknown}"
             )
+        # Pin the version BEFORE reading table state (same protocol as
+        # every other writer): a rival commit landing between the read
+        # and our commit then collides on the exclusive manifest create
+        # (CommitConflictError) instead of being silently erased by a
+        # commit carrying a stale file list. Pinning costs nothing on
+        # the no-op path — no manifest is created unless we commit.
+        version = self._next_version()
         prev = self.snapshot()
         if spec == prev.partition_by:
             return prev  # no-op: don't burn a version on an equal spec
-        version = self._next_version()
         return self._commit(
             "evolve-partition",
             prev.files,
@@ -837,9 +843,14 @@ class IceTable:
                 files=touched_entries,
                 tombstones=snap.tombstones,  # rewrite must not resurrect MOR deletes
             )
-            keep = self._read_snapshot(sub).join(source, on=keys, how="left_anti")
+            # One read of the touched-file sub-snapshot serves both the
+            # unmatched-rows keep side and (below) the delete clause's
+            # logical-key projection — not two independent scans.
+            sub_df = self._read_snapshot(sub)
+            keep = sub_df.join(source, on=keys, how="left_anti")
         else:
             sub = None
+            sub_df = None
             keep = None
 
         incoming = source
@@ -857,7 +868,7 @@ class IceTable:
             # logical-key projection only needs the touched-file sub-snapshot
             # — tombstones still applied — not a full-table scan per merge.
             # No touched files => no raw match => no logical match: skip.
-            logical_keys = self._read_snapshot(sub).select(*keys).distinct()
+            logical_keys = sub_df.select(*keys).distinct()
             matched_keys = source.join(logical_keys, on=keys, how="left_semi")
             deletions = matched_keys.where(delete_matched_when).select(*keys)
             incoming = source.join(deletions, on=keys, how="left_anti")

@@ -401,6 +401,60 @@ def test_ann_tick_search_then_insert(spark, tmp_path):
     assert t.read().count() == 42
 
 
+def test_exact_tick_null_text_is_replay_safe(spark):
+    """md5(NULL) is NULL and NULL never equi-joins: unguarded, a
+    null-text doc re-labeled is_new on EVERY tick and the index
+    double-absorbed it on replay. The fingerprint coalesces NULL to ''
+    (no content == no content), so the second delivery of the same
+    null-text doc reports already_ingested and appends nothing."""
+    batch = _docs(spark, [(1, None), (2, LOREM)])
+    tick1 = incremental_exact_tick(
+        exact_index_rows(_docs(spark, [])), batch
+    ).collect()
+    assert {r.doc_id: r.is_new for r in tick1} == {1: True, 2: True}
+    assert all(r.fingerprint is not None for r in tick1)
+
+    # index absorbed the batch; the SAME batch is redelivered
+    index = exact_index_rows(batch)
+    tick2 = {r.doc_id: r for r in incremental_exact_tick(index, batch).collect()}
+    assert tick2[1].already_ingested and not tick2[1].is_new
+    assert tick2[2].already_ingested and not tick2[2].is_new
+
+
+def test_minhash_tick_null_text_is_replay_safe(spark):
+    """Same invariant for the sketch path: a NULL shingle array folds to
+    a NULL signature whose band hashes never match, so replays
+    re-absorbed null-text docs. Coalesced to '', the constant empty
+    signature self-matches and the replay reports already_ingested."""
+    batch = _docs(spark, [(1, None), (2, LOREM)])
+    index = minhash_index_rows(batch)  # insert half already committed
+    got = {
+        r.doc_id: r
+        for r in incremental_minhash_tick(index, batch, threshold=0.5).collect()
+    }
+    assert got[1].already_ingested and not got[1].is_new
+    assert got[2].already_ingested and not got[2].is_new
+
+
+def test_minhash_tick_caches_are_exposed_for_cleanup(spark):
+    """A long-lived caller passes `caches` and unpersists after
+    materializing — without it every tick leaks two cached frames into
+    the block store for the session's lifetime."""
+    index = minhash_index_rows(_docs(spark, [(1, LOREM)]))
+    batch = _docs(spark, [(2, OTHER)])
+    handles: list = []
+    incremental_minhash_tick(index, batch, caches=handles).collect()
+    assert len(handles) == 2
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df in handles)
+    for df in handles:
+        df.unpersist(blocking=True)
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        for df in handles
+    )
+
+
 def test_minhash_tick_replay_with_lower_id_twin(spark):
     """Redelivered batch containing an already-ingested doc PLUS a new
     lower-id identical doc: the lower-id doc becomes the signature rep

@@ -699,11 +699,22 @@ def test_shallow_clone_skips_uncommitted_table_dirs(cat, spark, sf_dir, tmp_path
     (ADVICE r5). Control-plane dirs (no data/_meta subtree) still ride."""
     nation = load_table(spark, sf_dir, "nation")
     cat.table("geo.nation").append(nation)
-    # simulate a crashed writer: staged parquet, no committed metadata
+    # simulate a crashed writer with the REAL staged layout the format
+    # produces (format.py::_write_data): data/v<N>-<token>/part-*.parquet
     crashed = os.path.join(cat.warehouse, "geo", "halfborn")
-    os.makedirs(os.path.join(crashed, "data"))
-    with open(os.path.join(crashed, "data", "part-000.parquet"), "wb") as f:
+    os.makedirs(os.path.join(crashed, "data", "v1-deadbeef"))
+    with open(
+        os.path.join(crashed, "data", "v1-deadbeef", "part-000.parquet"), "wb"
+    ) as f:
         f.write(b"x" * 4096)
+    # a USER control-plane store that happens to organize its payload
+    # under a child named data/ is NOT a crashed table — it must ride
+    # along (detection is positive on the format's own artifacts, not on
+    # generic directory names)
+    store = os.path.join(cat.warehouse, "geo", "_statestore")
+    os.makedirs(os.path.join(store, "data"))
+    with open(os.path.join(store, "data", "cursor.json"), "w") as f:
+        f.write('{"cursor": 42}')
 
     clone_cat = cat.shallow_clone(str(tmp_path / "wh_clone"))
     assert not os.path.exists(os.path.join(clone_cat.warehouse, "geo", "halfborn"))
@@ -712,6 +723,10 @@ def test_shallow_clone_skips_uncommitted_table_dirs(cat, spark, sf_dir, tmp_path
     assert not _g.glob(
         os.path.join(clone_cat.warehouse, "**", "*.parquet"), recursive=True
     )
+    with open(
+        os.path.join(clone_cat.warehouse, "geo", "_statestore", "data", "cursor.json")
+    ) as f:
+        assert "42" in f.read()
     assert clone_cat.table("geo.nation").read().count() == nation.count()
 
 
@@ -886,6 +901,55 @@ def test_partition_evolution_guards_and_rollback(spark, sf_dir, tmp_path):
     assert t.snapshot().partition_by == []
     maintenance.rollback(t, v)
     assert t.snapshot().partition_by == ["r_regionkey"]  # spec restored
+
+
+def test_partition_evolution_pins_version_before_reading(spark, sf_dir, tmp_path):
+    """Writer-protocol property: evolve_partition_spec must pin its
+    commit version BEFORE reading table state, like every other writer.
+    A rival append landing between the two then surfaces as a version
+    the evolve's own pin accounts for (or a CommitConflictError) — never
+    a silently-erased append. Reproduced deterministically by injecting
+    the rival inside _next_version: with read-before-pin ordering the
+    evolve would commit a stale file list one version past the rival and
+    the appended rows would vanish."""
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.tables import Catalog
+    from etl_to_iceberg_spark.tables.format import CommitConflictError
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    region = load_table(spark, sf_dir, "region")
+    t = cat.table("s.race_evo")
+    t.create(region, partition_by=["r_regionkey"])
+    n0 = t.read().count()
+
+    rival_rows = region.limit(2)
+    orig = t._next_version
+    fired = {"done": False}
+
+    def hooked():
+        # The rival lands exactly at the victim's pin point. With the
+        # correct pin-before-read ordering the victim's subsequent state
+        # read sees the rival's files; with the buggy read-before-pin
+        # ordering the victim has already captured a stale file list,
+        # allocates one version past the rival, and erases it.
+        if not fired["done"]:
+            fired["done"] = True
+            Catalog(spark, str(tmp_path / "wh")).table("s.race_evo").append(
+                rival_rows
+            )
+        return orig()
+
+    t._next_version = hooked
+    try:
+        try:
+            t.evolve_partition_spec([])
+        except CommitConflictError:
+            pass  # acceptable outcome: the race was DETECTED, not lost
+    finally:
+        t._next_version = orig
+
+    # the rival's rows survive no matter which way the race resolved
+    assert t.read().count() == n0 + 2
 
 
 def test_compact_after_partition_evolution_migrates_layout(
