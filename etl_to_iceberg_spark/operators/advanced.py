@@ -35,21 +35,30 @@ def asof_join(
     nested-loop or an exploding theta join). At 100 TB this is the only
     shape that scales: cost is that of a window function, not a cross
     product.
+
+    The right payload travels as ONE struct, null exactly on left rows: the
+    carried value is the whole matched row atomically (never a mix of
+    columns from different right rows), and "no prior right row" is the
+    struct being null — distinguishable from a matched right row whose
+    payload VALUES are null, which a per-column ``ignorenulls`` carry
+    would skip or conflate.
     """
-    side_order = 0 if inclusive else 1  # right sorts before left at ts ties
+    side_r = 0 if inclusive else 1  # right sorts before equal-ts left iff inclusive
     lcols = left.columns
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    payload_t = right.select(payload_struct.alias("__r")).schema["__r"].dataType
     tagged_r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        F.lit(0 if inclusive else 1).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.lit(side_r).alias("__side"),
+        payload_struct.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
     )
     tagged_l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        F.lit(1 if inclusive else 0).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(1 - side_r).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__r"),
         *[F.col(c) for c in lcols if c not in on],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -63,20 +72,16 @@ def asof_join(
         "__ts",
         "__side",
         *[c for c in lcols if c not in on],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_payload
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__asof"),
     )
-    is_left = F.col("__side") == (1 if inclusive else 0)
     return (
-        carried.where(is_left)
-        .where(F.col(f"asof_{right_payload[0]}").isNotNull())
+        carried.where(F.col("__side") == (1 - side_r))
+        .where(F.col("__asof").isNotNull())
         .select(
             *on,
             F.col("__ts").alias(left_ts),
             *[c for c in lcols if c not in on and c != left_ts],
-            *[F.col(f"asof_{c}") for c in right_payload],
+            *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in right_payload],
         )
     )
 

@@ -181,13 +181,21 @@ class CdcPipeline:
         self.cursors = cursor_store or CursorStore(catalog)
 
     def read_delta(self, source: DataFrame) -> DataFrame:
+        """Rows past the persisted cursor.
+
+        When BOTH cursor columns are configured the version cursor is
+        authoritative: versions (SCNs) are strictly commit-ordered, while
+        the timestamp can lag it (same-second commits, writer clock skew).
+        ANDing the two predicates would silently drop a row whose version
+        advanced but whose timestamp equals the cursor — lost forever, as
+        every later tick's cursor only grows. The timestamp cursor is
+        still tracked (observability / ts-only pipelines); it just never
+        narrows a version-cursor delta.
+        """
         cur = self.cursors.get(self.source_schema, self.source_table)
-        df = source
-        if self.ts_col is not None:
-            df = timestamp_delta(df, self.ts_col, cur and cur["last_timestamp"])
         if self.version_col is not None:
-            df = version_delta(df, self.version_col, cur and cur["last_scn"])
-        return df
+            return version_delta(source, self.version_col, cur and cur["last_scn"])
+        return timestamp_delta(source, self.ts_col, cur and cur["last_timestamp"])
 
     def run(
         self,
@@ -203,35 +211,44 @@ class CdcPipeline:
         cursor columns). Empty delta short-circuits without a commit
         (ref: :237-242).
         """
-        delta = self.read_delta(source)
+        # Pin ONE snapshot of the delta for the whole tick. The cursor agg
+        # and the write below otherwise each re-execute the source scan;
+        # over a live source (JDBC) rows committing between the two scans
+        # would be WRITTEN but not covered by the persisted cursor — the
+        # next tick re-reads them (duplicates in append mode). persist()
+        # makes stats and write observe the same rows, and as a bonus the
+        # steady-state tick does one source scan instead of two.
+        delta = self.read_delta(source).persist()
+        try:
+            # One aggregate computes the data-derived cursor AND the row
+            # count — a single job, not the reference's separate count() pass.
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            if self.ts_col:
+                aggs.append(F.max(self.ts_col).alias("__ts"))
+            if self.version_col:
+                aggs.append(F.max(self.version_col).alias("__v"))
+            stats = delta.agg(*aggs).collect()[0]
+            n = stats["__n"]
+            if n == 0:
+                return DeltaResult(delta, None, None, 0)
 
-        # One aggregate computes the data-derived cursor AND the row count —
-        # a single job, not the reference's separate count() pass.
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        if self.ts_col:
-            aggs.append(F.max(self.ts_col).alias("__ts"))
-        if self.version_col:
-            aggs.append(F.max(self.version_col).alias("__v"))
-        stats = delta.agg(*aggs).collect()[0]
-        n = stats["__n"]
-        if n == 0:
-            return DeltaResult(delta, None, None, 0)
+            target = self.catalog.table(self.target_identifier)
+            if mode == "append":
+                target.append(delta)
+            elif mode == "upsert":
+                if not primary_key:
+                    raise ValueError("mode='upsert' requires primary_key")
+                order_cols = [c for c in (self.ts_col, self.version_col) if c]
+                target.merge(delta, keys=primary_key, dedup_order_by=order_cols)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
 
-        target = self.catalog.table(self.target_identifier)
-        if mode == "append":
-            target.append(delta)
-        elif mode == "upsert":
-            if not primary_key:
-                raise ValueError("mode='upsert' requires primary_key")
-            order_cols = [c for c in (self.ts_col, self.version_col) if c]
-            target.merge(delta, keys=primary_key, dedup_order_by=order_cols)
-        else:
-            raise ValueError(f"unknown mode {mode!r}")
-
-        new_ts = stats["__ts"] if self.ts_col else None
-        new_v = stats["__v"] if self.version_col else None
-        self.cursors.set(
-            self.source_schema, self.source_table,
-            last_timestamp=new_ts, last_scn=new_v,
-        )
-        return DeltaResult(delta, new_ts, new_v, n)
+            new_ts = stats["__ts"] if self.ts_col else None
+            new_v = stats["__v"] if self.version_col else None
+            self.cursors.set(
+                self.source_schema, self.source_table,
+                last_timestamp=new_ts, last_scn=new_v,
+            )
+            return DeltaResult(delta, new_ts, new_v, n)
+        finally:
+            delta.unpersist()

@@ -23,6 +23,8 @@ from pyspark.sql import types as T
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 
+_layout_cache: dict[tuple[str, str], str] = {}
+
 _DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -48,13 +50,20 @@ def scan_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explicit schema means ONE pass (``inferSchema`` would
     scan the corpus twice); JSONL splits by line so a 100 TB directory
     parallelizes to normal file-split tasks."""
-    work = tempfile.mkdtemp(prefix="e2is_jsonl_")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    docs.write.mode("overwrite").json(work)
-    with open(os.path.join(work, "part-corrupt.json"), "w") as f:
-        f.write('{"doc_id": "not-a-number", "text": 17 oops}\n')
+    key = ("jsonl", os.path.abspath(sf_dir))
+    if key not in _layout_cache:
+        # one materialization per (process, sf_dir) — a per-call write
+        # would make bench loops time the round-trip WRITE and leak a
+        # corpus copy per run (same per-process cache as relational._events_as)
+        work = tempfile.mkdtemp(prefix="e2is_jsonl_")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        docs.write.mode("overwrite").json(work)
+        with open(os.path.join(work, "part-corrupt.json"), "w") as f:
+            f.write('{"doc_id": "not-a-number", "text": 17 oops}\n')
+        _layout_cache[key] = work
+    work = _layout_cache[key]
     schema = T.StructType(
         _DOCS_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
     )
@@ -83,12 +92,16 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting both ways); timestamps parse from the written ISO form.
 
     Scale shape: one pass, explicit schema, line-splittable files."""
-    work = tempfile.mkdtemp(prefix="e2is_csv_")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    orders.write.mode("overwrite").option("header", True).csv(work)
+    key = ("csv", os.path.abspath(sf_dir))
+    if key not in _layout_cache:
+        work = tempfile.mkdtemp(prefix="e2is_csv_")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+        orders.write.mode("overwrite").option("header", True).csv(work)
+        _layout_cache[key] = work
+    work = _layout_cache[key]
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),

@@ -97,7 +97,15 @@ def write_bucketed(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
-    loc = os.path.join(warehouse, table_name.split(".")[-1].lower())
+    # Managed-table layout: <warehouse>/<tbl> for the default database,
+    # <warehouse>/<db>.db/<tbl> otherwise — a db-qualified name cleaned at
+    # the unqualified path would miss the real leftover directory and
+    # saveAsTable would still fail with "location already exists".
+    parts = [p.lower() for p in table_name.split(".")]
+    if len(parts) == 2 and parts[0] != "default":
+        loc = os.path.join(warehouse, f"{parts[0]}.db", parts[1])
+    else:
+        loc = os.path.join(warehouse, parts[-1])
     if warehouse and os.path.isdir(loc):
         shutil.rmtree(loc)
     writer = df.write.bucketBy(num_buckets, bucket_col)

@@ -352,10 +352,12 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, where the state store merges windows incrementally.
 
     Semantics matched in the oracle: an event at exactly gap distance
-    starts a NEW session (session end = last event + gap, exclusive).
+    starts a NEW session (session end = last event + gap, exclusive);
+    ALL events sessionize (a NULL value still extends the session — SUM
+    skips it in both engines, matching the oracle's unfiltered CTE).
     Scale shape: one shuffle on the grouping key; per-key sessions merge
     inside the aggregate, no per-user sort window needed."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("w")

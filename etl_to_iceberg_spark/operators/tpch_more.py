@@ -83,7 +83,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
       WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -111,7 +111,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+        # half-open [1996-01-01, 1998-01-01): same rows as the oracle for
+        # ANY time-of-day, incl. sub-second — a closed upper bound at
+        # '1997-12-31 23:59:59' would disagree with the oracle's DATE
+        # bound on intraday timestamps (q6/q12/q15 use the same idiom)
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
@@ -153,7 +157,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region   ON n2.n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
         AND p_type = 'PROMO'
-        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
     ) all_nations
     GROUP BY o_year
     ORDER BY o_year
@@ -198,7 +202,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").between("1996-01-01", "1997-12-31 23:59:59")
+        # half-open upper bound: see q7's note on intraday timestamps
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem")
     volume = F.expr(_REVENUE)

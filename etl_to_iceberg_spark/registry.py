@@ -83,6 +83,19 @@ _CHANGED_THIS_ROUND = [
     # LCG hyperplanes + decimal projection; upgraded rows-only -> oracle
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    # review-pass fixes: struct-carried asof payload (null-payload match);
+    # version cursor authoritative over ts when both configured; single
+    # persisted delta snapshot per tick; sessionize no longer filters
+    # null values (matches oracle); q7/q8 half-open date bounds; cached
+    # hive/jsonl/csv layout materialization
+    "join_asof",
+    "sessionize_native_window",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "cdc_timestamp_delta",
+    "scan_hive_partitioned",
+    "scan_jsonl_docs",
+    "scan_csv_typed",
 ]
 
 

@@ -46,8 +46,11 @@ def read_files(
     reader = spark.read.format(fmt)
     if schema:
         reader = reader.schema(schema)
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "false")  # keep partition discovery
+    if recursive and not partition_filter:
+        # recursiveFileLookup picks up files under arbitrary (non key=value)
+        # nested directories, but DISABLES Hive partition discovery — so it
+        # is only set when the caller isn't filtering on partition columns.
+        reader = reader.option("recursiveFileLookup", "true")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(path)

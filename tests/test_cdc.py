@@ -47,6 +47,33 @@ def test_pipeline_append_two_ticks_no_duplicates(cat, spark, sf_dir):
     assert cur["last_timestamp"] == max_ts
 
 
+def test_pipeline_dual_cursor_same_second_commit_not_lost(cat, spark, sf_dir):
+    """With BOTH cursors configured, the version (SCN) cursor is the
+    authoritative delta predicate. A row whose version advanced but whose
+    timestamp EQUALS the persisted ts cursor (same-second commit / writer
+    clock skew) must still be ingested — ANDing the two predicates would
+    exclude it from every future tick (regression: read_delta used AND)."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    tick1 = spark.createDataFrame(
+        [(1, 100, t0, "a"), (2, 101, t0, "b")],
+        "user_id long, scn long, ts timestamp, payload string",
+    )
+    pipe = CdcPipeline(
+        cat, source_schema="s", source_table="skew",
+        target_identifier="s.skew_log", ts_col="ts", version_col="scn",
+    )
+    r1 = pipe.run(tick1)
+    assert r1.rows == 2
+    # same-second commit: scn advances, ts does not move past the cursor
+    tick2 = tick1.unionByName(spark.createDataFrame(
+        [(3, 102, t0, "c")],
+        "user_id long, scn long, ts timestamp, payload string",
+    ))
+    r2 = pipe.run(tick2)
+    assert r2.rows == 1  # the scn=102 row — not silently dropped
+    assert cat.table("s.skew_log").read().count() == 3
+
+
 def test_pipeline_empty_delta_short_circuits(cat, spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     pipe = CdcPipeline(

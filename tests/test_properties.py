@@ -110,6 +110,42 @@ def test_asof_join_matches_python_oracle(spark):
     assert got == want
 
 
+def test_asof_join_null_payload_is_a_match_not_a_skip(spark):
+    """A right row whose payload VALUE is null is still the as-of match —
+    it must neither be skipped (returning an older non-null payload) nor
+    drop the left row (which only happens when NO prior right row exists).
+    Regression: the pre-struct implementation keyed match detection off
+    payload-column nullability and failed both ways."""
+    from etl_to_iceberg_spark.operators.advanced import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 6), 10),   # after the null-payload row
+         (1, dt.datetime(2024, 1, 1, 0, 2), 11),   # after only the 'a' row
+         (2, dt.datetime(2024, 1, 1, 0, 9), 12),   # only prior row has null payload
+         (3, dt.datetime(2024, 1, 1, 0, 9), 13)],  # no prior right row at all
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 1), "a", 100),
+         (1, dt.datetime(2024, 1, 1, 0, 5), None, 101),
+         (2, dt.datetime(2024, 1, 1, 0, 1), None, 102)],
+        "k long, ts timestamp, payload string, rid long",
+    )
+    got = {
+        r["lid"]: (r["asof_payload"], r["asof_rid"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+            right_payload=["payload", "rid"],
+        ).collect()
+    }
+    assert got == {
+        10: (None, 101),  # latest prior row wins even with null payload
+        11: ("a", 100),
+        12: (None, 102),  # null-payload-only history still matches
+        # lid 13 absent: genuinely no prior right row
+    }
+
+
 def test_sessionize_matches_python_oracle(spark):
     from etl_to_iceberg_spark.streaming.windows import sessionize
 
