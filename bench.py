@@ -24,6 +24,29 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Representative slice of the registry: scan+agg, joins, windows, top-k,
 # merge write path, CDC, and the training-data extensions.
+#
+# The 17 queries BENCH_r01–r05 measured — frozen by NAME (not a HEADLINE
+# slice position) so inserting/reordering headline entries can never
+# silently shift the round-over-round compat subtotal.
+R01_COMPAT = [
+    "q1_pricing_summary",
+    "agg_sum_groupby",
+    "join_orders_customer",
+    "join_multiway_star",
+    "dedup_latest_per_key",
+    "window_running_sum",
+    "topk_orders",
+    "union_all_files",
+    "merge_keyed_upsert",
+    "cdc_incremental_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "text_quality_score",
+    "multimodal_features",
+]
 HEADLINE = [
     "q1_pricing_summary",
     "agg_sum_groupby",
@@ -141,7 +164,7 @@ def main() -> None:
     # Like-for-like subtotal over the 17 queries BENCH_r01-r05 measured,
     # so round-over-round comparison is not distorted by the composites
     # added in r6 (`value` stays the full-set total).
-    r01_set = HEADLINE[:17]
+    r01_set = R01_COMPAT
     print(
         json.dumps(
             {

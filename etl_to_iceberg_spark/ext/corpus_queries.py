@@ -306,7 +306,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH t AS (
       SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
       FROM documents
     ),
     n AS (

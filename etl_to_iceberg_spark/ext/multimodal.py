@@ -77,8 +77,12 @@ def byte_segments(
         id_col,
         F.col("seg_no").cast("int").alias("seg_no"),
         (F.col("seg_no").cast("bigint") * seg).alias("seg_offset"),
+        # typed column API, not an interpolated SQL string: content_col
+        # may be any name (keywords, dots, dashes) without quoting games
         F.length(
-            F.expr(f"substring({content_col}, seg_no * {seg} + 1, {seg})")
+            F.substring(
+                F.col(content_col), F.col("seg_no") * seg + 1, F.lit(seg)
+            )
         ).cast("int").alias("seg_len"),
     )
 

@@ -60,8 +60,14 @@ def explode_expensive(df: DataFrame, keep: list[str], arr, alias: str) -> DataFr
 
     ``explode_outer`` is exempt from the rule (an empty array must still
     emit a null row), so: materialize the array in its own projection,
-    outer-explode it, and drop the null rows the outer form adds — the
-    exact inner-explode semantics at one evaluation per row.
+    outer-explode it, and drop the null rows the outer form adds.
+
+    Constraint: ``arr``'s ELEMENTS must be non-null. The null filter
+    cannot tell the outer form's synthetic empty-array row from a genuine
+    NULL element, so a null element is dropped where inner explode would
+    emit it. Fine for every caller here (tokenizer/shingle arrays never
+    hold nulls); a future caller exploding a nullable-element array needs
+    plain ``explode`` instead.
     """
     return (
         df.select(*keep, arr.alias("__arr"))

@@ -149,7 +149,13 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = words(normalize_text(col))
+    # NULL text coalesces to '' BEFORE tokenizing: size(NULL)=NULL makes
+    # greatest/least SKIP the null operand (not propagate it), so an
+    # unguarded NULL doc would yield one chunk claiming n_tokens =
+    # chunk_tokens — corrupting downstream token accounting. '' yields
+    # one empty chunk with n_tokens=0 (same convention as the dedup
+    # index builders: NULL and empty text both carry no content).
+    toks = words(normalize_text(F.coalesce(_c(col), F.lit(""))))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),

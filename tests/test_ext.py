@@ -599,3 +599,48 @@ def test_chunk_documents_params_reconstruct(spark, chunk_tokens, overlap):
         for c in chunks[1:]:
             rebuilt.extend(c.chunk_text.split()[overlap:])
         assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
+
+
+def test_chunk_documents_null_text_yields_one_empty_chunk(spark):
+    """NULL text must chunk exactly like '' — one chunk, empty text,
+    n_tokens 0. Unguarded, size(NULL)=NULL made greatest/least SKIP the
+    null operand and the doc reported one chunk claiming n_tokens =
+    chunk_tokens, corrupting downstream token accounting (packing,
+    shard budgeting)."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "three little tokens")],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.select(
+            "doc_id",
+            F.posexplode(chunk_documents("text", chunk_tokens=32, overlap=8)),
+        )
+        .select("doc_id", "col.*")
+        .collect()
+    )
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 3  # one chunk per doc, no phantom extras
+    for doc_id in (1, 2):  # NULL and '' are indistinguishable
+        r = by_doc[doc_id]
+        assert (r.chunk_id, r.chunk_text, r.n_tokens) == (0, "", 0), doc_id
+    assert by_doc[3].n_tokens == 3
+
+
+def test_byte_segments_handles_keyword_column_names(spark):
+    """Column names are passed through typed APIs, not interpolated into
+    a SQL string: a binary column named after a SQL keyword ('order')
+    must segment fine."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.multimodal import byte_segments
+
+    media = spark.createDataFrame(
+        [(1, "x" * 200)], "media_id long, text string"
+    ).select("media_id", F.col("text").cast("binary").alias("order"))
+    rows = byte_segments(media, content_col="order", seg=128).collect()
+    assert sorted((r.seg_no, r.seg_len) for r in rows) == [(0, 128), (1, 72)]
