@@ -419,11 +419,15 @@ def incremental_minhash_tick(
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
     est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
+    # NOT distinct-ed: a pair colliding in several bands yields up to
+    # `bands` duplicate rows, but every consumer is duplicate-insensitive
+    # (max-struct agg in _best_match; explicit distinct in replays /
+    # twin_self_hits) — a distinct here would add a full shuffle of the
+    # candidate set to the tick for nothing.
     raw = (
         ib.join(F.broadcast(bb), on=["band", "band_hash"])
         .select("doc_id", "idx_id", est.alias("est"))
         .where(F.col("est") >= threshold)
-        .distinct()  # multiple colliding bands → one candidate row
     ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
     if caches is not None:
         caches.append(raw)
@@ -454,7 +458,7 @@ def incremental_minhash_tick(
         .where(F.col("doc_id") < F.col("id_b"))
         .select(F.col("id_b"), F.col("doc_id").alias("id_a"), est_ab.alias("est"))
         .where(F.col("est") >= threshold)
-        .distinct()
+        # no distinct: _best_match's max-struct agg ignores duplicates
     )
     batch_best = _best_match(batch_cands, "id_b", "id_a", "est").select(
         F.col("id_b").alias("doc_id"),

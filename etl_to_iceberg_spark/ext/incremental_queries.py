@@ -183,7 +183,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.table("dedup.mh_index")
     batch = docs.where(_batch_mod())
     caches: list[DataFrame] = []
-    labeled = incremental_minhash_tick(t.read(), batch, threshold=0.5, caches=caches)
+    labeled = incremental_minhash_tick(
+        t.read(), batch, threshold=0.5, caches=caches
+    ).cache()  # batch-sized; the append below materializes it, so the
+    # caller's read of the returned labels is a cache hit, not a replay
+    # of the tick's join tree (measured 1.4s -> 0.1s at sf0.1)
+    caches.append(labeled)
     _mh_prev_caches.extend(caches)
     # Append from the tick's CACHED batch sketch (caches[0] = the marked
     # index rows + collapse bookkeeping) — recomputing minhash_index_rows
