@@ -220,7 +220,15 @@ def sessionize_stateful(
     idle sessions — correct for a CONTINUOUS query, but under
     ``Trigger.AvailableNow`` pending timers keep the query scheduling empty
     batches until they fire, so drain-style runs default to NoTimeout
-    (open sessions are emitted with closed=False instead)."""
+    (open sessions are emitted with closed=False instead).
+
+    The sink is ``foreachBatch`` collecting into a driver-side list (the
+    emission rows are session-count-bounded, not event-count-bounded), NOT
+    the memory sink: memory-sink queries refuse to recover from a
+    checkpoint, which would break the operator's actual contract — per-user
+    GroupState surviving ACROSS drains. Repeated drains against the same
+    checkpoint resume state and return only the new drain's emissions
+    (pinned by tests/test_streaming_properties.py's randomized sweep)."""
     num, unit = gap.split()
     seconds = float(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
     df = spark.readStream.format(fmt).schema(schema).load(source_dir)
@@ -238,10 +246,13 @@ def sessionize_stateful(
             ),
         )
     )
-    name = "e2is_sessions_sink"
+    emitted: list = []
+
+    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
     q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
+        sessions.writeStream.foreachBatch(collect_batch)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -250,4 +261,4 @@ def sessionize_stateful(
     finished = q.awaitTermination(timeout_sec)
     if not finished:
         q.stop()  # never leave a straggler query running in the session
-    return spark.table(name).collect()
+    return emitted

@@ -239,3 +239,105 @@ def test_dedup_within_watermark_random_replays_match_model(spark, tmp_path, seed
     assert per_drain == _dedup_model(ticks, delay_s), (
         f"seed={seed} delay={delay_s}"
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionization (applyInPandasWithState) vs model
+# ---------------------------------------------------------------------------
+#
+# The watermark sweeps above cover Spark's BUILT-IN stateful operators;
+# sessionize_stateful is the CUSTOM one (per-user GroupState), so its
+# cross-batch contract — state restored from the checkpoint between
+# drains, events ts-sorted only WITHIN a micro-batch, `last` moving
+# backward on an out-of-order arrival (negative gap never closes), the
+# strict `> gap` closure boundary, one trailing closed=False progress
+# row per (batch, user) — was example-tested only. This sweep replays
+# seeded random multi-tick schedules (ties, exact-gap hits, regressions,
+# users skipping ticks) against a pure-Python replica of that contract
+# and compares the FULL per-drain emission multisets.
+
+
+def _gen_session_schedule(
+    rng: random.Random, n_ticks: int
+) -> list[list[tuple[int, int]]]:
+    """Per tick: (user_id, seconds-since-base) rows. Offsets are
+    multiples of 30 and the gap is 120, so ts-last lands EXACTLY on the
+    gap (kept: closure is strictly >) as well as beyond it; ~20% of rows
+    regress behind the user's running max to exercise the backward-`last`
+    branch."""
+    ticks = []
+    center = 0
+    for _ in range(n_ticks):
+        center += rng.randrange(60, 360, 30)
+        rows = []
+        for _ in range(rng.randint(4, 10)):
+            user = rng.randint(1, 3)
+            if rng.random() < 0.2:
+                s = max(0, center - rng.randrange(0, 600, 30))
+            else:
+                s = center + rng.randrange(0, 240, 30)
+            rows.append((user, s))
+        ticks.append(rows)
+    return ticks
+
+
+def _session_model(
+    ticks: list[list[tuple[int, int]]], gap_s: int
+) -> list[list[tuple]]:
+    """Replica of streaming/windows._session_fn driven per tick: returns
+    each drain's emissions as (user, start_s, end_s, n, closed) sorted."""
+    state: dict[int, tuple[int, int, int]] = {}  # user -> (start, last, n)
+    drains = []
+    for rows in ticks:
+        by_user: dict[int, list[int]] = {}
+        for u, s in rows:
+            by_user.setdefault(u, []).append(s)
+        out = []
+        for u, times in by_user.items():
+            start, last, n = state.get(u, (None, None, 0))
+            for ts in sorted(times):
+                if last is not None and ts - last > gap_s:
+                    out.append((u, start, last, n, True))
+                    start, n = ts, 0
+                if start is None:
+                    start = ts
+                last = ts
+                n += 1
+            state[u] = (start, last, n)
+            out.append((u, start, last, n, False))
+        drains.append(sorted(out))
+    return drains
+
+
+@pytest.mark.parametrize("seed", [5, 17, 83])
+def test_stateful_sessionize_random_arrivals_match_model(spark, tmp_path, seed):
+    from etl_to_iceberg_spark.streaming.windows import sessionize_stateful
+
+    rng = random.Random(seed)
+    gap_s = 120
+    ticks = _gen_session_schedule(rng, n_ticks=4)
+
+    src = str(tmp_path / "in")
+    schema = spark.createDataFrame([], "user_id long, ts timestamp").schema
+    per_drain = []
+    for rows in ticks:
+        spark.createDataFrame(
+            [(u, BASE + dt.timedelta(seconds=s)) for u, s in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        emitted = sessionize_stateful(
+            spark, src, schema=schema,
+            checkpoint_dir=str(tmp_path / "ck"),
+            gap=f"{gap_s} seconds",
+        )
+        per_drain.append(sorted(
+            (
+                r.user_id,
+                int((r.session_start - BASE).total_seconds()),
+                int((r.session_end - BASE).total_seconds()),
+                r.n_events,
+                r.closed,
+            )
+            for r in emitted
+        ))
+
+    assert per_drain == _session_model(ticks, gap_s), f"seed={seed}"
