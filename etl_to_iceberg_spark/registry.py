@@ -96,6 +96,9 @@ _CHANGED_THIS_ROUND = [
     "scan_hive_partitioned",
     "scan_jsonl_docs",
     "scan_csv_typed",
+    # sessionize_stateful sink: memory -> foreachBatch (checkpoint-
+    # recoverable, so GroupState actually survives across drains)
+    "stream_sessionize_stateful",
 ]
 
 
