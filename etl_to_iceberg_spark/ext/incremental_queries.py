@@ -170,7 +170,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. The corpus text is sketched exactly once, at its own ingest
     tick; later ticks touch only the ~300 B/doc index."""
     while _mh_prev_caches:
-        _mh_prev_caches.pop().unpersist()
+        try:
+            _mh_prev_caches.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession: its
+            # blocks died with the session; nothing to release
     docs = _load_balanced(spark, sf_dir, "documents")
     cat = seeded_clone(
         spark,
