@@ -48,23 +48,9 @@ R01_COMPAT = [
     "multimodal_features",
 ]
 HEADLINE = [
-    "q1_pricing_summary",
-    "agg_sum_groupby",
-    "join_orders_customer",
-    "join_multiway_star",
-    "dedup_latest_per_key",
-    "window_running_sum",
-    "topk_orders",
-    "union_all_files",
-    "merge_keyed_upsert",
-    "cdc_incremental_upsert",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "text_quality_score",
-    "multimodal_features",
+    # The compat set always runs in full — a frozen name missing from
+    # results would silently shrink the subtotal it anchors.
+    *R01_COMPAT,
     # End-to-end pipeline composites (VERDICT r5 #5): the real workloads a
     # user runs — curate = clean+lang-id+quality+dedup+decontaminate chained;
     # connected components = the iterative dedup-cluster collapse.

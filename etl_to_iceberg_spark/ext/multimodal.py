@@ -77,8 +77,9 @@ def byte_segments(
         id_col,
         F.col("seg_no").cast("int").alias("seg_no"),
         (F.col("seg_no").cast("bigint") * seg).alias("seg_offset"),
-        # typed column API, not an interpolated SQL string: content_col
-        # may be any name (keywords, dots, dashes) without quoting games
+        # typed column API, not an interpolated SQL string, so names that
+        # would break SQL parsing (keywords, dashes) work; dotted names
+        # still mean nested-field access, as everywhere F.col is used
         F.length(
             F.substring(
                 F.col(content_col), F.col("seg_no") * seg + 1, F.lit(seg)

@@ -182,5 +182,11 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # Never leave a straggler query holding the checkpoint: a later
+        # drain against the SAME checkpoint dir (the registry query reuses
+        # one work dir per process) would collide with the still-active
+        # query instead of resuming cleanly.
+        q.stop()
     return q

@@ -214,7 +214,7 @@ def sessionize_stateful(
 ) -> list:
     """Streaming sessionization with explicit per-user state
     (applyInPandasWithState). Drains available files and returns the
-    emitted session rows (via an in-memory sink).
+    emitted session rows.
 
     ``use_state_timeout=True`` enables processing-time timeouts that close
     idle sessions — correct for a CONTINUOUS query, but under
