@@ -234,7 +234,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # don't let a straggler hold the checkpoint the
+            # second drain below resumes from
 
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)

@@ -111,7 +111,10 @@ def ingest_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()  # a straggler would collide with the next drain's query
+        # on the same checkpoint instead of resuming from it
     return q
 
 
