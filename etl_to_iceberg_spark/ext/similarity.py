@@ -166,10 +166,12 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
     )
-    cands = (
-        cb.join(qb, on="bucket")
-        .select(F.col(id_col).alias("vec_id"), F.col("__qid").alias("query_id"))
-        .distinct()
+    # No distinct: each vector carries exactly ONE bucket (a single
+    # 2^planes hash, not multi-band LSH), so the bucket equi-join yields
+    # at most one row per (corpus, query) pair — a distinct here would
+    # add a full shuffle of the candidate set for nothing.
+    cands = cb.join(qb, on="bucket").select(
+        F.col(id_col).alias("vec_id"), F.col("__qid").alias("query_id")
     )
     scored = (
         cands.join(c, "vec_id")
