@@ -448,8 +448,11 @@ def simhash_near_duplicates(
         left.join(right, on=["byte_idx", "byte_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
+        # hamming filter BEFORE the multi-band dedup: the distinct's
+        # shuffle then carries only pairs that can appear in the output,
+        # not every band collision about to be discarded
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return near.unionByName(exact_edges)
 

@@ -99,6 +99,8 @@ _CHANGED_THIS_ROUND = [
     # sessionize_stateful sink: memory -> foreachBatch (checkpoint-
     # recoverable, so GroupState actually survives across drains)
     "stream_sessionize_stateful",
+    # simhash: hamming filter moved before the multi-band pair distinct
+    "dedup_simhash",
 ]
 
 
