@@ -97,46 +97,73 @@ def main() -> None:
     spark.range(0, CPUS * 10, 1, CPUS).toDF("id").mapInPandas(
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
-    # JIT-warm every measured code path (scan/agg/window/join/codegen for
-    # the sketches/writes) on the smallest SF — different data than the
-    # measured runs, so the timings below reflect data-proportional cost,
-    # not one-time JVM JIT compilation.
-    warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(SF_DIR):
-        for wname in HEADLINE:
+    def warm(names: list[str], sf: str) -> None:
+        # JIT-warm the code paths (scan/agg/window/join/codegen for the
+        # sketches/writes) — run at the smallest SF so the timed runs
+        # reflect data-proportional cost, not one-time JVM JIT compilation.
+        for wname in names:
             try:
-                specs[wname].fn(spark, warm_sf).write.format("noop").mode(
+                specs[wname].fn(spark, sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception as e:  # visible: a failed warm-up shifts its
                 # one-time JIT/pagecache cost into the first timed run
                 print(f"  warm-up failed for {wname}: {e!r}", file=sys.stderr)
 
-    # One untimed warm pass at the measured SF, then three timed runs per
-    # query, min reported: single-shot wall times at 1-10s/query are
-    # dominated by JIT compilation and GC/daemon scheduling jitter (the
-    # first same-SF execution of a query runs ~2x its steady state, and
-    # convergence takes several runs — profiled r5: dedup_minhash_lsh
-    # sequences like [5.4, 2.7, 2.4, 2.2, 2.0, ...] with both r3 and r4
-    # code reaching the same ~1.9s floor). The min of three post-warm runs
-    # is the steady-state engine cost; the warm pass charges one-time
-    # same-SF JIT/pagecache work to warmup where it belongs.
+    def timed(names: list[str], results: dict[str, float]) -> None:
+        # One untimed warm pass at the measured SF, then three timed runs
+        # per query, min reported: single-shot wall times at 1-10s/query
+        # are dominated by JIT compilation and GC/daemon scheduling jitter
+        # (the first same-SF execution of a query runs ~2x its steady
+        # state, and convergence takes several runs — profiled r5:
+        # dedup_minhash_lsh sequences like [5.4, 2.7, 2.4, 2.2, 2.0, ...]
+        # with both r3 and r4 code reaching the same ~1.9s floor). The min
+        # of three post-warm runs is the steady-state engine cost; the
+        # warm pass charges one-time same-SF JIT/pagecache work to warmup
+        # where it belongs.
+        for name in names:
+            spec = specs[name]
+            try:
+                spec.fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:
+                print(f"  warm-up failed for {name}: {e!r}", file=sys.stderr)
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            results[name] = round(best, 3)
+            print(f"  {name}: {results[name]:.3f}s", file=sys.stderr)
+
+    # Measurement hygiene (r6 verdict): the compat set is warmed and timed
+    # FIRST, before any composite runs — BENCH_r06 showed compat queries
+    # regressing up to 2.15x on UNCHANGED code after the warm loop grew to
+    # include the composites (connected components' reliable checkpoints,
+    # the incremental ticks' cached sketches), whose block-store/checkpoint
+    # residue the shared session carries into the timed runs. Ordering
+    # compat-first reproduces the exact session conditions BENCH_r01-r05
+    # measured under, keeping r01_compat_total like-for-like.
+    extras = [n for n in HEADLINE if n not in R01_COMPAT]
     results: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs[name]
-        try:
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception as e:
-            print(f"  warm-up failed for {name}: {e!r}", file=sys.stderr)
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        results[name] = round(best, 3)
-        print(f"  {name}: {results[name]:.3f}s", file=sys.stderr)
+    warm_sf = "/root/testdata/sf0.001"
+    do_warm = os.path.isdir(warm_sf) and os.path.abspath(
+        warm_sf
+    ) != os.path.abspath(SF_DIR)
+    if do_warm:
+        warm(R01_COMPAT, warm_sf)
+    timed(R01_COMPAT, results)
+    # Reset DataFrame-cache residue between tranches so the composites
+    # also start from a clean block store (their own warm pass re-primes
+    # what they need; the seeded pristine warehouses are disk-cached and
+    # unaffected).
+    spark.catalog.clearCache()
+    if do_warm:
+        warm(extras, warm_sf)
+    timed(extras, results)
 
     total = round(sum(results.values()), 3)
     sf = None
@@ -149,8 +176,11 @@ def main() -> None:
 
     # Like-for-like subtotal over the 17 queries BENCH_r01-r05 measured,
     # so round-over-round comparison is not distorted by the composites
-    # added in r6 (`value` stays the full-set total).
-    r01_set = R01_COMPAT
+    # added in r6 (`value` stays the full-set total). A frozen name missing
+    # from results is a hard error (ADVICE r6): silently skipping it would
+    # shrink the subtotal and fake an improvement.
+    missing = [n for n in R01_COMPAT if n not in results]
+    assert not missing, f"compat queries missing from results: {missing}"
     print(
         json.dumps(
             {
@@ -159,7 +189,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "r01_compat_total": round(
-                    sum(results[n] for n in r01_set if n in results), 3
+                    sum(results[n] for n in R01_COMPAT), 3
                 ),
                 "sf": sf,
             }

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_to_iceberg_spark.ext.text import fingerprint, normalize_text, words
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 
 # --- exact -----------------------------------------------------------------
@@ -695,9 +696,7 @@ def _reliable_checkpoint(spark):
     the checkpoint dir is cleared."""
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-cc-checkpoint-"))
+        sc.setCheckpointDir(scratch_dir(prefix="spark-cc-checkpoint-"))
     return lambda df: df.checkpoint(eager=True)
 
 

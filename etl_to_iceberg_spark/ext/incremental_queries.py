@@ -33,6 +33,7 @@ from etl_to_iceberg_spark.ext.incremental import (
 from etl_to_iceberg_spark.ext.queries import _load_balanced
 from etl_to_iceberg_spark.operators.table_queries import seeded_clone
 from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 _sid_work_cache: dict[str, str] = {}  # sf_dir -> streaming-dedup work dir
 
@@ -122,7 +123,6 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_fault_injection.py; this single-drain form is
     deterministic, so it carries a full DuckDB oracle."""
     import os
-    import tempfile
 
     from etl_to_iceberg_spark.streaming.ingest import stream_incremental_dedup
     from etl_to_iceberg_spark.tables import Catalog
@@ -130,15 +130,16 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_balanced(spark, sf_dir, "documents").where(
         F.col("doc_id") < 300
     ).select("doc_id", "text")
-    # One work dir per (process, sf_dir) — a per-call mkdtemp would leak a
+    # One work dir per (process, sf_dir) — a per-call dir would rebuild a
     # corpus copy + warehouse + checkpoint per run (same per-process cache
-    # as ingest_formats._layout_cache). Re-runs re-drain against the SAME
-    # checkpoint: no new files → a no-op drain → identical labels, which
-    # also exercises drain idempotency for free.
+    # as ingest_formats._layout_cache); scratch_dir removes it at process
+    # exit (ADVICE r6). Re-runs re-drain against the SAME checkpoint: no
+    # new files → a no-op drain → identical labels, which also exercises
+    # drain idempotency for free.
     key = os.path.abspath(sf_dir)
     work = _sid_work_cache.get(key)
     if work is None:
-        work = tempfile.mkdtemp(prefix="e2is_sid_")
+        work = scratch_dir(prefix="e2is_sid_")
         docs.coalesce(1).write.mode("append").parquet(
             os.path.join(work, "incoming")
         )
@@ -230,8 +231,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM proj GROUP BY vec_id
     ),
     cands AS (
+      -- multiprobe: the query's own bucket plus every 1-bit-flip
+      -- neighbor (masks 0 and 1<<p for the 6 planes); each candidate
+      -- bucket is distinct so no pair duplicates arise
       SELECT qb.vec_id AS query_id, cb.vec_id
-      FROM bucket qb JOIN bucket cb ON qb.bucket = cb.bucket
+      FROM bucket qb
+      CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) probe
+      JOIN bucket cb ON cb.bucket = xor(qb.bucket, probe.m)
       WHERE qb.vec_id % 5 = 4 AND cb.vec_id % 5 <> 4
     ),
     scored AS (
@@ -251,11 +257,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-then-insert ANN over a persisted embedding index: the 20%
-    batch queries the 80% index (bucket-restricted candidates, exact
-    cosine re-rank) and then appends its own rows — the vector analogue
-    of the incremental dedup ticks, completing the incremental family
-    across both modalities. Buckets are STORED, so a tick never
-    recomputes the corpus projection."""
+    batch queries the 80% index (multiprobe bucket-restricted candidates
+    — own bucket + all 1-bit flips — exact cosine re-rank) and then
+    appends its own rows — the vector analogue of the incremental dedup
+    ticks, completing the incremental family across both modalities.
+    Buckets are STORED, so a tick never recomputes the corpus
+    projection; multiprobe widens recall per tick without touching the
+    stored buckets (recall-vs-probes monotonicity pinned by
+    tests/test_incremental.py)."""
     emb = _load_balanced(spark, sf_dir, "embeddings")
     batch_pred = F.col("vec_id") % 5 == 4
     cat = seeded_clone(

@@ -13,7 +13,6 @@ never-checked tail in the driver-check rotation instead of displacing it.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -23,6 +22,8 @@ from etl_to_iceberg_spark.ext.text import WORD_RE, words
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
+from etl_to_iceberg_spark.scratch import scratch_dir
+from etl_to_iceberg_spark.streaming.ingest import await_drain
 
 # Decontamination shingle width: 8 word tokens, the common order of the
 # 13-gram/8-gram overlap tests used for benchmark contamination checks.
@@ -242,8 +243,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-dedup cost — production bounds it with ``withWatermark`` +
     ``dropDuplicatesWithinWatermark`` when at-most-once-per-window
     suffices (late replays beyond the watermark would then pass through)."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_sdd_"))
-    work = tempfile.mkdtemp(prefix="e2is_sdd_src_")
+    cat = Catalog(spark, scratch_dir(prefix="e2is_sdd_"))
+    work = scratch_dir(prefix="e2is_sdd_src_")
     src = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "ckpt")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -264,9 +265,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()  # don't let a straggler hold the checkpoint the
-            # second drain below resumes from
+        await_drain(q, 300, label="stream_dedup")
 
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)

@@ -3,17 +3,17 @@
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 
 def _scratch(spark: SparkSession) -> Catalog:
-    return Catalog(spark, tempfile.mkdtemp(prefix="e2is_cdc_"))
+    return Catalog(spark, scratch_dir(prefix="e2is_cdc_"))
 
 
 _CURSOR = "2024-01-15 00:00:00"
@@ -131,7 +131,7 @@ def cdc_file_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
 
     cat = _scratch(spark)
-    work = tempfile.mkdtemp(prefix="e2is_ingest_")
+    work = scratch_dir(prefix="e2is_ingest_")
     src_dir = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "_checkpoint")
     ev = load_table(spark, sf_dir, "events").select(
@@ -160,7 +160,7 @@ def cdc_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.sources.files import list_data_files
 
     cat = _scratch(spark)
-    work = tempfile.mkdtemp(prefix="e2is_fsz_")
+    work = scratch_dir(prefix="e2is_fsz_")
     region = load_table(spark, sf_dir, "region")
     region.coalesce(1).write.mode("append").parquet(work)
     listing1 = list_data_files(spark, work).select("file_path", "file_size")
@@ -180,7 +180,7 @@ def cdc_file_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash change detection — the reference logs 'not implemented'
     (hdfs_to_iceberg_cdc_operator.py:227-229); here: distributed sha256 over
     file bytes via the binaryFile source."""
-    work = tempfile.mkdtemp(prefix="e2is_hash_")
+    work = scratch_dir(prefix="e2is_hash_")
     load_table(spark, sf_dir, "region").coalesce(2).write.mode("append").parquet(work)
     bin_df = spark.read.format("binaryFile").load(os.path.join(work, "*.parquet"))
     return bin_df.select(
@@ -202,7 +202,7 @@ def cdc_checkpoint_xcom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
 
     cat = _scratch(spark)
-    work = tempfile.mkdtemp(prefix="e2is_ckpt_")
+    work = scratch_dir(prefix="e2is_ckpt_")
     src_dir = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "_checkpoint")
     region = load_table(spark, sf_dir, "region")
@@ -248,7 +248,6 @@ def udf_remote_submit(spark: SparkSession, sf_dir: str) -> DataFrame:
     function → script file → spark-submit argv. The K8s/OAuth2 launch is a
     deployment concern above the engine; the artifacts it needs are built
     and returned here."""
-    import tempfile as _tf
 
     from etl_to_iceberg_spark.submit import SubmitSpec, function_to_script
 
@@ -256,7 +255,7 @@ def udf_remote_submit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table).count()
 
     script = function_to_script(remote_job, call_args=["events"])
-    path = os.path.join(_tf.mkdtemp(prefix="e2is_job_"), "remote_job.py")
+    path = os.path.join(scratch_dir(prefix="e2is_job_"), "remote_job.py")
     with open(path, "w") as f:
         f.write(script)
     spec = SubmitSpec(

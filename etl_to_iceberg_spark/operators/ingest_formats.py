@@ -15,13 +15,13 @@ the tail of the driver-check rotation.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 _layout_cache: dict[tuple[str, str], str] = {}
 
@@ -55,7 +55,7 @@ def scan_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one materialization per (process, sf_dir) — a per-call write
         # would make bench loops time the round-trip WRITE and leak a
         # corpus copy per run (same per-process cache as relational._events_as)
-        work = tempfile.mkdtemp(prefix="e2is_jsonl_")
+        work = scratch_dir(prefix="e2is_jsonl_")
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
@@ -94,7 +94,7 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one pass, explicit schema, line-splittable files."""
     key = ("csv", os.path.abspath(sf_dir))
     if key not in _layout_cache:
-        work = tempfile.mkdtemp(prefix="e2is_csv_")
+        work = scratch_dir(prefix="e2is_csv_")
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority",

@@ -15,7 +15,6 @@ declared keys, never collect).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -27,6 +26,7 @@ from etl_to_iceberg_spark.normalize import lower_names, nan_to_null, prepare_dat
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.files import read_orc
 from etl_to_iceberg_spark.sources.tables import load_table
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary.
@@ -138,7 +138,7 @@ def _events_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Materialize events once per (process, sf_dir, format)."""
     key = (os.path.abspath(sf_dir), fmt)
     if key not in _csv_json_cache:
-        out = os.path.join(tempfile.mkdtemp(prefix=f"e2is_{fmt}_"), f"events_{fmt}")
+        out = os.path.join(scratch_dir(prefix=f"e2is_{fmt}_"), f"events_{fmt}")
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
@@ -190,7 +190,7 @@ def _events_as_orc(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as a small ORC dataset once per (process, sf_dir)."""
     key = os.path.abspath(sf_dir)
     if key not in _orc_cache:
-        out = os.path.join(tempfile.mkdtemp(prefix="e2is_orc_"), "events_orc")
+        out = os.path.join(scratch_dir(prefix="e2is_orc_"), "events_orc")
         load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
         _orc_cache[key] = out
     return _orc_cache[key]
@@ -965,7 +965,7 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized once per (process, sf_dir) — like _events_as; a
         # per-call mkdtemp+write would make bench loops time the WRITE and
         # leak one full copy of events per run
-        work = os.path.join(tempfile.mkdtemp(prefix="e2is_hive_"), "events_hive")
+        work = os.path.join(scratch_dir(prefix="e2is_hive_"), "events_hive")
         load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value", "event_type"
         ).write.mode("overwrite").partitionBy("event_type").parquet(work)

@@ -4,7 +4,6 @@ windows, sessionization)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -12,6 +11,8 @@ from etl_to_iceberg_spark.functions import sql_exact_sum
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
+from etl_to_iceberg_spark.scratch import scratch_dir
+from etl_to_iceberg_spark.streaming.ingest import await_drain
 
 
 @register(
@@ -128,8 +129,8 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch GROUP BY — late updates to a window overwrite, not duplicate."""
     from etl_to_iceberg_spark.streaming.windows import stream_windowed_counts
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_swin_"))
-    work = tempfile.mkdtemp(prefix="e2is_swin_src_")
+    cat = Catalog(spark, scratch_dir(prefix="e2is_swin_"))
+    work = scratch_dir(prefix="e2is_swin_src_")
     src = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "ckpt")
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
@@ -163,7 +164,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for the session logic itself."""
     from etl_to_iceberg_spark.streaming.windows import sessionize_stateful
 
-    work = tempfile.mkdtemp(prefix="e2is_sess_")
+    work = scratch_dir(prefix="e2is_sess_")
     src = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "ckpt")
     ev = (
@@ -203,8 +204,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch join+GROUP BY (the oracle). The static side is
     re-read per micro-batch, which is how dimension refresh works in a
     long-running stream."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_ssj_"))
-    work = tempfile.mkdtemp(prefix="e2is_ssj_src_")
+    cat = Catalog(spark, scratch_dir(prefix="e2is_ssj_"))
+    work = scratch_dir(prefix="e2is_ssj_src_")
     src = os.path.join(work, "incoming")
     ckpt = os.path.join(work, "ckpt")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -234,9 +235,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()  # don't let a straggler hold the checkpoint the
-            # second drain below resumes from
+        await_drain(q, 300, label="stream_window")
 
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)

@@ -11,7 +11,6 @@ tail of the driver-check rotation.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -19,6 +18,7 @@ from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
 from etl_to_iceberg_spark.tables.maintenance import remove_orphan_files
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 
 @register(
@@ -41,7 +41,7 @@ def ddl_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: evolution is a metadata-only commit — zero data movement
     regardless of table size. The read plan unions per-era file groups
     with NULL-fill, no rewrite of the 100 TB history."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_evo_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_evo_"))
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     t = cat.table("evo.orders")
     t.create(orders.where(F.col("o_orderkey") % 10 < 8))
@@ -62,7 +62,7 @@ def maint_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving unchanged (tests/test_tables.py asserts both directions).
 
     Returns one auditable row per orphan removed."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_orph_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_orph_"))
     nation = load_table(spark, sf_dir, "nation")
     t = cat.table("evo.nation")
     t.create(nation)
@@ -91,7 +91,7 @@ def merge_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the plain file-pruned COW MERGE (only files
     holding matched keys rewrite); the evolution itself adds zero data
     movement."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_mevo_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_mevo_"))
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -125,7 +125,7 @@ def meta_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; the only Spark job materializes the result relation."""
     from etl_to_iceberg_spark.tables.maintenance import partition_stats
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_pstat_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_pstat_"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", F.year("l_shipdate").alias("l_year")
     )
@@ -152,7 +152,7 @@ def scan_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: planning is manifest-sized driver work; data I/O is
     proportional to the matching range, not the table."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_prune_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_prune_"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -180,7 +180,7 @@ def delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the delete commit is manifest-sized; reads pay one extra
     codegen'd filter until compaction folds it in."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_mor_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_mor_"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -214,7 +214,7 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not promise that). Scale shape: each tick scans only the delta's
     files (snapshot-range read, no diffing), aggregates them, and
     merges rollup-sized rows — history is never rescanned."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_ivm_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_ivm_"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
@@ -291,7 +291,7 @@ def catalog_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the DataFrame plan — Catalyst compiles the
     SQL to the same broadcast-join + two-phase agg, with filters pushed
     into the snapshot scans."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="e2is_sql_"))
+    cat = Catalog(spark, scratch_dir(prefix="e2is_sql_"))
     cat.table("lake.orders").create(load_table(spark, sf_dir, "orders"))
     cat.table("lake.customer").create(load_table(spark, sf_dir, "customer"))
     views = cat.register_views("lake")

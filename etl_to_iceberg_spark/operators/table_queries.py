@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import atexit
 import shutil
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -20,10 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog, maintenance
+from etl_to_iceberg_spark.scratch import scratch_dir
 
 
 def _scratch(spark: SparkSession) -> Catalog:
-    return Catalog(spark, tempfile.mkdtemp(prefix="e2is_wh_"))
+    return Catalog(spark, scratch_dir(prefix="e2is_wh_"))
 
 
 # Pristine seeded warehouses, one per (key, sf_dir) per process. Queries
@@ -59,7 +59,7 @@ def seeded_clone(
             cat = _scratch(spark)
             seed(cat)
             _PRISTINE[k] = cat
-    dst = tempfile.mkdtemp(prefix="e2is_wh_")
+    dst = scratch_dir(prefix="e2is_wh_")
     _CLONES.append(dst)
     return cat.shallow_clone(dst)
 

@@ -22,10 +22,34 @@ streaming gets the same append/merge semantics as batch.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from etl_to_iceberg_spark.tables import Catalog
+
+
+def await_drain(q: StreamingQuery, timeout_sec: float, *, label: str = "") -> bool:
+    """Await an AvailableNow drain; on timeout, stop the straggler and warn.
+
+    Stopping is mandatory: a still-active query would collide with the next
+    drain on the same checkpoint instead of letting it resume. The warning
+    makes a PARTIAL drain observable (ADVICE r6) — downstream tables hold
+    only the committed micro-batch prefix, which is otherwise
+    indistinguishable from a complete drain. Returns the finished flag so
+    callers that need a hard guarantee can raise on False."""
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        warnings.warn(
+            f"streaming drain {label or q.id} timed out after {timeout_sec}s"
+            " and was stopped with batches pending; downstream tables hold"
+            " only the committed micro-batch prefix",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return finished
 
 
 def stream_files(
@@ -111,10 +135,7 @@ def ingest_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()  # a straggler would collide with the next drain's query
-        # on the same checkpoint instead of resuming from it
+    await_drain(q, timeout_sec, label=f"ingest:{target_identifier}")
     return q
 
 
@@ -185,11 +206,5 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        # Never leave a straggler query holding the checkpoint: a later
-        # drain against the SAME checkpoint dir (the registry query reuses
-        # one work dir per process) would collide with the still-active
-        # query instead of resuming cleanly.
-        q.stop()
+    await_drain(q, timeout_sec, label=f"dedup:{index_identifier}")
     return q

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from etl_to_iceberg_spark.streaming.ingest import await_drain
 from etl_to_iceberg_spark.tables import Catalog
 
 
@@ -77,10 +78,7 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()  # a straggler would collide with the next drain's query
-        # on the same checkpoint instead of resuming from it
+    await_drain(q, timeout_sec, label=f"windowed:{target_identifier}")
 
 
 def sessionize(
@@ -261,7 +259,5 @@ def sessionize_stateful(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()  # never leave a straggler query running in the session
+    await_drain(q, timeout_sec, label="sessionize_stateful")
     return emitted
