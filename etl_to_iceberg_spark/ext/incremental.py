@@ -176,12 +176,21 @@ def incremental_ann_tick(
     k: int = 5,
     planes: int = 6,
     dim: int = 64,
+    probes: int | None = None,
 ) -> DataFrame:
     """Search-then-insert ANN tick: top-k nearest INDEX vectors for each
-    batch vector, candidates restricted to the batch vector's LSH bucket,
-    exact cosine re-rank behind. Returns (query_id, vec_id, score, rank);
-    a batch vector whose bucket holds no index member yields no rows (an
-    LSH miss — raise `planes`' resolution or fall back to brute force).
+    batch vector, candidates restricted to the batch vector's LSH bucket
+    plus its single-bit-flip neighbor buckets (multiprobe), exact cosine
+    re-rank behind. Returns (query_id, vec_id, score, rank).
+
+    ``probes`` = number of bucket keys probed per query, 1..planes+1
+    (default planes+1 — the query's own bucket plus ALL one-bit flips).
+    Multiprobe is the standard recall lever for sign-LSH (Lv et al.,
+    VLDB'07): a near-neighbor that disagrees with the query on exactly
+    one hyperplane's sign — the most likely miss — lands in a
+    Hamming-distance-1 bucket, so probing those recovers it without
+    rebuilding the index at a different resolution. probes=1 is the
+    pre-r7 single-bucket behavior, where such a miss yields no rows.
 
     Replay safety (same at-least-once posture as the dedup ticks): a
     query's OWN index row — present when a redelivered batch already
@@ -193,19 +202,35 @@ def incremental_ann_tick(
 
     Shuffle budget: the index is scanned once with its PRECOMPUTED bucket
     column (no projection re-compute) and broadcast-joined by the batch's
-    bucket rows — the index never shuffles; only bucket-colliding
-    candidates (≈ |index| / 2^planes per query) enter the re-rank window.
-    The caller appends `ann_index_rows(batch)` afterwards (the insert
-    half), which writes only the batch."""
+    probe rows (|batch| × probes — still batch-sized) — the index never
+    shuffles; only bucket-colliding candidates (≈ probes × |index| /
+    2^planes per query) enter the re-rank window, and each index row
+    matches AT MOST ONE probe bucket per query (the probe keys are
+    distinct), so multiprobe introduces no candidate duplicates. The
+    caller appends `ann_index_rows(batch)` afterwards (the insert half),
+    which writes only the batch."""
     from etl_to_iceberg_spark.ext.similarity import cosine
 
+    if probes is None:
+        probes = planes + 1
+    if not 1 <= probes <= planes + 1:
+        raise ValueError(f"probes must be in 1..planes+1, got {probes}")
+    # Probe masks: 0 (the query's own bucket) then one bit per plane.
+    masks = [0] + [1 << p for p in range(planes)]
     brows = ann_index_rows(
         batch, id_col=id_col, vec_col=vec_col, planes=planes, dim=dim
     )
     q = brows.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
-        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(m)).cast("int")
+                    for m in masks[:probes]
+                ]
+            )
+        ).alias("bucket"),
     )
     scored = (
         index.join(F.broadcast(q), on="bucket")
