@@ -159,10 +159,13 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_sessionize_stateful", sql=None)  # stateful streaming op
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    session state with processing-time timeout. Rows-only: emission timing
-    is inherently batch-dependent; the batch `sessionize_events` carries the
-    oracle for the session logic itself."""
-    from etl_to_iceberg_spark.streaming.windows import sessionize_stateful
+    session state, emissions MERGEd into a managed sessions table keyed by
+    (user_id, session_start) — the deployment sink (r7; the driver-list
+    drain remains for tests). Rows-only: emission timing is inherently
+    batch-dependent; the batch `sessionize_events` carries the oracle for
+    the session logic itself."""
+    from etl_to_iceberg_spark.streaming.windows import sessionize_stateful_to_table
+    from etl_to_iceberg_spark.tables import Catalog
 
     work = scratch_dir(prefix="e2is_sess_")
     src = os.path.join(work, "incoming")
@@ -173,14 +176,12 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") < 5)
     )
     ev.coalesce(1).write.mode("append").parquet(src)
-    rows = sessionize_stateful(
-        spark, src, schema=ev.schema, checkpoint_dir=ckpt, gap="30 minutes"
+    cat = Catalog(spark, os.path.join(work, "wh"))
+    sessionize_stateful_to_table(
+        spark, src, schema=ev.schema, checkpoint_dir=ckpt,
+        catalog=cat, target_identifier="stream.sessions", gap="30 minutes",
     )
-    return spark.createDataFrame(
-        [(r.user_id, r.session_start, r.session_end, r.n_events, r.closed) for r in rows],
-        "user_id long, session_start timestamp, session_end timestamp, "
-        "n_events long, closed boolean",
-    )
+    return cat.table("stream.sessions").read()
 
 
 @register(

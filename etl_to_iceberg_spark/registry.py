@@ -61,46 +61,18 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 6
+_CHANGED_AS_OF_ROUND = 7
 _CHANGED_THIS_ROUND = [
-    # explode_expensive rewrite (generator-input re-evaluation fix)
-    "corpus_decontaminate",
-    "corpus_curate_v2",
-    "text_ngram_topk",
-    "text_token_histogram",
-    "text_unigram_logprob",
-    # iterates only edge-incident nodes; isolated rejoin as singletons
-    "dedup_connected_components",
-    # merge delete-clause logical keys now from touched-file sub-snapshot
-    # (and a single shared read of it); zero-file-snapshot guard in
-    # _read_with_path; nullability-widening schema evolution on append
-    "merge_keyed_upsert",
-    "cdc_incremental_upsert",
-    "delete_where",
-    "sink_iceberg_append",
-    # expiry/orphan ownership checks resolve symlinks (realpath)
-    "maint_expire_snapshots",
-    # LCG hyperplanes + decimal projection; upgraded rows-only -> oracle
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # review-pass fixes: struct-carried asof payload (null-payload match);
-    # version cursor authoritative over ts when both configured; single
-    # persisted delta snapshot per tick; sessionize no longer filters
-    # null values (matches oracle); q7/q8 half-open date bounds; cached
-    # hive/jsonl/csv layout materialization
-    "join_asof",
-    "sessionize_native_window",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "cdc_timestamp_delta",
-    "scan_hive_partitioned",
-    "scan_jsonl_docs",
-    "scan_csv_typed",
-    # sessionize_stateful sink: memory -> foreachBatch (checkpoint-
-    # recoverable, so GroupState actually survives across drains)
+    # r7 is deliberately minimal (VERDICT r6 #2): the ~50-row budget must
+    # rotate the 37 ops whose latest green row is r3 plus the oldest r4s.
+    # Semantics-neutral r7 changes (scratch-dir atexit cleanup, drain-
+    # timeout warnings) are NOT listed — they alter no query result.
+    #
+    # multiprobe candidate ring (own bucket + 1-bit flips); oracle extended
+    "similarity_incremental_ann",
+    # sink: driver-list drain -> managed-table MERGE keyed by
+    # (user_id, session_start)
     "stream_sessionize_stateful",
-    # simhash: hamming filter moved before the multi-band pair distinct
-    "dedup_simhash",
 ]
 
 

@@ -17,6 +17,9 @@ supply that layer:
   timeouts — the custom-stateful-operator pattern
   (state schema + timeout handling are the real content; the logic mirrors
   ``sessionize``).
+- ``sessionize_stateful_to_table``: the same state query with the
+  deployment sink — per-batch emissions MERGEd into a managed sessions
+  table keyed by (user_id, session_start), replay-idempotent.
 """
 
 from __future__ import annotations
@@ -202,6 +205,97 @@ def _session_fn(gap_seconds: float, use_timeout: bool):
     return fn
 
 
+def _session_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    fmt: str,
+    gap: str,
+    use_state_timeout: bool,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The shared stateful-sessionization streaming query: file source →
+    per-user applyInPandasWithState. Sinks differ (driver list for
+    drain/test runs, managed-table MERGE for deployment) but the state
+    query — and therefore the checkpointed GroupState — is identical."""
+    num, unit = gap.split()
+    seconds = float(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(source_dir)
+    return df.groupBy("user_id").applyInPandasWithState(
+        _session_fn(seconds, use_state_timeout),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_state_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def sessionize_stateful_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema,
+    checkpoint_dir: str,
+    catalog: Catalog,
+    target_identifier: str,
+    gap: str = "30 minutes",
+    fmt: str = "parquet",
+    timeout_sec: float = 300.0,
+    use_state_timeout: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> bool:
+    """Streaming sessionization draining emissions into a managed table —
+    the deployment-shape sink for :func:`sessionize_stateful` (whose
+    driver-side list is drain/test-bounded; a 100 TB ingest wants state
+    emissions in a table, VERDICT r6 §wrong-3).
+
+    Each micro-batch's emissions MERGE into ``target_identifier`` keyed by
+    ``(user_id, session_start)``: one row per session, updated in place as
+    later batches extend it (session_end/n_events grow) and finally
+    flipped ``closed=true``. The key is stable across batches — a
+    session's start is fixed at its first event and only a session-opening
+    event ever sets it — and unique within a batch (at most one closed
+    emission per start plus one trailing open emission at a LATER start),
+    so the MERGE needs no dedup ordering.
+
+    Crash/replay safety is the stream_incremental_dedup posture:
+    foreachBatch is at-least-once, the keyed MERGE is idempotent, so a
+    replayed micro-batch rewrites the same session rows — exactly-once
+    effect with no checkpoint/commit coupling. GroupState itself resumes
+    from the checkpoint, so sessions straddle drains AND restarts
+    (tests/test_fault_injection.py).
+
+    Returns the drain-completed flag from :func:`await_drain` (False =
+    timed out; the table then holds only the committed batch prefix)."""
+    sessions = _session_stream(
+        spark, source_dir, schema, fmt, gap, use_state_timeout,
+        max_files_per_trigger,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.table(target_identifier).merge(
+            batch_df, keys=["user_id", "session_start"]
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_drain(
+        q, timeout_sec, label=f"sessionize:{target_identifier}"
+    )
+
+
 def sessionize_stateful(
     spark: SparkSession,
     source_dir: str,
@@ -229,24 +323,10 @@ def sessionize_stateful(
     checkpoint, which would break the operator's actual contract — per-user
     GroupState surviving ACROSS drains. Repeated drains against the same
     checkpoint resume state and return only the new drain's emissions
-    (pinned by tests/test_streaming_properties.py's randomized sweep)."""
-    num, unit = gap.split()
-    seconds = float(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
-    df = spark.readStream.format(fmt).schema(schema).load(source_dir)
-    sessions = (
-        df.groupBy("user_id")
-        .applyInPandasWithState(
-            _session_fn(seconds, use_state_timeout),
-            outputStructType=SESSION_OUTPUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=(
-                GroupStateTimeout.ProcessingTimeTimeout
-                if use_state_timeout
-                else GroupStateTimeout.NoTimeout
-            ),
-        )
-    )
+    (pinned by tests/test_streaming_properties.py's randomized sweep).
+    A deployment wants :func:`sessionize_stateful_to_table` instead —
+    same state query, emissions MERGEd into a managed table."""
+    sessions = _session_stream(spark, source_dir, schema, fmt, gap, use_state_timeout)
     emitted: list = []
 
     def collect_batch(batch_df: DataFrame, batch_id: int) -> None:

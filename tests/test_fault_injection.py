@@ -450,3 +450,103 @@ def test_streaming_incremental_dedup_survives_worst_case_crash(
     )
     assert dup_fp.count() == 0
     index.unpersist(); labels.unpersist()
+
+
+# --- stateful sessionization with a table sink ------------------------------
+
+
+def test_sessionize_table_sink_crash_replay_and_cross_drain_state(
+    spark, tmp_path
+):
+    """The deployment sink for stateful sessionization: emissions MERGE
+    into a managed table keyed by (user_id, session_start). Three things
+    must hold at once:
+
+    1. crash mid-drain (a micro-batch's MERGE lands, the process dies
+       before its checkpoint commit) → the restarted drain replays that
+       batch and the keyed MERGE absorbs it (no duplicate session rows);
+    2. GroupState resumes ACROSS drains — a session left open in drain 1
+       must keep its session_start and grow in drain 2, not fork;
+    3. the final table equals the batch sessionize() oracle over all
+       delivered events, with closed=False exactly on each user's last
+       session.
+
+    Wave-1 files are one-per-user so micro-batch ORDER across files
+    cannot change the outcome (per-user event order is within-batch)."""
+    import datetime as dt
+
+    from etl_to_iceberg_spark.streaming.windows import (
+        sessionize,
+        sessionize_stateful_to_table,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    gap_s = 120
+    src = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "_ck")
+    schema = spark.createDataFrame([], "user_id long, ts timestamp").schema
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=s)) for u, s in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    wave1 = {
+        1: [0, 60, 1000, 1060],  # two sessions
+        2: [10, 50, 90],         # one session
+        3: [500],                # one session, will continue in wave 2
+    }
+    for u, times in wave1.items():
+        write_file([(u, s) for s in times])
+
+    crashing = _CrashingCatalog(
+        spark, str(tmp_path / "wh"), crash_on=2, when="after"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        sessionize_stateful_to_table(
+            spark, src, schema=schema, checkpoint_dir=ckpt,
+            catalog=crashing, target_identifier="s.sessions",
+            gap=f"{gap_s} seconds", max_files_per_trigger=1,
+        )
+    clean = Catalog(spark, str(tmp_path / "wh"))
+    assert clean.table("s.sessions").read().count() > 0  # partial landed
+
+    # restart drain 1: replays the crashed batch, finishes the backlog
+    assert sessionize_stateful_to_table(
+        spark, src, schema=schema, checkpoint_dir=ckpt,
+        catalog=clean, target_identifier="s.sessions",
+        gap=f"{gap_s} seconds", max_files_per_trigger=1,
+    )
+
+    # wave 2: user 3 CONTINUES its open session (560 - 500 < gap); user 1
+    # continues (1100) then opens a new one (3000); user 2 idles.
+    write_file([(3, 560), (1, 1100), (1, 3000)])
+    assert sessionize_stateful_to_table(
+        spark, src, schema=schema, checkpoint_dir=ckpt,
+        catalog=clean, target_identifier="s.sessions",
+        gap=f"{gap_s} seconds", max_files_per_trigger=1,
+    )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.closed)
+        for r in clean.table("s.sessions").read().collect()
+    }
+    # oracle: batch sessionize over ALL events; closed=False only on each
+    # user's last session
+    all_rows = [(u, s) for u, ts in wave1.items() for s in ts] + [
+        (3, 560), (1, 1100), (1, 3000),
+    ]
+    events = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s)) for u, s in all_rows], schema
+    )
+    batch = sessionize(events, ts_col="ts", order_tiebreak="ts", gap=f"{gap_s} seconds")
+    from pyspark.sql import Window as W
+
+    last = F.max("session_start").over(W.partitionBy("user_id"))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.closed)
+        for r in batch.withColumn("closed", F.col("session_start") != last)
+        .select("user_id", "session_start", "session_end", "n_events", "closed")
+        .collect()
+    }
+    assert got == want

@@ -49,3 +49,28 @@ def test_changed_list_expires_once_its_round_is_checked(monkeypatch):
 def test_changed_ids_exist():
     specs = R.all_specs()
     assert set(R._CHANGED_THIS_ROUND) <= set(specs)
+
+
+def test_bench_names_exist_and_compat_is_prefix():
+    """bench.py's frozen compat list and headline set must reference real
+    registry ids (a rename would otherwise crash the round's bench), and
+    the compat set must be a subset of HEADLINE (bench sums compat from
+    HEADLINE results; a compat name outside HEADLINE would trip the
+    missing-name assert at the end of every run)."""
+    import bench
+
+    specs = R.all_specs()
+    assert set(bench.HEADLINE) <= set(specs)
+    assert set(bench.R01_COMPAT) <= set(bench.HEADLINE)
+    assert len(bench.R01_COMPAT) == 17  # frozen like-for-like set
+
+
+def test_scratch_dirs_removed_at_exit():
+    import os
+
+    from etl_to_iceberg_spark import scratch
+
+    d = scratch.scratch_dir("e2is_test_")
+    assert os.path.isdir(d)
+    scratch._cleanup()
+    assert not os.path.exists(d)

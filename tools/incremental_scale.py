@@ -102,4 +102,47 @@ for label, sf_dir in SFS.items():
         }
         print(f"{name}@{label}: idx={n_idx} wall={best:.3f}s shuffle={sb}")
 
+# --- ANN tick vs index size (fixed 100-vector batch) -------------------------
+# The sf1 slice keeps embeddings dim-sized, so the 10x index is synthesized
+# by id-shifted replication of the sf0.1 embeddings (bucket distribution is
+# identical per copy — candidates per query grow 10x, the honest scan term).
+from etl_to_iceberg_spark.ext.incremental import (  # noqa: E402
+    ann_index_rows,
+    incremental_ann_tick,
+)
+
+emb = load_table(spark, SFS["sf0.1"], "embeddings")
+ann_batch = (
+    emb.where(F.col("vec_id") < 100)
+    .withColumn("vec_id", F.col("vec_id") + 100_000_000)
+)
+ann_batch.cache().count()
+for mult in (1, 10):
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(mult)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix=f"incr_ann_x{mult}_"))
+    ta = cat.table("a.idx")
+    ta.append(ann_index_rows(u))
+    n_idx = ta.read().count()
+    tick = lambda: incremental_ann_tick(ta.read(), ann_batch, k=5)
+    tick().write.format("noop").mode("overwrite").save()  # warm
+    best, sb = None, None
+    for _ in range(3):
+        s0, t0 = shuffle_write_bytes(), time.perf_counter()
+        tick().write.format("noop").mode("overwrite").save()
+        w, s = time.perf_counter() - t0, shuffle_write_bytes() - s0
+        if best is None or w < best:
+            best, sb = w, s
+    results[f"ann@x{mult}"] = {
+        "index_docs": n_idx,
+        "wall_s": round(best, 3),
+        "shuffle_bytes": sb,
+    }
+    print(f"ann@x{mult}: idx={n_idx} wall={best:.3f}s shuffle={sb}")
+
 print(json.dumps(results))
