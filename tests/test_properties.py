@@ -519,13 +519,16 @@ def test_merge_randomized_equivalence_sweep(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", [7, 4242])
 def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
     """Randomized sequence over the full snapshot-table lifecycle —
-    append, overwrite, COW and MOR deletes, compaction (materializes
-    tombstones), rollback (restores tombstone state), snapshot expiry —
-    with the logical table compared to a pure-Python model after every
-    operation. The era-gating of MOR tombstones against later appends,
-    their clearance by compaction, and their restoration by rollback are
-    the interactions example tests cover one at a time; this drives them
-    composed in random order."""
+    append, overwrite, keyed MERGE, COW and MOR deletes, compaction
+    (materializes tombstones), rollback (restores tombstone state),
+    snapshot expiry — with the logical table compared to a pure-Python
+    model after every operation, AND a random retained historical version
+    time-travel-read and compared to the model state recorded when it was
+    current (r7: history immutability under later rewrites). The
+    era-gating of MOR tombstones against later appends, their clearance
+    by compaction, and their restoration by rollback are the interactions
+    example tests cover one at a time; this drives them composed in
+    random order."""
     from etl_to_iceberg_spark.tables import Catalog, maintenance
 
     rng = random.Random(seed)
@@ -560,6 +563,14 @@ def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
     def check():
         got = sorted(tuple(r) for r in t.read().collect())
         assert got == sorted(model)
+        # history immutability: a RETAINED older version must still read
+        # as the state recorded when it was current, whatever rewrites
+        # (COW deletes, compaction, MERGE) happened since
+        live = [s.version for s in t.snapshots() if s.version in states]
+        if live:
+            rv = rng.choice(live)
+            got_v = sorted(tuple(r) for r in t.read(version=rv).collect())
+            assert got_v == sorted(states[rv]), f"time travel to v{rv}"
 
     first = make_batch(rng.randrange(3, 10))
     t.append(df_of(first))
@@ -569,11 +580,28 @@ def test_table_lifecycle_randomized_sweep(spark, tmp_path, seed):
 
     for _ in range(14):
         op = rng.choices(
-            ["append", "overwrite", "delete_mor", "delete_cow",
+            ["append", "overwrite", "merge", "delete_mor", "delete_cow",
              "compact", "rollback", "expire", "evolve_spec"],
-            weights=[35, 10, 15, 10, 10, 15, 5, 10],
+            weights=[30, 8, 12, 14, 9, 9, 13, 5, 10],
         )[0]
-        if op == "append":
+        if op == "merge":
+            # keyed upsert composed with the rest of the lifecycle: half
+            # updates of live keys, half fresh inserts (unique per batch)
+            live_keys = [r[0] for r in model]
+            src = {}
+            for _ in range(rng.randrange(1, 6)):
+                if live_keys and rng.random() < 0.5:
+                    k = rng.choice(live_keys)
+                else:
+                    counter[0] += 1
+                    k = counter[0]
+                src[k] = (k, rng.randrange(100),
+                          rng.choice(["alpha", "beta", "gamma"]))
+            t.merge(df_of(list(src.values())), keys=["k"])
+            by_k = {r[0]: r for r in model}
+            by_k.update(src)
+            model = list(by_k.values())
+        elif op == "append":
             rows = make_batch(rng.randrange(1, 8))
             t.append(df_of(rows))
             model.extend(rows)
@@ -878,3 +906,90 @@ def test_exact_substring_spans_match_python_model(spark, seed):
     }
     expect = _py_spans(docs, n=4, min_span=6)
     assert got == expect
+
+
+# --- cherrypick x rollback x append sweep (r7) ------------------------------
+
+
+@pytest.mark.parametrize("seed", [13, 777, 90210])
+def test_cherrypick_rollback_append_randomized_sweep(spark, tmp_path, seed):
+    """cherrypick composed with rollback and append in random order vs a
+    set-of-appends model. In an append-only history files are never
+    rewritten, so each snapshot's delta is exactly its append batch and
+    the model is clean: the table state at any version is the UNION of
+    the append-versions it includes. cherrypick(a) must re-add a's batch
+    iff a rollback removed it, and be a content no-op when a's files are
+    already present (the path-dedup guard); time-travel reads of every
+    retained version must keep matching the include-set recorded when it
+    was current. Cherrypick's append-only guard itself is pinned by
+    rejecting a rollback snapshot."""
+    from etl_to_iceberg_spark.tables import Catalog, maintenance
+
+    rng = random.Random(seed)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("p.cherry")
+
+    counter = [0]
+
+    def make_batch():
+        rows = []
+        for _ in range(rng.randrange(1, 5)):
+            counter[0] += 1
+            rows.append((counter[0], rng.randrange(100)))
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v int")
+
+    deltas: dict[int, list[tuple]] = {}   # append version -> its batch
+    include: dict[int, frozenset[int]] = {}  # version -> appends included
+
+    rows0 = make_batch()
+    t.append(df_of(rows0))
+    v = t.current_version()
+    deltas[v] = rows0
+    cur: set[int] = {v}
+    include[v] = frozenset(cur)
+
+    def check():
+        want = sorted(r for a in cur for r in deltas[a])
+        got = sorted(tuple(r) for r in t.read().collect())
+        assert got == want
+        for w in (s.version for s in t.snapshots()):
+            if w in include:
+                got_w = sorted(tuple(r) for r in t.read(version=w).collect())
+                assert got_w == sorted(
+                    r for a in include[w] for r in deltas[a]
+                ), f"time travel to v{w}"
+
+    non_append_versions: list[int] = []
+    for _ in range(16):
+        op = rng.choices(["append", "rollback", "cherrypick"], [5, 3, 3])[0]
+        if op == "append":
+            rows = make_batch()
+            t.append(df_of(rows))
+            v = t.current_version()
+            deltas[v] = rows
+            cur = cur | {v}
+        elif op == "rollback":
+            candidates = [w for w in include if w != t.current_version()]
+            if not candidates:
+                continue
+            w = rng.choice(candidates)
+            maintenance.rollback(t, w)
+            v = t.current_version()
+            cur = set(include[w])
+            non_append_versions.append(v)
+        else:  # cherrypick a random prior append (possibly already present)
+            a = rng.choice(list(deltas))
+            maintenance.cherrypick(t, a)
+            v = t.current_version()
+            cur = cur | {a}
+            non_append_versions.append(v)
+        include[v] = frozenset(cur)
+        check()
+
+    # the append-only guard: a rollback/cherrypick snapshot is refused
+    if non_append_versions:
+        with pytest.raises(ValueError, match="cherry-pick"):
+            maintenance.cherrypick(t, rng.choice(non_append_versions))
