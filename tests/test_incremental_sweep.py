@@ -231,3 +231,49 @@ def test_minhash_tick_random_churn_matches_model(spark, chunk):
             for c in caches:
                 c.unpersist()
             assert len(spark_index_rows) == len(index)
+
+
+@pytest.mark.parametrize("seed", [21, 4750])
+def test_stream_incremental_dedup_random_churn_matches_model(
+    spark, tmp_path, seed
+):
+    """The streaming wrapper under the same churn programs: one file per
+    drain (= one micro-batch = one tick), labels MERGE-keyed by doc_id so
+    a re-delivered doc's row is overwritten with its latest tick label.
+    After every drain the labels table must equal the model's latest
+    label per doc and the index must hold exactly the model's rows —
+    end-to-end across the file source, checkpointing, tick, and MERGE."""
+    from etl_to_iceberg_spark.streaming.ingest import stream_incremental_dedup
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(seed)
+    program = _gen_program(rng, n_ticks=3, max_batch=6)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    schema = _batch_df(spark, [(0, 0, False)]).schema
+
+    index_model: list[tuple[int, int]] = []
+    latest: dict[int, tuple] = {}
+    for batch in program:
+        if not batch:
+            continue
+        _batch_df(spark, batch).coalesce(1).write.mode("append").parquet(src)
+        stream_incremental_dedup(
+            spark, src, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+            catalog=cat, index_identifier="d.idx",
+            labels_identifier="d.labels",
+        )
+        pairs = [(i, k) for i, k, _ in batch]
+        want = _model_exact_tick(index_model, pairs)
+        for i, k in pairs:
+            if want[i][1]:  # is_new
+                index_model.append((i, k))
+            latest[i] = want[i]
+        got = {
+            r.doc_id: (r.dup_of, r.is_new, r.already_ingested)
+            for r in cat.table("d.labels").read().collect()
+        }
+        assert got == latest, f"seed={seed}"
+        idx_ids = sorted(r.doc_id for r in cat.table("d.idx").read().collect())
+        assert idx_ids == sorted(i for i, _ in index_model)
