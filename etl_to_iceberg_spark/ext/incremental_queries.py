@@ -154,6 +154,61 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.table("dedup.labels").read()
 
 
+def _sid_work(spark: SparkSession, sf_dir: str) -> str:
+    """The shared streaming-dedup work dir (corpus copy under incoming/),
+    built once per (process, sf_dir); each streaming query keeps its own
+    warehouse + checkpoint subdir inside it."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    work = _sid_work_cache.get(key)
+    if work is None:
+        docs = _load_balanced(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 300
+        ).select("doc_id", "text")
+        work = scratch_dir(prefix="e2is_sid_")
+        docs.coalesce(1).write.mode("append").parquet(
+            os.path.join(work, "incoming")
+        )
+        _sid_work_cache[key] = work
+    return work
+
+
+@register("stream_incremental_minhash", sql=None)  # xxhash64 sketches: no
+# SQL oracle, same contract as dedup_incremental_minhash; the multi-drain
+# behavior is pinned by the churn sweep (tests/test_incremental_sweep.py)
+# and the crash-replay test (tests/test_fault_injection.py)
+def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with durable NEAR-dup state: drain a document
+    drop through streaming/ingest.stream_incremental_minhash_dedup
+    (foreachBatch minhash ticks against the persisted signature index;
+    labels MERGE by doc_id) and return the labels table. Completes the
+    streaming surface: exact fingerprints (stream_incremental_dedup) and
+    minhash signatures now share the same durable-index drain shape.
+    Re-runs re-drain the SAME checkpoint — no new files, a no-op drain,
+    identical labels."""
+    import os
+
+    from etl_to_iceberg_spark.streaming.ingest import (
+        stream_incremental_minhash_dedup,
+    )
+    from etl_to_iceberg_spark.tables import Catalog
+
+    work = _sid_work(spark, sf_dir)
+    schema = (
+        _load_balanced(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .schema
+    )
+    cat = Catalog(spark, os.path.join(work, "wh_mh"))
+    stream_incremental_minhash_dedup(
+        spark, os.path.join(work, "incoming"), fmt="parquet", schema=schema,
+        checkpoint_dir=os.path.join(work, "_ckpt_mh"), catalog=cat,
+        index_identifier="dedup.mh_idx", labels_identifier="dedup.mh_labels",
+    )
+    return cat.table("dedup.mh_labels").read()
+
+
 # The minhash tick's internal caches must outlive the RETURNED labels
 # frame (the caller materializes it after we return), so they can't be
 # unpersisted here. Bounding instead: each invocation unpersists the

@@ -208,3 +208,96 @@ def stream_incremental_dedup(
     )
     await_drain(q, timeout_sec, label=f"dedup:{index_identifier}")
     return q
+
+
+def stream_incremental_minhash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    fmt: str,
+    schema,
+    checkpoint_dir: str,
+    catalog: Catalog,
+    index_identifier: str,
+    labels_identifier: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 300.0,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with durable NEAR-dup (minhash) state —
+    the near-duplicate sibling of :func:`stream_incremental_dedup`.
+
+    Each micro-batch runs ext/incremental.py's minhash tick against the
+    persisted (doc_id, sig, band_hashes) index: novel docs' rows append
+    to ``index_identifier``; the labeling (dup_of / est_jaccard / is_new /
+    already_ingested) MERGEs into ``labels_identifier`` keyed by doc_id.
+    Corpus text is sketched exactly once, in the micro-batch that ingests
+    it — later batches band-join the ~300 B/doc index, never the text.
+
+    Replay safety matches the exact wrapper: a re-delivered batch's docs
+    collide with their OWN index rows in every band (identical
+    signatures, est 1.0), report ``already_ingested``, and the index
+    append is empty — at-least-once foreachBatch + idempotent keyed MERGE
+    = exactly-once effect with no checkpoint/commit coupling.
+
+    Cache discipline: the tick's internal caches (batch sketch +
+    candidate set) are unpersisted after each micro-batch materializes —
+    the long-lived-caller contract in incremental_minhash_tick's
+    docstring — so an unbounded stream's block-store footprint stays one
+    batch's worth."""
+    from etl_to_iceberg_spark.ext.incremental import incremental_minhash_tick
+
+    df = stream_files(
+        spark, source_dir, fmt, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    empty_schema = "doc_id long, sig array<bigint>, band_hashes array<bigint>"
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        index = catalog.table(index_identifier)
+        idx_df = (
+            index.read()
+            if index.exists()
+            else spark.createDataFrame([], empty_schema)
+        )
+        caches: list[DataFrame] = []
+        labeled = incremental_minhash_tick(
+            idx_df, batch_df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, bands=bands,
+            threshold=threshold, caches=caches,
+        ).cache()
+        caches.append(labeled)
+        try:
+            # append the novel docs' index rows from the tick's CACHED
+            # batch sketch (caches[0]) — no second signature fold
+            index.append(
+                caches[0]
+                .select("doc_id", "sig", "band_hashes")
+                .join(
+                    labeled.where("is_new").select("doc_id"),
+                    on="doc_id",
+                    how="left_semi",
+                )
+            )
+            if labels_identifier is not None:
+                catalog.table(labels_identifier).merge(labeled, keys=["doc_id"])
+        finally:
+            for c in caches:
+                try:
+                    c.unpersist()
+                except Exception:
+                    pass  # session died mid-stop; blocks die with it
+
+    q = (
+        df.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, timeout_sec, label=f"minhash-dedup:{index_identifier}")
+    return q

@@ -550,3 +550,63 @@ def test_sessionize_table_sink_crash_replay_and_cross_drain_state(
         .collect()
     }
     assert got == want
+
+
+def test_streaming_minhash_dedup_survives_worst_case_crash(
+    spark, sf_dir, tmp_path
+):
+    """Minhash sibling of the exact-dedup crash test: a micro-batch's
+    index append lands, the process dies before the labels merge and
+    checkpoint commit. The replayed batch's docs collide with their own
+    index rows in every band (identical signatures, est 1.0) and report
+    already_ingested — the index stays single-absorbed."""
+    from etl_to_iceberg_spark.streaming.ingest import (
+        stream_incremental_minhash_dedup,
+    )
+
+    src_dir = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "_ckpt")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    n_files = 4
+    for i in range(n_files):
+        docs.where(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    # each micro-batch = 1 index append + 1 labels merge; die right after
+    # batch 2's index append
+    crashing = _CrashingCatalog(
+        spark, str(tmp_path / "wh"), crash_on=3, when="after"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        stream_incremental_minhash_dedup(
+            spark, src_dir, fmt="parquet", schema=docs.schema,
+            checkpoint_dir=ckpt, catalog=crashing,
+            index_identifier="mh.idx", labels_identifier="mh.labels",
+            max_files_per_trigger=1,
+        )
+    clean = Catalog(spark, str(tmp_path / "wh"))
+    assert clean.table("mh.idx").read().count() > 0
+
+    stream_incremental_minhash_dedup(
+        spark, src_dir, fmt="parquet", schema=docs.schema,
+        checkpoint_dir=ckpt, catalog=clean,
+        index_identifier="mh.idx", labels_identifier="mh.labels",
+        max_files_per_trigger=1,
+    )
+    index = clean.table("mh.idx").read().cache()
+    labels = clean.table("mh.labels").read().cache()
+    n_docs = docs.count()
+    # every doc labeled exactly once; index = exactly the is_new docs,
+    # absorbed once each (no double-append through the crash/replay)
+    assert labels.count() == n_docs
+    assert labels.select("doc_id").distinct().count() == n_docs
+    news = labels.where("is_new OR already_ingested").select("doc_id")
+    assert index.count() == news.count()
+    assert index.select("doc_id").distinct().count() == index.count()
+    assert news.exceptAll(index.select("doc_id")).count() == 0
+    index.unpersist(); labels.unpersist()

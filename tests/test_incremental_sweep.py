@@ -277,3 +277,58 @@ def test_stream_incremental_dedup_random_churn_matches_model(
         assert got == latest, f"seed={seed}"
         idx_ids = sorted(r.doc_id for r in cat.table("d.idx").read().collect())
         assert idx_ids == sorted(i for i, _ in index_model)
+
+
+@pytest.mark.parametrize("seed", [33, 6021])
+def test_stream_incremental_minhash_random_churn_matches_model(
+    spark, tmp_path, seed
+):
+    """The minhash streaming wrapper under the churn programs: labels
+    table = model's latest minhash label per doc; index doc_ids = model
+    rows; per-batch tick caches released (block-store footprint bounded
+    across drains)."""
+    from etl_to_iceberg_spark.streaming.ingest import (
+        stream_incremental_minhash_dedup,
+    )
+    from etl_to_iceberg_spark.tables import Catalog
+
+    rng = random.Random(seed)
+    program = _gen_program(rng, n_ticks=3, max_batch=5)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    schema = _batch_df(spark, [(0, 0, False)]).schema
+    # cache-discipline baseline: other tests in the shared session may
+    # hold their own caches, so assert NO GROWTH, not an absolute count
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+
+    index_model: list[tuple[int, int]] = []
+    latest: dict[int, tuple] = {}
+    for batch in program:
+        if not batch:
+            continue
+        _batch_df(spark, batch).coalesce(1).write.mode("append").parquet(src)
+        stream_incremental_minhash_dedup(
+            spark, src, fmt="parquet", schema=schema, checkpoint_dir=ckpt,
+            catalog=cat, index_identifier="m.idx",
+            labels_identifier="m.labels",
+        )
+        pairs = [(i, k) for i, k, _ in batch]
+        want = _model_minhash_tick(index_model, pairs)
+        for i, k in pairs:
+            if want[i][1]:  # is_new
+                index_model.append((i, k))
+            latest[i] = want[i]
+        got = {
+            r.doc_id: (r.dup_of, r.is_new, r.already_ingested)
+            for r in cat.table("m.labels").read().collect()
+        }
+        assert got == latest, f"seed={seed}"
+        # est contract: 1.0 exactly when a dup/match exists, else NULL
+        for r in cat.table("m.labels").read().collect():
+            assert (r.est_jaccard == 1.0) == (r.dup_of is not None)
+        idx_ids = sorted(r.doc_id for r in cat.table("m.idx").read().collect())
+        assert idx_ids == sorted(i for i, _ in index_model)
+    # cache discipline: the drains left no tick caches behind
+    assert jsc.getPersistentRDDs().size() <= cached_before

@@ -159,3 +159,43 @@ def test_sessionize_hot_key_matches_native_session_window(spark):
     }
     assert via_window == via_native
     assert sum(1 for u, _, _ in via_window if u == 0) == 100  # bot sessions
+
+
+def test_drain_timeout_warns_and_stops(spark, sf_dir, tmp_path):
+    """A drain that cannot finish inside timeout_sec must be STOPPED (a
+    straggler would collide with the next drain on the same checkpoint)
+    and WARN (ADVICE r6: a partial drain was previously indistinguishable
+    from a complete one). Driven with a real query and a sub-millisecond
+    timeout; the completed-drain path must stay silent."""
+    import warnings
+
+    import pytest
+
+    from etl_to_iceberg_spark.sources.tables import load_table
+    from etl_to_iceberg_spark.streaming.ingest import ingest_available_now
+    from etl_to_iceberg_spark.tables import Catalog
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = str(tmp_path / "in")
+    nation.coalesce(1).write.mode("append").parquet(src)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    with pytest.warns(RuntimeWarning, match="timed out .* committed"):
+        q = ingest_available_now(
+            spark, src, fmt="parquet", schema=nation.schema,
+            checkpoint_dir=str(tmp_path / "ck1"), catalog=cat,
+            target_identifier="s.n1", timeout_sec=0.002,
+        )
+    assert not q.isActive  # straggler stopped, checkpoint released
+
+    # completed drain: no warning, all rows landed
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ingest_available_now(
+            spark, src, fmt="parquet", schema=nation.schema,
+            checkpoint_dir=str(tmp_path / "ck2"), catalog=cat,
+            target_identifier="s.n2", timeout_sec=300,
+        )
+    assert cat.table("s.n2").read().count() == nation.count()
