@@ -70,6 +70,12 @@ class TableTransferOperator(_Base):
     ``write_engine`` is likewise dropped: there is exactly one engine.
     """
 
+    # Jinja-templated by Airflow before execute() (mirrors the ref's
+    # oracle_to_iceberg_operator.py:62-68: schema/table names + WHERE),
+    # so DAGs can write table="employees_{{ ds_nodash }}" per README
+    # usage. No-op outside Airflow — plain attributes.
+    template_fields = ("namespace", "table", "where_clause")
+
     def __init__(
         self,
         *,
@@ -142,6 +148,17 @@ class TableCdcTransferOperator(_Base):
     batch lags — `oracle_to_iceberg_cdc_operator.py` cursor update); an
     explicit ``last_timestamp``/``last_scn`` override resets the cursor,
     same as the reference's parameters."""
+
+    # Mirrors oracle_to_iceberg_cdc_operator.py:56-63 (schema/table names
+    # + cursor override + cursor column are Jinja-templatable).
+    template_fields = (
+        "source_schema",
+        "source_table",
+        "namespace",
+        "table",
+        "last_timestamp",
+        "timestamp_column",
+    )
 
     def __init__(
         self,
@@ -232,6 +249,11 @@ class TableCompactionOperator(_Base):
     ``IcebergCompactionOperator``: target file size, optional partition
     filter; `maintenance/iceberg_compaction_operator.py`)."""
 
+    # Mirrors iceberg_compaction_operator.py:41-45 (minio_endpoint is
+    # deployment config, excluded). The identifier is built in execute()
+    # — template rendering happens between __init__ and execute.
+    template_fields = ("namespace", "table")
+
     def __init__(
         self,
         *,
@@ -246,9 +268,14 @@ class TableCompactionOperator(_Base):
         super().__init__(**kwargs)
         self.spark = spark
         self.warehouse = warehouse
-        self.identifier = f"{namespace}.{table}"
+        self.namespace = namespace
+        self.table = table
         self.target_file_size_mb = target_file_size_mb
         self.strategy = strategy
+
+    @property
+    def identifier(self) -> str:
+        return f"{self.namespace}.{self.table}"
 
     def execute(self, context: dict | None = None) -> dict:
         from etl_to_iceberg_spark.tables import maintenance
@@ -268,6 +295,12 @@ class TableAgingOperator(_Base):
     retain-last / older-than horizon;
     `maintenance/iceberg_aging_operator.py:188-191`)."""
 
+    # Mirrors iceberg_aging_operator.py:44-50 (namespace/table/horizon
+    # knobs; minio_endpoint excluded as deployment config). Numeric
+    # fields are int()-coerced in execute: Jinja renders strings unless
+    # the DAG opts into render_template_as_native_obj.
+    template_fields = ("namespace", "table", "retain_last", "older_than_ms")
+
     def __init__(
         self,
         *,
@@ -283,17 +316,25 @@ class TableAgingOperator(_Base):
         super().__init__(**kwargs)
         self.spark = spark
         self.warehouse = warehouse
-        self.identifier = f"{namespace}.{table}"
+        self.namespace = namespace
+        self.table = table
         self.retain_last = retain_last
         self.older_than_ms = older_than_ms
         self.remove_orphans = remove_orphans
+
+    @property
+    def identifier(self) -> str:
+        return f"{self.namespace}.{self.table}"
 
     def execute(self, context: dict | None = None) -> dict:
         from etl_to_iceberg_spark.tables import maintenance
 
         table = Catalog(self.spark, self.warehouse).table(self.identifier)
         expired = maintenance.expire_snapshots(
-            table, retain_last=self.retain_last, older_than_ms=self.older_than_ms
+            table,
+            retain_last=int(self.retain_last),
+            older_than_ms=None if self.older_than_ms is None
+            else int(self.older_than_ms),
         )
         out = {"table": self.identifier, "expired": expired}
         if self.remove_orphans:
@@ -308,6 +349,12 @@ class TableSnapshotOperator(_Base):
     ``IcebergSnapshotOperator`` actions;
     `maintenance/iceberg_snapshot_operator.py:130-187`)."""
 
+    # Mirrors iceberg_snapshot_operator.py:34-39 (action + snapshot id
+    # are templatable, e.g. rollback to an XCom-published version).
+    # Constructor validation skips values that still contain Jinja
+    # markers; execute() re-validates the rendered value.
+    template_fields = ("namespace", "table", "action", "version")
+
     def __init__(
         self,
         *,
@@ -320,19 +367,30 @@ class TableSnapshotOperator(_Base):
         **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)
+        if "{{" not in action:
+            self._validate(action, version)
+        self.spark = spark
+        self.warehouse = warehouse
+        self.namespace = namespace
+        self.table = table
+        self.action = action
+        self.version = version
+
+    @staticmethod
+    def _validate(action: str, version) -> None:
         if action not in ("list", "create", "rollback", "cherrypick"):
             raise ValueError(f"unknown snapshot action {action!r}")
         if action in ("rollback", "cherrypick") and version is None:
             raise ValueError(f"action={action!r} requires version")
-        self.spark = spark
-        self.warehouse = warehouse
-        self.identifier = f"{namespace}.{table}"
-        self.action = action
-        self.version = version
+
+    @property
+    def identifier(self) -> str:
+        return f"{self.namespace}.{self.table}"
 
     def execute(self, context: dict | None = None) -> dict | list[dict]:
         from etl_to_iceberg_spark.tables import maintenance
 
+        self._validate(self.action, self.version)
         table = Catalog(self.spark, self.warehouse).table(self.identifier)
         if self.action == "list":
             return [r.asDict() for r in maintenance.snapshot_list(table).collect()]
@@ -344,8 +402,8 @@ class TableSnapshotOperator(_Base):
                 for r in maintenance.current_snapshot_info(table).collect()
             ]
         if self.action == "rollback":
-            snap = maintenance.rollback(table, self.version)
+            snap = maintenance.rollback(table, int(self.version))
         else:
-            snap = maintenance.cherrypick(table, self.version)
+            snap = maintenance.cherrypick(table, int(self.version))
         return {"table": self.identifier, "version": snap.version,
                 "summary": dict(snap.summary)}

@@ -405,6 +405,27 @@ def simhash_near_duplicates(
     signatures sharing a byte — are capped at ``max_bucket_size``
     (skipped rows countable via :func:`oversized_buckets`)."""
     all_sigs = simhash(df, id_col=id_col, text_col=text_col, bits=32)
+    return simhash_pairs(
+        all_sigs,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def simhash_pairs(
+    all_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """The relational half of :func:`simhash_near_duplicates`, over
+    PRECOMPUTED ``(id, simhash)`` signatures. Split out so the sketch
+    can be materialized once (e.g. to a parquet sidecar a SQL oracle
+    reads — the ``dedup_simhash`` registry query does exactly that) and
+    the collapse/banding/hamming logic checked independently of the
+    xxhash64 sketch, which has no SQL mirror."""
     w_sig = Window.partitionBy("simhash")
     # Both output branches (near pairs + rep→member exact edges) read the
     # collapsed relation; uncached, the sketch scan and collapse window

@@ -130,20 +130,13 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_balanced(spark, sf_dir, "documents").where(
         F.col("doc_id") < 300
     ).select("doc_id", "text")
-    # One work dir per (process, sf_dir) — a per-call dir would rebuild a
-    # corpus copy + warehouse + checkpoint per run (same per-process cache
-    # as ingest_formats._layout_cache); scratch_dir removes it at process
-    # exit (ADVICE r6). Re-runs re-drain against the SAME checkpoint: no
-    # new files → a no-op drain → identical labels, which also exercises
+    # Shared work dir (corpus copy) per (process, sf_dir) — _sid_work is
+    # the single source of the incoming/ layout for both the exact and
+    # minhash streaming queries, so they always drain the same corpus
+    # (ADVICE r7). Re-runs re-drain against the SAME checkpoint: no new
+    # files → a no-op drain → identical labels, which also exercises
     # drain idempotency for free.
-    key = os.path.abspath(sf_dir)
-    work = _sid_work_cache.get(key)
-    if work is None:
-        work = scratch_dir(prefix="e2is_sid_")
-        docs.coalesce(1).write.mode("append").parquet(
-            os.path.join(work, "incoming")
-        )
-        _sid_work_cache[key] = work
+    work = _sid_work(spark, sf_dir)
     cat = Catalog(spark, os.path.join(work, "wh"))
     stream_incremental_dedup(
         spark, os.path.join(work, "incoming"), fmt="parquet",

@@ -291,14 +291,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.6)
 
 
-@register("dedup_simhash", sql=None)  # hash sketch; oracle = planted-dup tests
+_SIMHASH_SIDECAR = "/tmp/e2is_simhash_sigs"  # FIXED path: embedded in the
+# static oracle SQL below. The query writes the Spark-computed signatures
+# here (overwrite) and builds its own result FROM the written files, so
+# the oracle and the Spark result always read the identical sketch; the
+# driver runs fn() before the oracle per query, so the sidecar is fresh.
+
+
+@register(
+    "dedup_simhash",
+    # The xxhash64 sign-sum sketch has no DuckDB mirror; the query
+    # materializes it to a parquet sidecar and the oracle re-derives the
+    # relational half (identical-signature collapse, byte-band pigeonhole
+    # candidates, hamming ≤ 3) from the same signatures. The sketch
+    # itself stays pinned by the planted-dup/property tests.
+    sql=f"""
+    WITH sigs AS (
+      SELECT doc_id, simhash
+      FROM read_parquet('{_SIMHASH_SIDECAR}/*.parquet')
+    ),
+    reps AS (
+      SELECT doc_id, simhash,
+             MIN(doc_id) OVER (PARTITION BY simhash) AS rep
+      FROM sigs
+    ),
+    exact_edges AS (
+      SELECT rep AS id_a, doc_id AS id_b, 0 AS hamming
+      FROM reps WHERE doc_id <> rep
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.byte_idx,
+             (simhash >> (8 * b.byte_idx)) & 255 AS byte_val
+      FROM reps
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS byte_idx) b
+      WHERE doc_id = rep
+    ),
+    near AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             CAST(bit_count(xor(l.simhash, r.simhash) & 4294967295)
+                  AS INT) AS hamming
+      FROM banded l
+      JOIN banded r
+        ON l.byte_idx = r.byte_idx AND l.byte_val = r.byte_val
+       AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash) & 4294967295) <= 3
+    )
+    SELECT * FROM near
+    UNION ALL
+    SELECT * FROM exact_edges
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit sign-sum sketch, byte-band candidates,
-    Hamming ≤ 3."""
-    from etl_to_iceberg_spark.ext.dedup import simhash_near_duplicates
+    Hamming ≤ 3. Signatures are computed once, materialized to the
+    oracle sidecar, and the pair logic runs over the written files —
+    one extra tiny write (24 B/doc) buys a full value-hash oracle for
+    what was a rows-only op (VERDICT r7 #5)."""
+    from etl_to_iceberg_spark import scratch
+    from etl_to_iceberg_spark.ext.dedup import simhash, simhash_pairs
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    sigs = simhash(docs, id_col="doc_id", text_col="text", bits=32)
+    scratch.register_cleanup(_SIMHASH_SIDECAR)
+    sigs.write.mode("overwrite").parquet(_SIMHASH_SIDECAR)
+    stored = spark.read.parquet(_SIMHASH_SIDECAR)
+    return simhash_pairs(stored, id_col="doc_id", max_hamming=3)
 
 
 @register(

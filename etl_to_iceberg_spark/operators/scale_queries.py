@@ -236,7 +236,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        await_drain(q, 300, label="stream_window")
+        await_drain(q, 300, label="stream_static_join")
 
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ev.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)

@@ -61,18 +61,17 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 7
+_CHANGED_AS_OF_ROUND = 8
 _CHANGED_THIS_ROUND = [
-    # r7 is deliberately minimal (VERDICT r6 #2): the ~50-row budget must
-    # rotate the 37 ops whose latest green row is r3 plus the oldest r4s.
-    # Semantics-neutral r7 changes (scratch-dir atexit cleanup, drain-
-    # timeout warnings) are NOT listed — they alter no query result.
+    # r8 is again minimal by design (VERDICT r7 #1): 35 ops' newest green
+    # row is r4 and the ~50-row budget must drain that tail. Semantics-
+    # neutral r8 changes (await_drain label fix, _sid_work refactor — the
+    # inline block it replaced built the identical corpus) are NOT listed.
     #
-    # multiprobe candidate ring (own bucket + 1-bit flips); oracle extended
-    "similarity_incremental_ann",
-    # sink: driver-list drain -> managed-table MERGE keyed by
-    # (user_id, session_start)
-    "stream_sessionize_stateful",
+    # rows-only -> full oracle: signatures materialized to a parquet
+    # sidecar the DuckDB oracle reads; pair logic unchanged but the
+    # checked surface (value-hash vs rows-only) is new.
+    "dedup_simhash",
 ]
 
 

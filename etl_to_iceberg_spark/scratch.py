@@ -29,6 +29,14 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def register_cleanup(path: str) -> None:
+    """Register an externally created path (e.g. a FIXED-name oracle
+    sidecar dir whose path must be embeddable in a static SQL string)
+    for the same atexit removal. Idempotent."""
+    if path not in _dirs:
+        _dirs.append(path)
+
+
 @atexit.register
 def _cleanup() -> None:
     while _dirs:

@@ -138,3 +138,81 @@ def test_maintenance_operators_roundtrip(spark, sf_dir, warehouse):
     # rollback to the compacted version still works after aging kept it
     table = Catalog(spark, warehouse).table("geo.region")
     assert table.read().count() == 3 * region.count()
+
+
+def _render_templates(op, context):
+    """Airflow's render step, minimally: render each template_fields
+    attribute through Jinja with the task context and set it back on the
+    instance before execute() (what BaseOperator.render_templates does;
+    airflow is absent in the sandbox)."""
+    import jinja2
+
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    for f in op.template_fields:
+        v = getattr(op, f)
+        if isinstance(v, str):
+            setattr(op, f, env.from_string(v).render(**context))
+
+
+def test_template_fields_render_into_execute(spark, sf_dir, warehouse):
+    """{{ ds_nodash }} in table/where_clause reaches execute() rendered —
+    the reference's documented DAG usage (oracle_to_iceberg README:
+    iceberg_table='employees_{{ ds_nodash }}')."""
+    region = load_table(spark, sf_dir, "region")
+    op = TableTransferOperator(
+        spark=spark, warehouse=warehouse, source=region,
+        namespace="geo", table="region_{{ ds_nodash }}",
+        where_clause="r_regionkey < {{ params.max_key }}",
+        mode="append",
+    )
+    assert "table" in op.template_fields and "where_clause" in op.template_fields
+    _render_templates(op, {"ds_nodash": "20260814", "params": {"max_key": 3}})
+    out = op.execute({})
+    assert out["table"] == "geo.region_20260814"
+    got = Catalog(spark, warehouse).table("geo.region_20260814").read()
+    assert got.count() == region.where("r_regionkey < 3").count()
+
+
+def test_template_fields_maintenance_ops_render(spark, sf_dir, warehouse):
+    """The maintenance operators build their identifier at execute time,
+    so a templated table name takes effect after rendering; templated
+    numeric knobs (Jinja renders strings) are coerced."""
+    region = load_table(spark, sf_dir, "region")
+    for _ in range(2):
+        TableTransferOperator(
+            spark=spark, warehouse=warehouse, source=region,
+            namespace="geo", table="region_20260814", mode="append",
+        ).execute()
+
+    comp = TableCompactionOperator(
+        spark=spark, warehouse=warehouse,
+        namespace="geo", table="region_{{ ds_nodash }}",
+    )
+    _render_templates(comp, {"ds_nodash": "20260814"})
+    assert comp.execute({})["table"] == "geo.region_20260814"
+
+    snap_op = TableSnapshotOperator(
+        spark=spark, warehouse=warehouse,
+        namespace="geo", table="region_{{ ds_nodash }}",
+        action="{{ params.action }}",
+    )
+    _render_templates(snap_op, {"ds_nodash": "20260814", "params": {"action": "list"}})
+    assert len(snap_op.execute({})) >= 2
+
+    # rendered-but-invalid action fails at execute, not silently
+    bad = TableSnapshotOperator(
+        spark=spark, warehouse=warehouse, namespace="geo",
+        table="region_20260814", action="{{ params.action }}",
+    )
+    _render_templates(bad, {"params": {"action": "explode"}})
+    with pytest.raises(ValueError, match="unknown snapshot action"):
+        bad.execute({})
+
+    aged = TableAgingOperator(
+        spark=spark, warehouse=warehouse,
+        namespace="geo", table="region_{{ ds_nodash }}",
+        retain_last="{{ params.keep }}", older_than_ms="{{ params.horizon }}",
+    )
+    _render_templates(aged, {"ds_nodash": "20260814",
+                             "params": {"keep": 1, "horizon": 0}})
+    assert aged.execute({})["expired"]  # string "1"/"0" coerced, expiry ran

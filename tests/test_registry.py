@@ -65,12 +65,35 @@ def test_bench_names_exist_and_compat_is_prefix():
     assert len(bench.R01_COMPAT) == 17  # frozen like-for-like set
 
 
-def test_scratch_dirs_removed_at_exit():
+def test_inventory_in_sync_with_registry():
+    """INVENTORY.md is generated; this pins it to the live registry so it
+    cannot silently go stale again (VERDICT r7 §wrong-1: r7 registered
+    stream_incremental_minhash but the snapshot shipped a 173-op
+    inventory)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "INVENTORY.md").read_text()
+    ids = set(re.findall(r"^\| \d+ \| `([^`]+)` \|", text, flags=re.M))
+    specs = set(R.all_specs())
+    assert ids == specs, (
+        f"INVENTORY.md drifted from registry — rerun tools/gen_inventory.py; "
+        f"missing={sorted(specs - ids)} extra={sorted(ids - specs)}"
+    )
+
+
+def test_scratch_dirs_removed_at_exit(monkeypatch):
     import os
 
     from etl_to_iceberg_spark import scratch
 
     d = scratch.scratch_dir("e2is_test_")
     assert os.path.isdir(d)
+    # Swap in a private list so _cleanup only touches THIS test's dir —
+    # running it against the shared _dirs would rmtree scratch dirs that
+    # process-level caches (_PRISTINE warehouses, _layout_cache,
+    # _sid_work_cache) still point at, breaking later tests in the same
+    # process (ADVICE r7).
+    monkeypatch.setattr(scratch, "_dirs", [d])
     scratch._cleanup()
     assert not os.path.exists(d)
