@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from etl_to_iceberg_spark.caching import tracked_cache
 from etl_to_iceberg_spark.ext.text import fingerprint, normalize_text, words
 from etl_to_iceberg_spark.scratch import scratch_dir
 
@@ -244,7 +245,10 @@ def jaccard_verify(
     # candidate DAG for each reference. Candidates are id pairs — KBs per
     # million docs — so caching them is bounded and measured ~17% off the
     # full minhash pipeline at sf0.1 (LRU-evictable if memory is tight).
-    pairs = pairs.cache()
+    # tracked_cache, not cache: the result is returned LAZILY, so release
+    # belongs to the caller — a long-running service calls
+    # caching.release_operator_caches() between queries.
+    pairs = tracked_cache(pairs)
     touched = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -432,7 +436,11 @@ def simhash_pairs(
     # execute twice per action. The cached rows are fixed-width
     # (id, simhash, rep ≈ 24 B/doc) — MEMORY_AND_DISK, LRU-evictable —
     # measured ~20% off the full pipeline at sf0.1.
-    tagged = all_sigs.withColumn("__rep", F.min(id_col).over(w_sig)).cache()
+    # tracked_cache (see jaccard_verify): lazily-returned, so released
+    # by the caller via caching.release_operator_caches().
+    tagged = tracked_cache(
+        all_sigs.withColumn("__rep", F.min(id_col).over(w_sig))
+    )
     sigs = (
         tagged.where(F.col(id_col) == F.col("__rep"))
         .select(id_col, "simhash")

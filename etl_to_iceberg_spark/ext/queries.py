@@ -540,6 +540,69 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, planes=6)
 
 
+@register(
+    "similarity_ann_lsh_multiprobe",
+    # similarity_ann_lsh's oracle with the 1-bit-flip probe ring (masks
+    # 0 and 1<<p) — the same multiprobe CTE the incremental tick's
+    # oracle uses; probe buckets are distinct so no pair duplicates.
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    proj AS (
+      SELECT b.vec_id, p.plane,
+             SUM(CASE WHEN ((((p.plane * 64 + d.i - 1) * 1103515245 + 12345)
+                             >> 16) & 1) = 1
+                      THEN CAST(b.e[d.i] AS DECIMAL(28,10))
+                      ELSE -CAST(b.e[d.i] AS DECIMAL(28,10)) END) AS s
+      FROM base b
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS plane) p
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY b.vec_id, p.plane
+    ),
+    bucket AS (
+      SELECT vec_id,
+             SUM(CASE WHEN s >= 0 THEN 1 << plane ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cands AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id
+      FROM bucket qb
+      CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) probe
+      JOIN bucket cb ON cb.bucket = xor(qb.bucket, probe.m)
+      WHERE qb.vec_id < 5
+    ),
+    scored AS (
+      SELECT cands.query_id, cands.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS score
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multiprobe ANN: own bucket + every 1-bit-flip neighbor
+    (probes = planes+1), exact cosine re-rank. The measured recall lever
+    — SCALING.md "ANN recall@10": recall 0.936 → 1.0 on the near-dup
+    corpus for ~6× the candidates, still ~10% of bruteforce — now a
+    driver-checked batch op, matching the incremental tick's multiprobe
+    (r7) on the batch path."""
+    from etl_to_iceberg_spark.ext.similarity import lsh_topk
+
+    emb = _load_balanced(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, planes=6, probes=7)
+
+
 # --- sampling / splitting / curation ---------------------------------------
 
 _SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"

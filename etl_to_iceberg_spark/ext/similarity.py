@@ -154,22 +154,46 @@ def lsh_topk(
     k: int = 10,
     planes: int = 8,
     dim: int = 64,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, then exact cosine
-    re-rank. Trades recall for a 2^planes candidate reduction."""
+    re-rank. Trades recall for a 2^planes candidate reduction.
+
+    ``probes`` widens recall without re-bucketing (multiprobe, Lv et al.
+    VLDB'07 — same lever as ext/incremental.incremental_ann_tick):
+    1 = the query's own bucket; up to planes+1 adds every 1-bit-flip
+    neighbor; beyond that adds 2-bit flips (≤ 1+planes+C(planes,2)).
+    Candidates/query ≈ probes · corpus / 2^planes."""
+    max_probes = 1 + planes + planes * (planes - 1) // 2
+    if not 1 <= probes <= max_probes:
+        raise ValueError(f"probes must be in 1..{max_probes}, got {probes}")
+    # Probe masks: own bucket, then 1-bit flips, then 2-bit flips — all
+    # distinct, so each corpus row matches AT MOST ONE probe bucket per
+    # query and the equi-join stays duplicate-free.
+    masks = [0] + [1 << p for p in range(planes)] + [
+        (1 << a) | (1 << b) for a in range(planes) for b in range(a + 1, planes)
+    ]
     cb = rp_lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, planes=planes, dim=dim)
     qb = rp_lsh_buckets(
         queries.withColumnRenamed(query_id_col, "__qid"),
         id_col="__qid", vec_col=vec_col, planes=planes, dim=dim,
+    ).select(
+        "__qid",
+        F.explode(
+            F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks[:probes]]
+            )
+        ).alias("bucket"),
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
     )
     # No distinct: each vector carries exactly ONE bucket (a single
-    # 2^planes hash, not multi-band LSH), so the bucket equi-join yields
-    # at most one row per (corpus, query) pair — a distinct here would
-    # add a full shuffle of the candidate set for nothing.
+    # 2^planes hash, not multi-band LSH) and probe keys are distinct, so
+    # the bucket equi-join yields at most one row per (corpus, query)
+    # pair — a distinct here would add a full shuffle of the candidate
+    # set for nothing.
     cands = cb.join(qb, on="bucket").select(
         F.col(id_col).alias("vec_id"), F.col("__qid").alias("query_id")
     )

@@ -86,18 +86,14 @@ def iceberg_conf(warehouse: str) -> dict[str, str]:
     }
 
 
-def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
-    """Get-or-create the engine SparkSession."""
-    cfg = cfg or SessionConfig()
-
-    builder = SparkSession.builder.appName(cfg.app_name)
-    if cfg.master:
-        builder = builder.master(cfg.master)
-    elif not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
-        # Local development / test default. On a real cluster the master
-        # comes from spark-submit and this branch is skipped.
-        builder = builder.master(f"local[{cfg.local_cores}]")
-
+def assemble_conf(cfg: SessionConfig) -> dict[str, str]:
+    """The full conf dict :func:`get_spark` applies, as a pure function
+    of the config + jar availability. Split out so the Iceberg gate —
+    the one code path the sandbox can never execute (no
+    iceberg-spark-runtime jar exists for this environment, and there is
+    no network to fetch one) — still has test signal: tests pin that
+    the gate injects the catalog wiring exactly when the jar is present
+    and stays silent when it is not (tests/test_tables.py)."""
     shuffle = cfg.shuffle_partitions
     if shuffle is None:
         # Locally: match core count. On a cluster, set explicitly (2-3x cores).
@@ -145,7 +141,22 @@ def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
         conf.update(iceberg_conf(warehouse))
 
     conf.update(cfg.extra_conf)
-    for k, v in conf.items():
+    return conf
+
+
+def get_spark(cfg: SessionConfig | None = None) -> SparkSession:
+    """Get-or-create the engine SparkSession."""
+    cfg = cfg or SessionConfig()
+
+    builder = SparkSession.builder.appName(cfg.app_name)
+    if cfg.master:
+        builder = builder.master(cfg.master)
+    elif not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+        # Local development / test default. On a real cluster the master
+        # comes from spark-submit and this branch is skipped.
+        builder = builder.master(f"local[{cfg.local_cores}]")
+
+    for k, v in assemble_conf(cfg).items():
         builder = builder.config(k, v)
 
     return builder.getOrCreate()

@@ -60,6 +60,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from etl_to_iceberg_spark.caching import cached
+
 _META = "_meta"
 _HINT = "version-hint.txt"
 
@@ -813,85 +815,89 @@ class IceTable:
         # absent columns would silently null live data.
         schema = _evolve_schema(self.schema(), source.schema)
         cols = [f.name for f in schema.fields]
-        source = source.select(*cols).cache()
+        source = source.select(*cols)
+        # Source is consumed several times (touched-file probe, keep-side
+        # anti-join, delete-clause projections, rewrite) and fully
+        # materialized before the commit returns — cache for exactly the
+        # merge body, released even when a write fails (caching.cached).
+        with cached(source):
 
-        target = self._read_with_path(snap)
-        touched = (
-            target.join(source.select(*keys), on=keys, how="left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        touched_files = {_strip_scheme(r["__file"]) for r in touched}
-
-        untouched_entries = [
-            fe for fe in snap.files if os.path.abspath(fe.path) not in touched_files
-        ]
-        touched_entries = [
-            fe for fe in snap.files if os.path.abspath(fe.path) in touched_files
-        ]
-
-        # Rewrite = unmatched rows of touched files + (filtered) source rows.
-        if touched_entries:
-            sub = Snapshot(
-                version=snap.version,
-                parent=snap.parent,
-                timestamp_ms=snap.timestamp_ms,
-                operation="subset",
-                schema_json=snap.schema_json,
-                partition_by=snap.partition_by,
-                files=touched_entries,
-                tombstones=snap.tombstones,  # rewrite must not resurrect MOR deletes
+            target = self._read_with_path(snap)
+            touched = (
+                target.join(source.select(*keys), on=keys, how="left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
             )
-            # One read of the touched-file sub-snapshot serves both the
-            # unmatched-rows keep side and (below) the delete clause's
-            # logical-key projection — not two independent scans.
-            sub_df = self._read_snapshot(sub)
-            keep = sub_df.join(source, on=keys, how="left_anti")
-        else:
-            sub = None
-            sub_df = None
-            keep = None
+            touched_files = {_strip_scheme(r["__file"]) for r in touched}
 
-        incoming = source
-        if delete_matched_when is not None and sub is not None:
-            # Matched keys satisfying the predicate are deleted, i.e. simply
-            # not re-inserted; unmatched source rows still insert. "Matched"
-            # is judged against the LOGICAL table (tombstones applied) —
-            # `target` above reads raw file rows (fine for touched-file
-            # detection, where a superset only over-rewrites), but a key
-            # whose rows were all MOR-deleted is NOT matched: its source row
-            # must take the WHEN NOT MATCHED THEN INSERT branch, not the
-            # matched-delete branch (caught by the randomized MERGE sweep).
-            # Any logically-matched key appears RAW in some touched file (the
-            # semi-join above found every file holding a matched key), so the
-            # logical-key projection only needs the touched-file sub-snapshot
-            # — tombstones still applied — not a full-table scan per merge.
-            # No touched files => no raw match => no logical match: skip.
-            logical_keys = sub_df.select(*keys).distinct()
-            matched_keys = source.join(logical_keys, on=keys, how="left_semi")
-            deletions = matched_keys.where(delete_matched_when).select(*keys)
-            incoming = source.join(deletions, on=keys, how="left_anti")
+            untouched_entries = [
+                fe for fe in snap.files if os.path.abspath(fe.path) not in touched_files
+            ]
+            touched_entries = [
+                fe for fe in snap.files if os.path.abspath(fe.path) in touched_files
+            ]
 
-        rewrite = (
-            incoming
-            if keep is None
-            else keep.unionByName(incoming, allowMissingColumns=True)
-        )
-        new_files = self._write_data(rewrite.select(*cols), version, snap.partition_by)
-        source.unpersist()
-        return self._commit(
-            "merge",
-            untouched_entries + new_files,
-            schema,
-            snap.partition_by,
-            summary={
-                "rewritten_files": len(touched_entries),
-                "carried_files": len(untouched_entries),
-            },
-            tombstones=snap.tombstones,  # untouched by-reference files still need them
-            version=version, on_conflict_cleanup=self._bases(new_files),
-        )
+            # Rewrite = unmatched rows of touched files + (filtered) source rows.
+            if touched_entries:
+                sub = Snapshot(
+                    version=snap.version,
+                    parent=snap.parent,
+                    timestamp_ms=snap.timestamp_ms,
+                    operation="subset",
+                    schema_json=snap.schema_json,
+                    partition_by=snap.partition_by,
+                    files=touched_entries,
+                    tombstones=snap.tombstones,  # rewrite must not resurrect MOR deletes
+                )
+                # One read of the touched-file sub-snapshot serves both the
+                # unmatched-rows keep side and (below) the delete clause's
+                # logical-key projection — not two independent scans.
+                sub_df = self._read_snapshot(sub)
+                keep = sub_df.join(source, on=keys, how="left_anti")
+            else:
+                sub = None
+                sub_df = None
+                keep = None
+
+            incoming = source
+            if delete_matched_when is not None and sub is not None:
+                # Matched keys satisfying the predicate are deleted, i.e. simply
+                # not re-inserted; unmatched source rows still insert. "Matched"
+                # is judged against the LOGICAL table (tombstones applied) —
+                # `target` above reads raw file rows (fine for touched-file
+                # detection, where a superset only over-rewrites), but a key
+                # whose rows were all MOR-deleted is NOT matched: its source row
+                # must take the WHEN NOT MATCHED THEN INSERT branch, not the
+                # matched-delete branch (caught by the randomized MERGE sweep).
+                # Any logically-matched key appears RAW in some touched file (the
+                # semi-join above found every file holding a matched key), so the
+                # logical-key projection only needs the touched-file sub-snapshot
+                # — tombstones still applied — not a full-table scan per merge.
+                # No touched files => no raw match => no logical match: skip.
+                logical_keys = sub_df.select(*keys).distinct()
+                matched_keys = source.join(logical_keys, on=keys, how="left_semi")
+                deletions = matched_keys.where(delete_matched_when).select(*keys)
+                incoming = source.join(deletions, on=keys, how="left_anti")
+
+            rewrite = (
+                incoming
+                if keep is None
+                else keep.unionByName(incoming, allowMissingColumns=True)
+            )
+            new_files = self._write_data(rewrite.select(*cols), version, snap.partition_by)
+            return self._commit(
+                "merge",
+                untouched_entries + new_files,
+                schema,
+                snap.partition_by,
+                summary={
+                    "rewritten_files": len(touched_entries),
+                    "carried_files": len(untouched_entries),
+                },
+                tombstones=snap.tombstones,  # untouched by-reference files still need them
+                version=version, on_conflict_cleanup=self._bases(new_files),
+            )
 
     def delete_where(self, predicate: str, *, mode: str = "cow") -> Snapshot:
         """DELETE FROM t WHERE p.

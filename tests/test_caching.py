@@ -1,0 +1,63 @@
+"""Cache-discipline contract (SCALING.md watchpoint 6): scoped caches
+release on exit, lazily-returned operator caches release via the
+registry — a long-running service's storage memory is reclaimable
+without spark.catalog.clearCache()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark import caching
+from etl_to_iceberg_spark.caching import (
+    cached,
+    release_operator_caches,
+    tracked_cache,
+)
+
+
+def test_cached_scopes_the_cache(spark):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    with cached(df) as d:
+        d.count()
+        assert d.storageLevel.useMemory
+    assert not df.storageLevel.useMemory
+
+
+def test_cached_releases_on_exception(spark):
+    df = spark.range(10)
+    try:
+        with cached(df):
+            df.count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not df.storageLevel.useMemory
+
+
+def test_tracked_cache_release_drains_registry(spark):
+    a = tracked_cache(spark.range(50))
+    b = tracked_cache(spark.range(60))
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    released = release_operator_caches()
+    assert released >= 2
+    assert not caching._tracked
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert release_operator_caches() == 0  # idempotent
+
+
+def test_operator_caches_are_tracked(spark, sf_dir):
+    """The dedup operators' internal caches (LSH candidate pairs, simhash
+    collapsed relation) register for release — the VERDICT r7 #8 sites."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    release_operator_caches()  # clean slate
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    simhash_near_duplicates(docs).count()
+    minhash_near_duplicates(docs, threshold=0.6).count()
+    assert len(caching._tracked) >= 2
+    assert release_operator_caches() >= 2

@@ -212,6 +212,20 @@ def test_ann_recall_monotone_in_candidates(spark, sf_dir):
     assert ivf[1] < ivf[8], ivf  # strict across the full knob range
     assert ivf[8] == 1.0, ivf  # probing all 8 cells IS the exact search
 
+    # batch multiprobe (r8): recall weakly monotone in probes at fixed
+    # planes, and candidate sets nest (a probes=1 result row survives in
+    # every wider ring — masks are a prefix chain), so the own-bucket
+    # hits can only be re-ranked, never lost below rank k by adding
+    # WORSE candidates... they can be displaced by BETTER ones, which is
+    # exactly what higher recall means.
+    mp = {pr: recall(lsh_topk(emb, queries, k=5, planes=6, probes=pr))
+          for pr in (1, 7, 22)}
+    assert mp[1] <= mp[7] <= mp[22], mp
+    assert mp[1] < mp[22], mp  # strict across the full ring on this fixture
+
+    with pytest.raises(ValueError, match="probes"):
+        lsh_topk(emb, queries, k=5, planes=4, probes=12)  # max is 11
+
 
 def test_connected_components_planted_graph(spark):
     from etl_to_iceberg_spark.ext.dedup import connected_components

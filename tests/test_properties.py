@@ -993,3 +993,70 @@ def test_cherrypick_rollback_append_randomized_sweep(spark, tmp_path, seed):
     if non_append_versions:
         with pytest.raises(ValueError, match="cherry-pick"):
             maintenance.cherrypick(t, rng.choice(non_append_versions))
+
+
+def test_simhash_pairs_matches_python_oracle(spark):
+    """Seeded randomized sweep for the relational half of the simhash
+    pipeline (simhash_pairs, split out in r8 for the sidecar oracle):
+    random 32-bit signatures with planted identical-sig groups and
+    1-3-bit-flip neighbors, checked pair-for-pair against a pure-Python
+    model of collapse -> byte-band candidates -> hamming <= 3."""
+    import itertools
+    import random
+
+    from etl_to_iceberg_spark.ext.dedup import simhash_pairs
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        sigs: dict[int, int] = {}
+        nid = 0
+        for _ in range(40):
+            base = rng.getrandbits(32)
+            group = rng.choice([1, 1, 1, 2, 5])  # some identical-sig groups
+            for _ in range(group):
+                sigs[nid] = base
+                nid += 1
+            if rng.random() < 0.5:  # a near neighbor: flip 1-3 bits
+                s = base
+                for b in rng.sample(range(32), rng.randint(1, 3)):
+                    s ^= 1 << b
+                sigs[nid] = s
+                nid += 1
+            if rng.random() < 0.3:  # a far point: flip 8-16 bits
+                s = base
+                for b in rng.sample(range(32), rng.randint(8, 16)):
+                    s ^= 1 << b
+                sigs[nid] = s
+                nid += 1
+
+        # pure-Python model
+        rep = {}
+        for i, s in sigs.items():
+            rep.setdefault(s, i)  # first (lowest) id per signature
+        exact_edges = {
+            (rep[s], i, 0) for i, s in sigs.items() if rep[s] != i
+        }
+        reps = sorted(set(rep.values()))
+        near = set()
+        for a, b in itertools.combinations(reps, 2):
+            sa, sb = sigs[a], sigs[b]
+            shares_byte = any(
+                (sa >> (8 * k)) & 0xFF == (sb >> (8 * k)) & 0xFF
+                for k in range(4)
+            )
+            h = bin(sa ^ sb).count("1")
+            if shares_byte and h <= 3:
+                near.add((a, b, h))
+        expected = near | exact_edges
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in sigs.items()], "doc_id long, simhash long"
+        )
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs(df, max_hamming=3).collect()
+        }
+        assert got == expected, (
+            f"seed {seed}: missing={sorted(expected - got)[:5]} "
+            f"extra={sorted(got - expected)[:5]}"
+        )

@@ -265,6 +265,42 @@ def test_iceberg_conf_contract():
     assert _iceberg_jar_available() is False
 
 
+def test_session_conf_assembly_iceberg_gate(monkeypatch):
+    """assemble_conf injects the Iceberg catalog wiring exactly when the
+    runtime jar is present (and enable_iceberg is on), and never
+    otherwise — the gate logic itself, not just the conf constants. This
+    is the strongest signal obtainable here for session.py's real-Iceberg
+    branch: the jar cannot execute in this environment (none ships for
+    this Spark build, no network to fetch one — SCALING.md watchpoint 1),
+    so the assembly contract is what gets pinned."""
+    from etl_to_iceberg_spark import session as S
+
+    cfg = S.SessionConfig(iceberg_warehouse="/tmp/wh_gate")
+
+    monkeypatch.setattr(S, "_iceberg_jar_available", lambda: True)
+    conf = S.assemble_conf(cfg)
+    assert conf["spark.sql.catalog.ice.warehouse"] == "/tmp/wh_gate"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    # extra_conf layers OVER the iceberg block (deployment overrides win)
+    cfg_over = S.SessionConfig(
+        iceberg_warehouse="/tmp/wh_gate",
+        extra_conf={"spark.sql.catalog.ice.type": "rest"},
+    )
+    assert S.assemble_conf(cfg_over)["spark.sql.catalog.ice.type"] == "rest"
+
+    monkeypatch.setattr(S, "_iceberg_jar_available", lambda: False)
+    no_jar = S.assemble_conf(cfg)
+    assert not any(k.startswith("spark.sql.catalog.ice") for k in no_jar)
+    assert "spark.sql.extensions" not in no_jar
+
+    monkeypatch.setattr(S, "_iceberg_jar_available", lambda: True)
+    disabled = S.assemble_conf(S.SessionConfig(enable_iceberg=False))
+    assert not any(k.startswith("spark.sql.catalog.ice") for k in disabled)
+    # the non-iceberg engine confs are identical either way
+    base_keys = set(no_jar) | {"spark.sql.shuffle.partitions"}
+    assert base_keys <= set(disabled) | set(no_jar)
+
+
 def test_zorder_clustering_tightens_file_envelopes(spark, sf_dir):
     """After a z-order rewrite, each file's (custkey, day) min/max envelope
     must be tighter than the scattered layout's — the property file/row-
