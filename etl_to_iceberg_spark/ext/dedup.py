@@ -336,6 +336,52 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_pairs_from_bands(
+    side: DataFrame,
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """:func:`minhash_near_duplicates`'s relational half over PRECOMPUTED
+    ``(doc_id, fp, band_hashes)`` rows — the sidecar pattern
+    (:func:`simhash_pairs`): the one-scan sketch (fingerprint + band
+    hashes) is materialized once, and everything after it — identical-fp
+    collapse, capped band equi-join, exact-Jaccard verify — runs from
+    the stored rows, so a SQL oracle can re-derive it from the same
+    parquet. Output is identical to the fused pipeline: the collapse
+    window keys and band hashes are the same expressions, merely
+    materialized."""
+    w_fp = Window.partitionBy("fp")
+    tagged = side.withColumn("__rep", F.min(id_col).over(w_fp))
+    exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    banded = tagged.where(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cands = (
+        left.join(right, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near = jaccard_verify(
+        cands, df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    return near.unionByName(exact_edges)
+
+
 # --- simhash ---------------------------------------------------------------
 
 

@@ -281,14 +281,106 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, gram_n=8, min_span_tokens=16)
 
 
-@register("dedup_minhash_lsh", sql=None)  # hash-bucket pipeline; oracle = planted-dup tests
+_MINHASH_SIDECAR = "/tmp/e2is_minhash_sidecar"  # fixed path, same contract
+# as _SIMHASH_SIDECAR: written by the query, read by the static oracle.
+
+
+@register(
+    "dedup_minhash_lsh",
+    # The seeded-xxhash64 sketch has no DuckDB mirror; the query
+    # materializes (doc_id, fp, band_hashes) to a parquet sidecar and
+    # the oracle re-derives the relational half — identical-fingerprint
+    # collapse, bucket-capped band equi-join, exact word-3-shingle
+    # Jaccard verify >= 0.6 — from the same rows. The shingle/jaccard
+    # mirror follows dedup_ngram_jaccard's; <3-token docs fall back to
+    # the single joined-tokens shingle exactly like ext/dedup.py's
+    # word_shingles.
+    sql=f"""
+    WITH side AS (
+      SELECT doc_id, fp, band_hashes
+      FROM read_parquet('{_MINHASH_SIDECAR}/*.parquet')
+    ),
+    tagged AS (
+      SELECT doc_id, fp, band_hashes,
+             MIN(doc_id) OVER (PARTITION BY fp) AS rep
+      FROM side
+    ),
+    exact_edges AS (
+      SELECT rep AS id_a, doc_id AS id_b, 1.0 AS jaccard
+      FROM tagged WHERE doc_id <> rep
+    ),
+    banded AS (
+      SELECT doc_id, b.i - 1 AS band, band_hashes[b.i] AS band_hash
+      FROM tagged
+      CROSS JOIN (SELECT unnest(range(1, 17)) AS i) b
+      WHERE doc_id = rep
+    ),
+    capped AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash) <= 256
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l
+      JOIN capped r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN list_distinct(
+                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     FOR i IN range(1, len(ws) - 1)])
+                  ELSE [array_to_string(ws, ' ')] END AS st
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents)
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(a.st, x -> list_contains(b.st, x))) AS inter,
+             len(a.st) + len(b.st)
+               - len(list_filter(a.st, x -> list_contains(b.st, x))) AS uni
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    ),
+    near AS (
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+      FROM scored
+      WHERE uni > 0 AND round(CAST(inter AS DOUBLE) / uni, 6) >= 0.6
+    )
+    SELECT * FROM near
+    UNION ALL
+    SELECT * FROM exact_edges
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 32 seeded xxhash64 minhashes →
-    8 bands → bucket equi-join candidates → exact-Jaccard verify ≥0.6."""
-    from etl_to_iceberg_spark.ext.dedup import minhash_near_duplicates
+    16 bands → capped bucket equi-join candidates → exact-Jaccard verify
+    ≥0.6. The one-scan sketch (fingerprint + band hashes) materializes
+    to the oracle sidecar and the pipeline resumes from the stored rows
+    (minhash_pairs_from_bands) — flipping the family's flagship from
+    rows-only to value-hash checked (VERDICT r7 #5)."""
+    from etl_to_iceberg_spark import scratch
+    from etl_to_iceberg_spark.ext.dedup import (
+        fingerprint,
+        minhash_pairs_from_bands,
+        minhash_signatures,
+    )
+    from etl_to_iceberg_spark.ext.incremental import band_hashes
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.6)
+    side = minhash_signatures(
+        docs, extra_cols=[fingerprint("text").alias("fp")]
+    ).select(
+        "doc_id", "fp", band_hashes("sig", bands=16).alias("band_hashes")
+    )
+    scratch.register_cleanup(_MINHASH_SIDECAR)
+    side.write.mode("overwrite").parquet(_MINHASH_SIDECAR)
+    stored = spark.read.parquet(_MINHASH_SIDECAR)
+    return minhash_pairs_from_bands(stored, docs, threshold=0.6)
 
 
 _SIMHASH_SIDECAR = "/tmp/e2is_simhash_sigs"  # FIXED path: embedded in the

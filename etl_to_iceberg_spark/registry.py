@@ -68,10 +68,12 @@ _CHANGED_THIS_ROUND = [
     # neutral r8 changes (await_drain label fix, _sid_work refactor — the
     # inline block it replaced built the identical corpus) are NOT listed.
     #
-    # rows-only -> full oracle: signatures materialized to a parquet
-    # sidecar the DuckDB oracle reads; pair logic unchanged but the
-    # checked surface (value-hash vs rows-only) is new.
+    # rows-only -> full oracle: sketches materialized to a parquet
+    # sidecar the DuckDB oracle reads; pair logic unchanged (asserted
+    # output-identical to the fused pipelines) but the checked surface
+    # (value-hash vs rows-only) is new.
     "dedup_simhash",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -52,6 +52,30 @@ def test_minhash_lsh_finds_planted_pairs(planted):
         assert p in {(1, 2), (3, 4)}
 
 
+def test_minhash_from_bands_equals_fused_pipeline(spark, sf_dir):
+    """The sidecar split (minhash_pairs_from_bands over materialized
+    (doc_id, fp, band_hashes) rows — what the registered dedup_minhash_lsh
+    query runs since r8) must stay output-identical to the fused
+    minhash_near_duplicates pipeline, collapse edges and all."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        fingerprint,
+        minhash_near_duplicates,
+        minhash_pairs_from_bands,
+        minhash_signatures,
+    )
+    from etl_to_iceberg_spark.ext.incremental import band_hashes
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    side = minhash_signatures(
+        docs, extra_cols=[fingerprint("text").alias("fp")]
+    ).select("doc_id", "fp", band_hashes("sig", bands=16).alias("band_hashes"))
+    split = {tuple(r) for r in
+             minhash_pairs_from_bands(side, docs, threshold=0.6).collect()}
+    fused = {tuple(r) for r in
+             minhash_near_duplicates(docs, threshold=0.6).collect()}
+    assert split == fused
+
+
 def test_simhash_identical_and_near(planted):
     from etl_to_iceberg_spark.ext.dedup import simhash, simhash_near_duplicates
 

@@ -22,6 +22,33 @@ from etl_to_iceberg_spark.registry import all_specs
 
 _BANNED = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
 
+# The sidecar oracles (dedup_simhash, dedup_minhash_lsh) read a parquet
+# the QUERY writes before its oracle runs; DESCRIBE here runs without the
+# query, so seed each path with one schema-correct row if it's absent.
+_SIDECAR_SEEDS = {
+    "/tmp/e2is_simhash_sigs": (
+        "SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS simhash"
+    ),
+    "/tmp/e2is_minhash_sidecar": (
+        "SELECT CAST(0 AS BIGINT) AS doc_id, CAST('' AS VARCHAR) AS fp, "
+        "CAST([0] AS BIGINT[]) AS band_hashes"
+    ),
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _seed_sidecars(duck):
+    import glob
+    import os
+
+    for path, sel in _SIDECAR_SEEDS.items():
+        if not glob.glob(os.path.join(path, "*.parquet")):
+            os.makedirs(path, exist_ok=True)
+            duck.execute(
+                f"COPY ({sel}) TO '{os.path.join(path, '_lint_seed.parquet')}'"
+                " (FORMAT PARQUET)"
+            )
+
 
 def _oracle_specs():
     return [(n, s.sql) for n, s in all_specs().items() if s.sql is not None]
