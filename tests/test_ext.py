@@ -682,3 +682,23 @@ def test_byte_segments_handles_keyword_column_names(spark):
     ).select("media_id", F.col("text").cast("binary").alias("order"))
     rows = byte_segments(media, content_col="order", seg=128).collect()
     assert sorted((r.seg_no, r.seg_len) for r in rows) == [(0, 128), (1, 72)]
+
+
+def test_ensure_sidecar_writes_once_per_sf(spark, sf_dir, tmp_path):
+    """The oracle sidecars follow the stored-index convention: one write
+    per (process, sf_dir); a different sf_dir triggers a rewrite."""
+    from etl_to_iceberg_spark.ext import queries as Q
+
+    path = str(tmp_path / "sidecar")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).withColumnRenamed("id", "doc_id")
+
+    Q._ensure_sidecar(path, sf_dir, build)
+    Q._ensure_sidecar(path, sf_dir, build)  # same sf: no rewrite
+    assert len(calls) == 1
+    Q._ensure_sidecar(path, sf_dir + "/..", build)  # different sf: rewrite
+    assert len(calls) == 2
+    Q._sidecar_written.pop(path, None)
