@@ -243,6 +243,42 @@ def ivf_assign(
     )
 
 
+def ivf_probe_topk(
+    c: DataFrame,
+    q: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Shared IVF routing + re-rank over normalized inputs: ``c`` =
+    (vec_id, __v), ``q`` = (query_id, __v), ``centroids`` = (cell,
+    __cent) — used by :func:`ivf_topk` (first-ids quantizer),
+    :func:`ivf_kmeans_topk` (trained quantizer), and the
+    ``similarity_ivf_kmeans`` registry query (quantizer read back from
+    its oracle sidecar)."""
+    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
+        "vec_id", F.col("__v").alias("__cv"), "cell"
+    )
+    query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
+        "query_id", F.col("__v").alias("__qv"), "cell"
+    )
+    scored = (
+        corpus_cells.join(query_cells, on="cell")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,26 +313,7 @@ def ivf_topk(
         seed.withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
         .select(F.col("__rn").alias("cell"), F.col("__v").alias("__cent"))
     )
-    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
-        "vec_id", F.col("__v").alias("__cv"), "cell"
-    )
-    query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
-        "query_id", F.col("__v").alias("__qv"), "cell"
-    )
-    scored = (
-        corpus_cells.join(query_cells, on="cell")
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
-        )
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe)
 
 
 def embedding_near_duplicates(
@@ -358,13 +375,35 @@ def ivf_kmeans_topk(
     Note this function is EAGER: ``KMeans.fit`` runs distributed training
     jobs when it's called, unlike the lazily-planned operators elsewhere —
     inherent to iterative training (there is no lazy Lloyd's plan)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__v")
     )
+    centroids = ivf_kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        nlist=nlist, train_fraction=train_fraction, seed=seed,
+    )
+    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe)
+
+
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    train_fraction: float | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """(cell, __cent) quantizer rows from seeded MLlib KMeans — the
+    training half of :func:`ivf_kmeans_topk`, split out so the fitted
+    centroids can be persisted (e.g. the ``similarity_ivf_kmeans``
+    oracle sidecar, or a production quantizer table) and the probe half
+    re-run from the stored rows. EAGER: fitting runs on call."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v"))
     train = c
     if train_fraction is not None and train_fraction < 1.0:
         # deterministic hash sample — NOT rand(): reproducible across runs
@@ -372,28 +411,7 @@ def ivf_kmeans_topk(
         train = c.where(bucket < int(train_fraction * 1_000_000))
     km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
     model = km.fit(train.select(array_to_vector("__v").alias("__feat")))
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    return corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, __cent array<double>",
-    )
-    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
-        "vec_id", F.col("__v").alias("__cv"), "cell"
-    )
-    query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
-        "query_id", F.col("__v").alias("__qv"), "cell"
-    )
-    scored = (
-        corpus_cells.join(query_cells, on="cell")
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
-        )
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
     )

@@ -74,6 +74,7 @@ _CHANGED_THIS_ROUND = [
     # (value-hash vs rows-only) is new.
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "similarity_ivf_kmeans",
 ]
 
 

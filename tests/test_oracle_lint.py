@@ -33,6 +33,9 @@ _SIDECAR_SEEDS = {
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST('' AS VARCHAR) AS fp, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
     ),
+    "/tmp/e2is_ivfk_centroids": (
+        'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
+    ),
 }
 
 
