@@ -37,6 +37,104 @@ from etl_to_iceberg_spark.scratch import scratch_dir
 
 _sid_work_cache: dict[str, str] = {}  # sf_dir -> streaming-dedup work dir
 
+_MH_TICK_SIDECAR = "/tmp/e2is_mh_tick_sigs"  # fixed path, same contract as
+# ext/queries._MINHASH_SIDECAR: the query writes the corpus's
+# (doc_id, sig, band_hashes) rows (minhash_index_rows — num_hashes=32,
+# bands=8, the tick's parameters) once per (process, sf_dir); the static
+# oracle re-derives the tick's relational half from the stored rows.
+
+
+def _mh_tick_oracle(idx_where: str, batch_where: str) -> str:
+    """DuckDB mirror of ext/incremental.incremental_minhash_tick over the
+    signature sidecar, threshold 0.5 / 8 bands / 32 hashes (the registered
+    parameters). ``idx_where`` / ``batch_where`` split the sidecar into
+    the persisted index and the tick's batch. Mirrors, in order: the
+    batch's identical-signature collapse to its earliest member (reps),
+    the uncapped index band equi-join + best index match (max est, ties →
+    lowest id), the 256-capped within-batch rep self-join + best earlier
+    match, and twin inheritance of the rep's index decision (else dup to
+    the rep at est 1.0). The replay branch (already_ingested) is
+    statically FALSE: both registered fixtures make batch ids disjoint
+    from index ids, so a doc can never meet its own index row — same
+    argument as dedup_incremental_exact's oracle."""
+    est = (
+        "round(len(list_filter(range(1, 33), k -> {a}.sig[k] = {b}.sig[k]))"
+        " / 32.0, 6)"
+    )
+    return f"""
+    WITH side AS (
+      SELECT doc_id, sig, band_hashes
+      FROM read_parquet('{_MH_TICK_SIDECAR}/*.parquet')
+    ),
+    idx AS (
+      SELECT doc_id, sig, b.i - 1 AS band, band_hashes[b.i] AS band_hash
+      FROM side CROSS JOIN (SELECT unnest(range(1, 9)) AS i) b
+      WHERE {idx_where}
+    ),
+    batch AS (
+      SELECT doc_id, sig, band_hashes,
+             MIN(doc_id) OVER (PARTITION BY array_to_string(sig, ',')) AS rep
+      FROM side WHERE {batch_where}
+    ),
+    bb AS (
+      SELECT doc_id, sig, b.i - 1 AS band, band_hashes[b.i] AS band_hash
+      FROM batch CROSS JOIN (SELECT unnest(range(1, 9)) AS i) b
+      WHERE doc_id = rep
+    ),
+    idx_best AS (
+      SELECT doc_id, idx_id AS i_match, est AS i_est FROM (
+        SELECT doc_id, idx_id, est,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY est DESC, idx_id) AS rn
+        FROM (
+          SELECT DISTINCT bb.doc_id, i.doc_id AS idx_id,
+                 {est.format(a="bb", b="i")} AS est
+          FROM idx i JOIN bb ON i.band = bb.band AND i.band_hash = bb.band_hash
+        ) WHERE est >= 0.5
+      ) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM bb
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash) <= 256
+    ),
+    batch_best AS (
+      SELECT id_b AS doc_id, id_a AS b_match, est AS b_est FROM (
+        SELECT id_b, id_a, est,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY est DESC, id_a) AS rn
+        FROM (
+          SELECT DISTINCT r.doc_id AS id_b, l.doc_id AS id_a,
+                 {est.format(a="l", b="r")} AS est
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+           AND l.doc_id < r.doc_id
+        ) WHERE est >= 0.5
+      ) WHERE rn = 1
+    )
+    SELECT r.doc_id,
+           coalesce(i.i_match, b.b_match) AS dup_of,
+           CASE WHEN i.i_match IS NOT NULL THEN i.i_est
+                ELSE b.b_est END AS est_jaccard,
+           (coalesce(i.i_match, b.b_match) IS NULL) AS is_new,
+           FALSE AS already_ingested
+    FROM (SELECT doc_id FROM batch WHERE doc_id = rep) r
+    LEFT JOIN idx_best i USING (doc_id)
+    LEFT JOIN batch_best b USING (doc_id)
+    UNION ALL
+    -- twins inherit the rep's index decision (identical signature =>
+    -- identical candidates); no index match => dup to the rep at 1.0.
+    -- The tick's twin-is-its-own-index-row guard needs no mirror here:
+    -- disjoint fixture ids make it unreachable.
+    SELECT t.doc_id,
+           coalesce(i.i_match, t.rep) AS dup_of,
+           CASE WHEN i.i_match IS NOT NULL THEN i.i_est
+                ELSE CAST(1.0 AS DOUBLE) END AS est_jaccard,
+           FALSE AS is_new,
+           FALSE AS already_ingested
+    FROM (SELECT doc_id, rep FROM batch WHERE doc_id <> rep) t
+    LEFT JOIN idx_best i ON i.doc_id = t.rep
+    """
+
 
 def _batch_mod():  # 20% delta batch; rest is the index. (A function:
     # building a Column needs a live SparkContext, and this module is
@@ -167,10 +265,16 @@ def _sid_work(spark: SparkSession, sf_dir: str) -> str:
     return work
 
 
-@register("stream_incremental_minhash", sql=None)  # xxhash64 sketches: no
-# SQL oracle, same contract as dedup_incremental_minhash; the multi-drain
-# behavior is pinned by the churn sweep (tests/test_incremental_sweep.py)
-# and the crash-replay test (tests/test_fault_injection.py)
+@register(
+    "stream_incremental_minhash",
+    # Single AvailableNow drain of one file = one deterministic tick of
+    # the doc_id<300 corpus against an initially EMPTY index (same
+    # argument as stream_incremental_dedup's oracle): the mirror is the
+    # tick SQL with no index side — within-batch labeling only. The
+    # multi-drain/crash-replay behavior stays pinned by the churn sweep
+    # (tests/test_incremental_sweep.py) and tests/test_fault_injection.py.
+    sql=_mh_tick_oracle(idx_where="FALSE", batch_where="doc_id < 300"),
+)
 def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion with durable NEAR-dup state: drain a document
     drop through streaming/ingest.stream_incremental_minhash_dedup
@@ -187,12 +291,14 @@ def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_to_iceberg_spark.tables import Catalog
 
-    work = _sid_work(spark, sf_dir)
-    schema = (
-        _load_balanced(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .schema
+    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
+
+    docs = _load_balanced(spark, sf_dir, "documents")
+    _ensure_sidecar(
+        _MH_TICK_SIDECAR, sf_dir, lambda: minhash_index_rows(docs)
     )
+    work = _sid_work(spark, sf_dir)
+    schema = docs.select("doc_id", "text").schema
     cat = Catalog(spark, os.path.join(work, "wh_mh"))
     stream_incremental_minhash_dedup(
         spark, os.path.join(work, "incoming"), fmt="parquet", schema=schema,
@@ -210,14 +316,27 @@ def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _mh_prev_caches: list = []
 
 
-@register("dedup_incremental_minhash", sql=None)  # xxhash64 sketch; oracle =
-# planted-dup property tests (tests/test_incremental.py)
+@register(
+    "dedup_incremental_minhash",
+    # The seeded-xxhash64 signatures have no DuckDB mirror; the query
+    # materializes the corpus's index rows to the sidecar and the oracle
+    # re-runs the tick's relational half — index rows = doc_id % 5 <> 4,
+    # batch = the % 5 = 4 delta — from the same stored sketches (the
+    # dedup_minhash_lsh pattern; planted-dup property tests in
+    # tests/test_incremental.py still pin the sketch itself).
+    sql=_mh_tick_oracle(idx_where="doc_id % 5 <> 4", batch_where="doc_id % 5 = 4"),
+)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash near-dup tick: band-join the 20% batch's
     signatures against the persisted (doc_id, sig, band_hashes) index,
     verify candidates by signature-estimated Jaccard, append novel docs'
     rows. The corpus text is sketched exactly once, at its own ingest
-    tick; later ticks touch only the ~300 B/doc index."""
+    tick; later ticks touch only the ~300 B/doc index. The sidecar write
+    (minhash_index_rows over the full corpus — exactly what the seeded
+    index holds plus what this tick computes for the batch) happens once
+    per (process, sf_dir) so repeated runs time the tick, not the
+    sketch."""
+    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
     while _mh_prev_caches:
         try:
             _mh_prev_caches.pop().unpersist()
@@ -225,6 +344,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # cache belonged to a since-stopped SparkSession: its
             # blocks died with the session; nothing to release
     docs = _load_balanced(spark, sf_dir, "documents")
+    _ensure_sidecar(
+        _MH_TICK_SIDECAR, sf_dir, lambda: minhash_index_rows(docs)
+    )
     cat = seeded_clone(
         spark,
         "dedup_minhash_index",

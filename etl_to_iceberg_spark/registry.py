@@ -75,6 +75,8 @@ _CHANGED_THIS_ROUND = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "similarity_ivf_kmeans",
+    "dedup_incremental_minhash",
+    "stream_incremental_minhash",
 ]
 
 

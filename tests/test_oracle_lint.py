@@ -36,6 +36,10 @@ _SIDECAR_SEEDS = {
     "/tmp/e2is_ivfk_centroids": (
         'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
     ),
+    "/tmp/e2is_mh_tick_sigs": (
+        "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
+        "CAST([0] AS BIGINT[]) AS band_hashes"
+    ),
 }
 
 
