@@ -686,7 +686,11 @@ def test_byte_segments_handles_keyword_column_names(spark):
 
 def test_ensure_sidecar_writes_once_per_sf(spark, sf_dir, tmp_path):
     """The oracle sidecars follow the stored-index convention: one write
-    per (process, sf_dir); a different sf_dir triggers a rewrite."""
+    per (path, sf_dir) judged by the on-disk _sfkey marker; a different
+    sf_dir, an externally-deleted path, or markerless foreign content
+    triggers a rewrite (r8: a sibling process's exit cleanup emptied the
+    shared /tmp path mid-suite and the old in-process memo skipped the
+    rebuild, serving the lint's 1-row schema seed to the oracle)."""
     from etl_to_iceberg_spark.ext import queries as Q
 
     path = str(tmp_path / "sidecar")
@@ -701,4 +705,20 @@ def test_ensure_sidecar_writes_once_per_sf(spark, sf_dir, tmp_path):
     assert len(calls) == 1
     Q._ensure_sidecar(path, sf_dir + "/..", build)  # different sf: rewrite
     assert len(calls) == 2
-    Q._sidecar_written.pop(path, None)
+
+    # external deletion (a sibling process's exit cleanup removing the
+    # shared /tmp path) must trigger a rebuild, not a blind skip
+    import shutil
+
+    shutil.rmtree(path)
+    Q._ensure_sidecar(path, sf_dir + "/..", build)
+    assert len(calls) == 3
+
+    # markerless foreign content (e.g. the oracle lint's schema seed
+    # written into an empty path) must be overwritten, not served
+    shutil.rmtree(path)
+    spark.range(1).withColumnRenamed("id", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    Q._ensure_sidecar(path, sf_dir + "/..", build)
+    assert len(calls) == 4
