@@ -3,10 +3,12 @@
 Re-expresses the reference's function→script conversion and spark-submit
 command assembly (``/root/reference/airflow-plugins/utils/function_converter.py:12-131``,
 ``utils/spark_builder.py:10-124``, used by
-``spark/keycloak_spark_operator.py:113-315``) without the deployment-specific
-parts (K8s pod launch, Keycloak OAuth2) — those are orchestration concerns
-that sit above the engine; the interfaces here produce the artifacts they
-need (a script file and a spark-submit argv).
+``spark/keycloak_spark_operator.py:113-315``) without the K8s pod launch —
+an orchestration concern that sits above the engine; the interfaces here
+produce the artifacts it needs (a script file and a spark-submit argv).
+The OAuth2 token the reference attaches to the launch lives in
+:mod:`etl_to_iceberg_spark.auth` (``auth.token_env(tm.token())`` is the
+env block to pass alongside :meth:`SubmitSpec.argv`).
 
 In-process Spark needs none of this (closures serialize natively); this
 surface exists for shipping work to a remote cluster.
