@@ -72,8 +72,9 @@ def iceberg_conf(warehouse: str) -> dict[str, str]:
     Semantics mirror the reference's builder (spark_builder.py:199-211):
     SQL extensions for MERGE/time-travel/procedures, a named SparkCatalog,
     and a warehouse root — with a local hadoop catalog standing in for the
-    reference's REST/MinIO combo (that's deployment config, layered via
-    ``SessionConfig.extra_conf``). Kept as a pure function so the sandbox
+    reference's REST/MinIO combo (:func:`minio_catalog_conf` assembles
+    that deployment shape; layer it via ``SessionConfig.extra_conf``).
+    Kept as a pure function so the sandbox
     (which has no iceberg-spark-runtime jar — tests/test_tables.py
     documents the fallback) can still assert the exact conf contract."""
     return {
@@ -84,6 +85,65 @@ def iceberg_conf(warehouse: str) -> dict[str, str]:
         "spark.sql.catalog.ice.type": "hadoop",
         "spark.sql.catalog.ice.warehouse": warehouse,
     }
+
+
+def minio_catalog_conf(
+    bucket: str | None = None,
+    *,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    warehouse_path: str | None = None,
+    rest_uri: str | None = None,
+    catalog: str = "ice",
+) -> dict[str, str]:
+    """Spark conf for an Iceberg REST catalog on MinIO/S3 object storage.
+
+    Mirrors the reference's catalog-config assembly
+    (``utils/minio_manager.py:7-80``) — endpoint/keys/bucket with the
+    same env-var layering (``MINIO_ENDPOINT``/``MINIO_ACCESS_KEY``/
+    ``MINIO_SECRET_KEY``/``MINIO_BUCKET`` defaults, ``ICEBERG_REST_URI``
+    for the catalog service, optional ``ICEBERG_AUTH_TYPE``/
+    ``ICEBERG_CREDENTIAL`` passthrough), warehouse defaulting to
+    ``s3://{bucket}/warehouse``, and MinIO's mandatory path-style access
+    — emitted as the Spark-side wiring instead of a pyiceberg dict: the
+    named SparkCatalog in REST mode with S3FileIO, plus the mirroring
+    ``fs.s3a.*`` Hadoop conf so plain ``spark.read`` against the same
+    store resolves too. Layer the result via ``SessionConfig.extra_conf``
+    (the jar gate in :func:`assemble_conf` governs whether the catalog
+    classes exist; this function is pure assembly, testable sandbox-side
+    like :func:`iceberg_conf`)."""
+    endpoint = endpoint or os.environ.get("MINIO_ENDPOINT", "http://localhost:9000")
+    access_key = access_key or os.environ.get("MINIO_ACCESS_KEY", "minioadmin")
+    secret_key = secret_key or os.environ.get("MINIO_SECRET_KEY", "minioadmin")
+    bucket = bucket or os.environ.get("MINIO_BUCKET", "iceberg")
+    rest_uri = rest_uri or os.environ.get("ICEBERG_REST_URI", "http://localhost:8181")
+    warehouse = warehouse_path or f"s3://{bucket}/warehouse"
+    c = f"spark.sql.catalog.{catalog}"
+    conf = {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        c: "org.apache.iceberg.spark.SparkCatalog",
+        f"{c}.type": "rest",
+        f"{c}.uri": rest_uri,
+        f"{c}.warehouse": warehouse,
+        f"{c}.io-impl": "org.apache.iceberg.aws.s3.S3FileIO",
+        f"{c}.s3.endpoint": endpoint,
+        f"{c}.s3.access-key-id": access_key,
+        f"{c}.s3.secret-access-key": secret_key,
+        f"{c}.s3.path-style-access": "true",  # MinIO serves path-style only
+        # Hadoop-side mirror for non-catalog reads over the same store.
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": "true",
+    }
+    if os.environ.get("ICEBERG_AUTH_TYPE"):
+        conf[f"{c}.rest.auth.type"] = os.environ["ICEBERG_AUTH_TYPE"]
+    if os.environ.get("ICEBERG_CREDENTIAL"):
+        conf[f"{c}.credential"] = os.environ["ICEBERG_CREDENTIAL"]
+    return conf
 
 
 def assemble_conf(cfg: SessionConfig) -> dict[str, str]:

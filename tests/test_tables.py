@@ -301,6 +301,51 @@ def test_session_conf_assembly_iceberg_gate(monkeypatch):
     assert base_keys <= set(disabled) | set(no_jar)
 
 
+def test_minio_catalog_conf_mirrors_reference_assembly(monkeypatch):
+    """minio_catalog_conf mirrors the reference's catalog-config
+    semantics (utils/minio_manager.py:7-80): explicit args win, env vars
+    layer underneath with the reference's defaults, warehouse defaults
+    to s3://{bucket}/warehouse, path-style access is always on, and the
+    optional ICEBERG_AUTH_TYPE/ICEBERG_CREDENTIAL pass through."""
+    from etl_to_iceberg_spark.session import minio_catalog_conf
+
+    for v in ("MINIO_ENDPOINT", "MINIO_ACCESS_KEY", "MINIO_SECRET_KEY",
+              "MINIO_BUCKET", "ICEBERG_REST_URI", "ICEBERG_AUTH_TYPE",
+              "ICEBERG_CREDENTIAL"):
+        monkeypatch.delenv(v, raising=False)
+
+    conf = minio_catalog_conf()
+    assert conf["spark.sql.catalog.ice.type"] == "rest"
+    assert conf["spark.sql.catalog.ice.uri"] == "http://localhost:8181"
+    assert conf["spark.sql.catalog.ice.warehouse"] == "s3://iceberg/warehouse"
+    assert conf["spark.sql.catalog.ice.s3.endpoint"] == "http://localhost:9000"
+    assert conf["spark.sql.catalog.ice.s3.path-style-access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "minioadmin"
+    assert "spark.sql.catalog.ice.rest.auth.type" not in conf
+
+    monkeypatch.setenv("MINIO_ENDPOINT", "http://minio.svc:9000")
+    monkeypatch.setenv("MINIO_BUCKET", "lake")
+    monkeypatch.setenv("ICEBERG_AUTH_TYPE", "oauth2")
+    monkeypatch.setenv("ICEBERG_CREDENTIAL", "cid:csecret")
+    conf = minio_catalog_conf()
+    assert conf["spark.sql.catalog.ice.s3.endpoint"] == "http://minio.svc:9000"
+    assert conf["spark.sql.catalog.ice.warehouse"] == "s3://lake/warehouse"
+    assert conf["spark.sql.catalog.ice.rest.auth.type"] == "oauth2"
+    assert conf["spark.sql.catalog.ice.credential"] == "cid:csecret"
+
+    conf = minio_catalog_conf(
+        "b2", endpoint="http://e:9", access_key="ak", secret_key="sk",
+        warehouse_path="s3://b2/custom", rest_uri="http://r:81",
+        catalog="lakehouse",
+    )
+    assert conf["spark.sql.catalog.lakehouse.warehouse"] == "s3://b2/custom"
+    assert conf["spark.sql.catalog.lakehouse.uri"] == "http://r:81"
+    assert conf["spark.sql.catalog.lakehouse.s3.access-key-id"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert not any(".ice." in k for k in conf)
+
+
 def test_zorder_clustering_tightens_file_envelopes(spark, sf_dir):
     """After a z-order rewrite, each file's (custkey, day) min/max envelope
     must be tighter than the scattered layout's — the property file/row-
