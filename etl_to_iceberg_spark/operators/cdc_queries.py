@@ -245,9 +245,11 @@ def stream_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_remote_submit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remote-job command assembly (ref: udf_remote_submit,
     spark/keycloak_spark_operator.py:113-315 + utils/spark_builder.py:10-124):
-    function → script file → spark-submit argv. The K8s/OAuth2 launch is a
-    deployment concern above the engine; the artifacts it needs are built
-    and returned here."""
+    function → script file → spark-submit argv. The OAuth2 token half
+    lives in etl_to_iceberg_spark/auth.py (fetch/refresh + TokenManager;
+    auth.token_env supplies the launch env); only the K8s pod launch
+    itself remains a deployment concern — the artifacts it needs are
+    built and returned here."""
 
     from etl_to_iceberg_spark.submit import SubmitSpec, function_to_script
 
