@@ -1,12 +1,14 @@
 """Corpus-level training-data operators: vocabulary building, quantile
-quality filtering, domain mixing, and trained-quantizer ANN.
+quality filtering, domain mixing/temperature resampling, named quality
+rulesets, trained-quantizer ANN, and SemDeDup-style semantic dedup.
 
 These extend the reference's surface (it has none of this — BASELINE.json
 north star) with the operations a 100 TB pretraining pipeline runs between
-ingestion and tokenization. All checked ops are pure Catalyst plans with
-DuckDB oracle mirrors; the KMeans op is rows-only (iterative training has
-no single-statement SQL equivalent) and is recall-tested against the exact
-brute-force ranking in tests/test_ext.py.
+ingestion and tokenization. All ops are pure Catalyst plans with DuckDB
+oracle mirrors; the KMeans-backed ops persist their fitted quantizer to a
+sidecar so even the trained path is value-hash checked, with training
+quality additionally recall-tested against the exact brute-force ranking
+in tests/test_ext.py.
 """
 
 from __future__ import annotations
@@ -164,6 +166,23 @@ _IVFK_SIDECAR = "/tmp/e2is_ivfk_centroids"  # fixed path, same contract as
 # the dedup sketch sidecars (ext/queries._ensure_sidecar)
 
 
+def _ivfk_centroids(spark: SparkSession, sf_dir: str):
+    """The fitted 16-cell quantizer, persisted once per (path, sf) and
+    read back from the sidecar — shared by ``similarity_ivf_kmeans`` and
+    ``dedup_semantic_kmeans`` (one stored quantizer, two consumers: ANN
+    routing and SemDeDup blocking), and by both ops' oracles."""
+    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
+    from etl_to_iceberg_spark.ext.similarity import ivf_kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _ensure_sidecar(
+        _IVFK_SIDECAR,
+        sf_dir,
+        lambda: ivf_kmeans_centroids(emb, nlist=16, train_fraction=0.5),
+    )
+    return spark.read.parquet(_IVFK_SIDECAR).select("cell", "__cent")
+
+
 @register(
     "similarity_ivf_kmeans",
     # Lloyd's iterations aren't single-statement SQL, but the FITTED
@@ -225,25 +244,257 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir — at scale the quantizer IS a stored table, ivf_kmeans_topk
     docstring); probe + exact re-rank from the stored rows
     (ivf_probe_topk). NOTE: eager on first call (training)."""
-    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
-    from etl_to_iceberg_spark.ext.similarity import (
-        _to_double,
-        ivf_kmeans_centroids,
-        ivf_probe_topk,
-    )
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_probe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _ensure_sidecar(
-        _IVFK_SIDECAR,
-        sf_dir,
-        lambda: ivf_kmeans_centroids(emb, nlist=16, train_fraction=0.5),
-    )
-    centroids = spark.read.parquet(_IVFK_SIDECAR).select("cell", "__cent")
+    centroids = _ivfk_centroids(spark, sf_dir)
     c = emb.select("vec_id", _to_double("embedding").alias("__v"))
     q = emb.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
     )
     return ivf_probe_topk(c, q, centroids, k=10, nprobe=4)
+
+
+@register(
+    "dedup_semantic_kmeans",
+    # Oracle resumes from the same stored quantizer as
+    # similarity_ivf_kmeans: nearest-cell assignment (identical
+    # round/tie-break to the ivf oracles), cluster-size cap, and the
+    # within-cell pair join — SemDeDup's blocking re-derived in SQL.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    assigned AS (
+      SELECT vec_id, cell, e FROM (
+        SELECT b.vec_id, c.cell, b.e,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.e, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+        CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    capped AS (
+      SELECT * FROM assigned
+      QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 256
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM capped a JOIN capped b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+    """,
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ext/similarity.semantic_dedup_pairs):
+    embeddings → nearest stored-quantizer cluster → within-cluster cosine
+    pairs ≥ threshold, keep-lowest-id. Blocking via the SAME persisted
+    quantizer similarity_ivf_kmeans routes with — at scale one stored
+    table serves both ANN and semantic dedup. Threshold 0.3 is calibrated
+    to the synthetic isotropic embeddings (pairwise cosine tops out near
+    0.44, dedup_embedding_cosine's note); production near-dup pruning
+    uses ~0.95 per the SemDeDup paper. Cluster cap 256 mirrors the
+    LSH/simhash bucket guards (fixture clusters average ~31)."""
+    from etl_to_iceberg_spark.ext.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, _ivfk_centroids(spark, sf_dir),
+        threshold=0.3, max_cluster_size=256,
+    )
+
+
+@register(
+    "text_gopher_quality",
+    sql=r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '\S+') AS ws,
+             len(regexp_extract_all(coalesce(text, ''), '#')) AS hashes,
+             len(regexp_extract_all(coalesce(text, ''), '\.\.\.')) AS dots,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS word_count,
+             CASE WHEN len(ws) > 0 THEN round(
+               CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+                 / len(ws), 6) ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN round(
+               CAST(hashes AS DOUBLE) / len(ws), 6)
+               ELSE CAST(0.0 AS DOUBLE) END AS hash_ratio,
+             CASE WHEN len(ws) > 0 THEN round(
+               CAST(dots AS DOUBLE) / len(ws), 6)
+               ELSE CAST(0.0 AS DOUBLE) END AS ellipsis_ratio,
+             CASE WHEN len(lines) > 0 THEN round(
+               CAST(len(list_filter(lines, l ->
+                      starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                      OR starts_with(ltrim(l), chr(8226)))) AS DOUBLE)
+                 / len(lines), 6) ELSE CAST(0.0 AS DOUBLE) END AS bullet_frac,
+             CASE WHEN len(lines) > 0 THEN round(
+               CAST(len(list_filter(lines, l ->
+                      ends_with(rtrim(l), '...')
+                      OR ends_with(rtrim(l), chr(8230)))) AS DOUBLE)
+                 / len(lines), 6) ELSE CAST(0.0 AS DOUBLE) END
+               AS ellipsis_line_frac,
+             len(list_filter(
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+               s -> list_contains(list_transform(ws, w -> lower(w)), s)
+             )) AS stopword_hits
+      FROM base
+    )
+    SELECT doc_id, word_count, mean_word_len, hash_ratio, ellipsis_ratio,
+           bullet_frac, ellipsis_line_frac, stopword_hits,
+           (word_count BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND hash_ratio < 0.1 AND ellipsis_ratio < 0.1
+            AND bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+            AND stopword_hits >= 2) AS passes
+    FROM m
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) as one pure-Catalyst pass: per-document word count (50–100k),
+    mean word length (3–10), '#' and '...' symbol-to-word ratios (<0.1),
+    bullet-led (≤90%) and ellipsis-ended (≤30%) line fractions, and ≥2
+    distinct English stopwords — the battle-tested heuristic baseline
+    next to the generic text_quality_score. Emits every metric plus the
+    combined verdict (an audit a pipeline thresholds or stores; filtering
+    is `WHERE passes`). Everything is array-expression arithmetic on one
+    scan — no shuffle, no Python — and ratios guard the empty-document
+    divide explicitly (ANSI mode makes x/0 an error, not a NULL)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bullet = "•"
+    ell = "…"
+    m = docs.selectExpr(
+        "doc_id",
+        r"regexp_extract_all(coalesce(text, ''), '\\S+', 0) AS ws",
+        r"size(regexp_extract_all(coalesce(text, ''), '#', 0)) AS hashes",
+        r"size(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.', 0)) AS dots",
+        r"filter(split(coalesce(text, ''), '\n', -1),"
+        r" l -> trim(l) != '') AS lines",
+    ).selectExpr(
+        "doc_id",
+        "size(ws) AS word_count",
+        "CASE WHEN size(ws) > 0 THEN round("
+        "  CAST(aggregate(transform(ws, w -> length(w)), 0L, (a, x) -> a + x)"
+        "       AS DOUBLE) / size(ws), 6) ELSE 0.0D END AS mean_word_len",
+        "CASE WHEN size(ws) > 0 THEN round("
+        "  CAST(hashes AS DOUBLE) / size(ws), 6) ELSE 0.0D END AS hash_ratio",
+        "CASE WHEN size(ws) > 0 THEN round("
+        "  CAST(dots AS DOUBLE) / size(ws), 6) ELSE 0.0D END AS ellipsis_ratio",
+        "CASE WHEN size(lines) > 0 THEN round("
+        "  CAST(size(filter(lines, l -> startswith(ltrim(l), '-')"
+        f"       OR startswith(ltrim(l), '*') OR startswith(ltrim(l), '{bullet}')))"
+        "       AS DOUBLE) / size(lines), 6) ELSE 0.0D END AS bullet_frac",
+        "CASE WHEN size(lines) > 0 THEN round("
+        "  CAST(size(filter(lines, l -> endswith(rtrim(l), '...')"
+        f"       OR endswith(rtrim(l), '{ell}')))"
+        "       AS DOUBLE) / size(lines), 6) ELSE 0.0D END AS ellipsis_line_frac",
+        "size(filter(array('the', 'be', 'to', 'of', 'and', 'that', 'have',"
+        " 'with'), s -> array_contains(transform(ws, w -> lower(w)), s)))"
+        " AS stopword_hits",
+    )
+    return m.withColumn(
+        "passes",
+        F.col("word_count").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("hash_ratio") < 0.1)
+        & (F.col("ellipsis_ratio") < 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("stopword_hits") >= 2),
+    )
+
+
+@register(
+    "corpus_temperature_sample",
+    # sqrt is IEEE-correctly-rounded in both engines and the share
+    # denominator folds through the exact-decimal sum, so every double
+    # below is bit-identical across engines; the keep rule then compares
+    # the same doubles — no rounding epsilon in the selection itself.
+    sql="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, n,
+             sqrt(CAST(n AS DOUBLE)) /
+               (SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10)))
+                            AS DOUBLE) FROM counts) AS share,
+             (SELECT CAST(SUM(n) AS DOUBLE) FROM counts) AS total_all
+      FROM counts
+    ),
+    fracs AS (
+      SELECT lang, n, share,
+             LEAST(CAST(1.0 AS DOUBLE), 0.5 * total_all * share / n) AS frac
+      FROM shares
+    )
+    SELECT d.lang,
+           f.n AS total_docs,
+           round(f.share, 6) AS target_share,
+           round(f.frac, 6) AS keep_frac,
+           COUNT(*) FILTER (
+             WHERE CAST(d.doc_id % 1000000 AS DOUBLE) < f.frac * 1000000.0
+           ) AS kept_docs
+    FROM documents d JOIN fracs f USING (lang)
+    GROUP BY d.lang, f.n, f.share, f.frac
+    ORDER BY d.lang
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the T5/PaLM recipe): sample
+    domain d with probability ∝ p_d^(1/T); T=2 (α=0.5 → sqrt) flattens
+    the mixture so low-resource languages are over-represented relative
+    to their corpus share. The per-domain keep fraction hits a 50%-size
+    budget: frac_d = min(1, B·q_d / n_d) with q_d = √n_d / Σ√n_d — the
+    weight-derived generalization corpus_domain_mix's docstring promises,
+    fed into the SAME deterministic mod-rule (doc_id mod 1e6 vs the
+    fraction), so selection is reproducible and append-stable, never
+    rand(). Scale shape: one vocabulary-sized counts agg, the fractions
+    broadcast back, the keep rule a scan-level filter — the corpus never
+    shuffles to be sampled. Returns the per-domain audit (share, frac,
+    kept) rather than the filtered rows; a pipeline applies the same
+    predicate inline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    sqrt_n = F.sqrt(F.col("n").cast("double"))
+    # one-row totals broadcast-joined back (not a global window: same 5
+    # rows, no single-partition WindowExec in the plan)
+    totals = counts.agg(
+        F.sum(sqrt_n.cast("decimal(28,10)")).cast("double").alias("__sum_sqrt"),
+        F.sum("n").cast("double").alias("__total_all"),
+    )
+    share = sqrt_n / F.col("__sum_sqrt")
+    fracs = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n",
+        share.alias("share"),
+        F.least(
+            F.lit(1.0), F.lit(0.5) * F.col("__total_all") * share / F.col("n")
+        ).alias("frac"),
+    )
+    kept = (F.col("doc_id") % 1000000).cast("double") < F.col("frac") * 1000000.0
+    return (
+        docs.join(F.broadcast(fracs), on="lang")
+        .groupBy("lang", "n", "share", "frac")
+        .agg(F.sum(kept.cast("long")).alias("kept_docs"))
+        .select(
+            "lang",
+            F.col("n").alias("total_docs"),
+            F.round("share", 6).alias("target_share"),
+            F.round("frac", 6).alias("keep_frac"),
+            "kept_docs",
+        )
+        .orderBy("lang")
+    )
 
 
 @register(

@@ -213,6 +213,63 @@ def lsh_topk(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse
+    cluster, then compare pairs ONLY within a cluster — the quantizer
+    turns the corpus-wide O(n²) cosine comparison into per-cluster
+    blocks, the same blocking role LSH bands play for text.
+
+    Returns (id_a, id_b, cell, cos_sim) with id_a < id_b and cos_sim ≥
+    ``threshold``; the keep-lowest-id convention means id_b is the prune
+    candidate. Scale shape: assignment is scan × broadcast(quantizer)
+    (ivf_assign — the corpus never shuffles to find its cluster); the
+    within-cluster self-join shuffles on cell, and ``max_cluster_size``
+    drops degenerate clusters from pairing (a cluster that big means the
+    quantizer under-fits — re-train with higher nlist; audit the drops
+    with a count-over-cell before raising the cap), bounding the
+    quadratic term exactly like the LSH/simhash bucket caps. At 100 TB,
+    nlist grows with the corpus so E[cluster] stays ~constant, and the
+    fitted quantizer is a stored table (ivf_kmeans_centroids), not a
+    per-query recompute."""
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v")),
+        centroids,
+        id_col="vec_id",
+        n_best=1,
+    )
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cell")
+        assigned = (
+            assigned.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_cluster_size)
+            .drop("__n")
+        )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cell"
+    )
+    return (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "cell",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

@@ -373,6 +373,48 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     assert self_hits == 3
 
 
+def test_semantic_dedup_planted_twins_and_cluster_cap(spark):
+    """semantic_dedup_pairs finds planted identical embeddings within a
+    cluster (cos 1.0), never pairs ACROSS clusters, and drops clusters
+    over max_cluster_size from pairing entirely."""
+    from etl_to_iceberg_spark.ext.similarity import semantic_dedup_pairs
+
+    # two well-separated clusters: axis-0 family (ids 0-3, with 0 and 1
+    # identical) and axis-1 family (ids 10-12, all identical)
+    def v(axis, eps, i):
+        base = [0.0] * 8
+        base[axis] = 1.0
+        base[7] = eps * i
+        return base
+
+    rows = (
+        [(0, v(0, 0.0, 0)), (1, v(0, 0.0, 0))]
+        + [(i, v(0, 0.01, i)) for i in (2, 3)]
+        + [(10 + i, v(1, 0.0, 0)) for i in range(3)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, v(0, 0.0, 0)), (1, v(1, 0.0, 0))], "cell int, __cent array<double>"
+    )
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.99).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # planted identical pair
+    assert {(10, 11), (10, 12), (11, 12)} <= got  # in-cluster triple
+    assert all(r.cos_sim >= 0.99 for r in pairs)
+    assert not any(a < 10 <= b for a, b in got)  # never across clusters
+
+    # cap: the 3-member axis-1 cluster is dropped wholesale at cap 2,
+    # the axis-0 cluster (4 members) too; nothing survives at cap 2 but
+    # the axis-1 triple does at cap 3
+    assert semantic_dedup_pairs(
+        emb, cents, threshold=0.99, max_cluster_size=2
+    ).count() == 0
+    capped3 = semantic_dedup_pairs(
+        emb, cents, threshold=0.99, max_cluster_size=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped3} == {(10, 11), (10, 12), (11, 12)}
+
+
 def test_chunk_documents_covers_and_overlaps_exactly(spark):
     """Chunking invariants: chunk 0 plus each later chunk minus its
     `overlap` leading tokens reconstructs the token stream exactly; every
