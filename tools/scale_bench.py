@@ -24,6 +24,12 @@ QUERIES = [
     # r6 additions: span-level dedup + chunking
     "dedup_exact_substring",
     "text_chunk_documents",
+    # r8 additions: named quality rules + temperature mixture (pure
+    # scans; dedup_semantic_kmeans is measured separately with nlist
+    # scaled to the corpus — the registered fixture query's fixed
+    # nlist=16 would just demonstrate the cluster cap at sf1)
+    "text_gopher_quality",
+    "corpus_temperature_sample",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}

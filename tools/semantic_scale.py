@@ -1,0 +1,122 @@
+"""sf0.1 vs sf1 scaling measurement for semantic dedup, with nlist
+scaled to the corpus (the documented 100 TB posture: E[cluster size]
+stays ~constant, so the per-cluster quadratic term is bounded). The
+registered fixture query keeps nlist=16, which at sf1 would mostly
+demonstrate the cluster cap instead of the pairing cost — this script
+measures the shape a deployment actually runs.
+
+Run tools/gen_scale_slice.py first; results row -> SCALING.md.
+"""
+import json
+import os
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.ext.similarity import (
+    ivf_kmeans_centroids,
+    semantic_dedup_pairs,
+)
+from etl_to_iceberg_spark.session import SessionConfig, get_spark
+from etl_to_iceberg_spark.sources.tables import load_table
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+
+
+def replicate_embeddings(emb, r):
+    """10x the embedding table in the gen_scale_slice spirit: replica i
+    shifts vec_id and applies a seeded per-replica SIGN PATTERN to the
+    coordinates. Sign flips are an orthogonal transform, so
+    within-replica cosines (the near-dup structure) are invariant, while
+    cross-replica cosines become sign-balanced sums that cancel (~0)
+    even for the fixture's STRUCTURED label clusters — a plain rotation
+    left replicas correlated and inflated the pair count superlinearly.
+    The slice generator keeps embeddings dimension-fixed for the ANN
+    rows, so this stays script-local."""
+    import random
+
+    d = 64
+    parts = []
+    for i in range(r):
+        rng = random.Random(9000 + i)
+        signs = F.array(
+            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
+              for _ in range(d)]
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    signs,
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+spark = get_spark(
+    SessionConfig(app_name="semantic-scale", local_cores=32, shuffle_partitions=32)
+)
+spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
+ui = spark.sparkContext.uiWebUrl
+
+
+def shuffle_write_bytes():
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/executors"
+        ) as r:
+            execs = json.load(r)
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    except Exception:
+        return None
+
+
+spark.range(1000).selectExpr("sum(id)").collect()
+
+base = load_table(spark, SRC, "embeddings")
+for sf_name, (emb, nlist) in {
+    "sf0.1": (base, 16),
+    "sf1 (10x)": (replicate_embeddings(base, 10).localCheckpoint(), 160),
+}.items():
+    n = emb.count()
+    # the quantizer is a stored table in deployment: train once, outside
+    # the timed loop (similarity_ivf_kmeans's sidecar convention)
+    cents = ivf_kmeans_centroids(emb, nlist=nlist, train_fraction=0.5)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin rows
+
+    def run():
+        semantic_dedup_pairs(
+            emb, cents, threshold=0.3, max_cluster_size=256
+        ).write.format("noop").mode("overwrite").save()
+
+    run()  # warm
+    best, sw = None, None
+    for _ in range(3):
+        s0 = shuffle_write_bytes()
+        t0 = time.perf_counter()
+        run()
+        el = time.perf_counter() - t0
+        if best is None or el < best:
+            best = el
+            s1 = shuffle_write_bytes()
+            sw = None if (s0 is None or s1 is None) else s1 - s0
+        else:
+            shuffle_write_bytes()
+    pairs = semantic_dedup_pairs(
+        emb, cents, threshold=0.3, max_cluster_size=256
+    ).count()
+    print(
+        f"{sf_name}: n={n} nlist={nlist} wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 1)}MB pairs={pairs}"
+    )
