@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_incremental_minhash",
     # r6: span-level dedup (anchor join + gaps-and-islands merge)
     "dedup_exact_substring",
+    # r8: SemDeDup blocking on the stored quantizer (training + sidecar
+    # write land in the untimed warm pass; timed runs read stored rows)
+    "dedup_semantic_kmeans",
 ]
 
 
