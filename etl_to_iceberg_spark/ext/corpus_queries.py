@@ -1,5 +1,6 @@
 """Corpus-level training-data operators: vocabulary building, quantile
-quality filtering, domain mixing/temperature resampling, named quality
+quality filtering, domain mixing/temperature resampling, DSIR-style
+importance resampling, per-document TF-IDF keywords, named quality
 rulesets, trained-quantizer ANN, and SemDeDup-style semantic dedup.
 
 These extend the reference's surface (it has none of this — BASELINE.json
@@ -657,3 +658,198 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(chunk_documents("text", chunk_tokens=32, overlap=8)),
     ).select("doc_id", "col.chunk_id", "col.chunk_text", "col.n_tokens")
+
+
+@register(
+    "corpus_importance_resample",
+    # llr computed as ln(a) - ln(b) in BOTH engines (not ln(a/b)) so the
+    # doubles agree bit-for-bit before the DECIMAL(20,9) quantization
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt_r,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+      FROM toks GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt_r) AS n_r, SUM(cnt_t) AS n_t, COUNT(*) AS v
+            FROM vocab),
+    ratio AS (
+      SELECT token,
+             CAST(ln((cnt_t + 1) / CAST(n_t + v AS DOUBLE))
+                  - ln((cnt_r + 1) / CAST(n_r + v AS DOUBLE))
+                  AS DECIMAL(20,9)) AS llr
+      FROM vocab CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+             round(CAST(SUM(r.llr) AS DOUBLE) / COUNT(*), 6) AS weight
+      FROM toks t JOIN ratio r USING (token)
+      GROUP BY t.doc_id, t.lang
+    ),
+    thr AS (SELECT round(quantile_cont(weight, 0.5), 6) AS w50 FROM scored)
+    SELECT s.doc_id, s.lang, s.n_tokens, s.weight
+    FROM scored s CROSS JOIN thr
+    WHERE s.weight > thr.w50
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log importance ratio between a target unigram model
+    (here the ``lang='en'`` slice standing in for the curated target
+    domain) and the raw-corpus unigram model, both add-1 smoothed over the
+    shared vocabulary, then keep the above-median half. Length-normalized
+    (mean per-token log ratio) so long docs aren't favored; the keep rule
+    is the same aggregate-quantile + broadcast-threshold form as
+    text_quality_rank_filter — deterministic, no Gumbel noise, no global
+    rank window.
+
+    Extends the reference surface (no counterpart; nearest neighbors are
+    this repo's text_unigram_logprob — single-distribution likelihood —
+    and corpus_domain_mix — fixed-quota mixing).
+
+    Scale shape: pass 1 folds the corpus into ONE vocabulary table
+    carrying both counts (cnt_r, cnt_t) — a single explode → two-phase
+    agg, vocabulary-sized output (~O(n^0.5) of corpus tokens), not two
+    corpus scans; the smoothing totals are a one-row broadcast. Pass 2
+    re-joins tokens to their (vocabulary-sized, broadcastable) log-ratio
+    and folds per doc — explode preserves doc-row locality, so the
+    partial aggregate collapses to per-doc rows before any exchange.
+    Each ln-ratio term is DECIMAL(20,9)-quantized before summing (the
+    registry's exact-decimal discipline: order-independent, bit-identical
+    across engines). The median threshold is an aggregate (t-digest
+    approx_percentile at 100 TB, same call shape) broadcast back — the
+    corpus itself is never re-shuffled to select. The per-doc scored
+    frame feeds BOTH the threshold aggregate and the filtered output, so
+    it is tracked_cache'd (fixed-width, doc-count-bounded — the caching.py
+    doctrine) rather than re-deriving the explode+join twice."""
+    from etl_to_iceberg_spark.caching import tracked_cache
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = explode_expensive(
+        docs, ["doc_id", "lang"], words(F.lower(F.col("text"))), "token"
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+    )
+    tot = vocab.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = (
+        F.log((F.col("cnt_t") + 1) / (F.col("n_t") + F.col("v")).cast("double"))
+        - F.log((F.col("cnt_r") + 1) / (F.col("n_r") + F.col("v")).cast("double"))
+    ).cast("decimal(20,9)")
+    ratio = vocab.crossJoin(F.broadcast(tot)).select("token", llr.alias("llr"))
+    scored = tracked_cache(
+        toks.join(ratio, on="token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("llr").cast("double") / F.count(F.lit(1)), 6
+            ).alias("weight"),
+        )
+    )
+    thr = scored.agg(F.round(F.percentile("weight", F.lit(0.5)), 6).alias("w50"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("weight") > F.col("w50"))
+        .select("doc_id", "lang", "n_tokens", "weight")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    # rank on the ROUNDED score (6dp) with the token as tiebreak, so the
+    # cross-engine ordering is deterministic even when raw doubles differ
+    # in the last ulp
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             round(t.tf * (ln(CAST(n.n_docs AS DOUBLE)) - ln(CAST(d.df AS DOUBLE))), 6)
+                 AS tfidf
+      FROM tf t JOIN df d USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS INT) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, token, tf, tfidf
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword/topic-signature
+    extraction pass used for corpus composition audits and cluster
+    labeling (what is this document about, without a model).
+
+    Extends the reference surface (no counterpart); complements
+    text_token_histogram (global vocabulary) with the per-document dual.
+
+    Scale shape: tf is a (doc, term)-keyed two-phase agg whose partial
+    side collapses within the doc's own partition (explode preserves row
+    locality); df reduces that to a vocabulary-sized table, joined back
+    broadcast-or-hash by the planner; idf uses ln(N)-ln(df) in both
+    engines for bit parity. The top-3 is a row_number window partitioned
+    by doc_id — millions of tiny bounded groups, the one window shape
+    that CAN'T skew (every partition is ≤ the doc's distinct-term count);
+    at 100 TB this stays a single exchange on doc_id that the tf agg
+    already produced, so AQE coalesces the window into the same shuffle."""
+    from pyspark.sql import Window
+
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = explode_expensive(
+        docs, ["doc_id"], words(F.lower(F.col("text"))), "token"
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, on="token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(F.col("n_docs").cast("double"))
+                    - F.log(F.col("df").cast("double"))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tf", "tfidf")
+        .orderBy("doc_id", "rk")
+    )

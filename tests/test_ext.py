@@ -764,3 +764,87 @@ def test_ensure_sidecar_writes_once_per_sf(spark, sf_dir, tmp_path):
     ).parquet(path)
     Q._ensure_sidecar(path, sf_dir + "/..", build)
     assert len(calls) == 4
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a planted documents table where load_table expects it."""
+    spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_importance_resample_keeps_target_vocabulary(spark, tmp_path):
+    """corpus_importance_resample keeps exactly the docs written in the
+    target (en) vocabulary: with 5 en-vocab and 5 de-exclusive-vocab docs
+    the median importance weight falls strictly between the groups, so the
+    above-median keep rule selects the en-vocab half — including the
+    de-labeled doc that happens to use target vocabulary (DSIR scores
+    CONTENT, not the label)."""
+    from etl_to_iceberg_spark.ext.corpus_queries import (
+        corpus_importance_resample,
+    )
+
+    en_texts = [
+        "alpha",
+        "alpha beta",
+        "alpha beta alpha",
+        "beta beta alpha alpha",
+        "alpha beta beta",  # planted: de-labeled but target-vocabulary
+    ]
+    de_texts = [
+        "gamma",
+        "gamma delta",
+        "gamma delta gamma",
+        "delta delta gamma gamma",
+        "gamma delta delta",
+    ]
+    rows = [(t, "en") for t in en_texts[:4]] + [(en_texts[4], "de")]
+    rows += [(t, "de") for t in de_texts]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    kept = corpus_importance_resample(spark, sf).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert kept_ids == {0, 1, 2, 3, 4}, kept_ids  # all target-vocab docs
+    assert all(r.weight > 0 for r in kept)  # target vocab scores positive
+
+
+def test_tfidf_topk_ranks_discriminative_terms(spark, tmp_path):
+    """text_tfidf_topk puts rare (discriminative) terms above corpus-wide
+    ones: a term in every doc has idf ln(N/N)=0; tokenless docs emit no
+    rows at all."""
+    import math
+
+    from etl_to_iceberg_spark.ext.corpus_queries import text_tfidf_topk
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("common common rare1", "en"),
+            ("common rare2 rare2", "en"),
+            ("common", "en"),
+            ("???", "en"),  # no [a-z0-9]+ tokens -> absent from output
+        ],
+    )
+    out = text_tfidf_topk(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 2}
+    # N counts ALL documents (the tokenless doc is still a document), so
+    # idf(rare)=ln(4/1) and idf(common)=ln(4/3) — rare still outranks
+    ln4, ln43 = math.log(4.0), math.log(4.0 / 3.0)
+    assert [r.token for r in by_doc[0]] == ["rare1", "common"]
+    assert by_doc[0][0].tfidf == round(ln4, 6)
+    assert by_doc[0][1].tfidf == round(2 * ln43, 6)
+    # doc 1: rare2 tf=2 -> 2*ln4
+    assert [r.token for r in by_doc[1]] == ["rare2", "common"]
+    assert by_doc[1][0].tfidf == round(2 * ln4, 6)
+    # doc 2: its only term still surfaces
+    assert [(r.token, r.rk) for r in by_doc[2]] == [("common", 1)]
+    # per-doc cap: never more than 3 rows
+    assert max(len(v) for v in by_doc.values()) <= 3

@@ -269,3 +269,33 @@ def test_cdc_delta_cursor_filter_is_pushed_to_scan(spark, sf_dir, tmp_path):
     assert "PushedFilters:" in plan, "no PushedFilters section in plan at all"
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThan(ts" in pushed
+
+
+def test_tfidf_topk_window_group_limit_and_broadcast_df(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    # The per-doc top-3 must be rank-limited BEFORE the window exchange as
+    # well as after it (WindowGroupLimit twice), so no task ever holds more
+    # than a doc's distinct terms; the df side joins broadcast, and nothing
+    # degenerates to a sort-merge join or cartesian over (doc, term) rows.
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_resample_shuffles_are_keyed_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_importance_resample")
+    # Both unigram models come out of ONE vocabulary aggregate (partial +
+    # final HashAggregate pairs), the smoothing totals and the threshold
+    # are one-row broadcasts, and no join degenerates to cartesian/SMJ —
+    # document text never enters an exchange.
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every Exchange carries agg/window keys, never a raw text column
+    # (hashpartitioning on doc_id/lang/token only)
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args

@@ -30,6 +30,9 @@ QUERIES = [
     # nlist=16 would just demonstrate the cluster cap at sf1)
     "text_gopher_quality",
     "corpus_temperature_sample",
+    # r8 additions: DSIR importance resampling + per-doc TF-IDF keywords
+    "corpus_importance_resample",
+    "text_tfidf_topk",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
@@ -58,12 +61,16 @@ def _noop(batches):
 spark.range(0, 320, 1, 32).toDF("id").mapInPandas(_noop, "id long") \
     .write.format("noop").mode("overwrite").save()
 
+from etl_to_iceberg_spark.caching import release_operator_caches
+
 specs = all_specs()
 out = {}
 for sf_name, sf_dir in SFS.items():
     for q in QUERIES:
         fn = specs[q].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        release_operator_caches()  # plan-matched tracked caches would make
+        # later runs of the same query read the first run's cached frame
         best, sbytes = None, None
         for _ in range(3):
             s0 = shuffle_write_bytes()
@@ -71,6 +78,7 @@ for sf_name, sf_dir in SFS.items():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             s1 = shuffle_write_bytes()
+            release_operator_caches()
             if best is None or el < best:
                 best = el
                 sbytes = (s1 - s0) if (s0 is not None and s1 is not None) else None
