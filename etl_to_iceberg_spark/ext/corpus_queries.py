@@ -310,6 +310,66 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_graph",
+    # Same stored-quantizer resume as dedup_semantic_kmeans (assignment
+    # CTE identical, same cap), then the graph is a within-cell self-join
+    # topped per vector instead of a thresholded pair list.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    assigned AS (
+      SELECT vec_id, cell, e FROM (
+        SELECT b.vec_id, c.cell, b.e,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.e, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+        CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    capped AS (
+      SELECT * FROM assigned
+      QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 256
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id, a.cell,
+             round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      FROM capped a JOIN capped b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nbr_id) AS INT)
+               AS rk,
+           nbr_id, cell, cos_sim
+    FROM pairs
+    QUALIFY rk <= 3
+    ORDER BY vec_id, rk
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the embedding corpus (k=3), blocked by
+    the SAME stored quantizer the IVF ANN routes with and SemDeDup
+    blocks with — the third consumer of one persisted centroid table.
+    The graph is the substrate for semantic clustering, canonical-doc
+    selection, and graph-based curation; dedup_connected_components
+    consumes edge lists of exactly this shape. Cluster cap 256 as in
+    dedup_semantic_kmeans (ext/similarity.knn_graph for the scale
+    argument: scan × broadcast assignment, cell-bounded self-join,
+    WindowGroupLimit top-k)."""
+    from etl_to_iceberg_spark.ext.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, _ivfk_centroids(spark, sf_dir), k=3, max_cluster_size=256
+    ).orderBy("vec_id", "rk")
+
+
+@register(
     "text_gopher_quality",
     sql=r"""
     WITH base AS (

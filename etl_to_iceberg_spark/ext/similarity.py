@@ -270,6 +270,70 @@ def semantic_dedup_pairs(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the corpus itself: every
+    vector's top-``k`` most-cosine-similar OTHER vectors, searched only
+    within its stored-quantizer cluster — the corpus-self-join dual of
+    query-set ANN (ivf_probe_topk) and the substrate semantic clustering
+    and SemDeDup-style canonical selection build on.
+
+    Returns (vec_id, rk, nbr_id, cell, cos_sim), rk 1-based, ranked by
+    (rounded cos desc, nbr_id) so the graph is deterministic. DIRECTED:
+    both (a→b) and (b→a) rows exist when each ranks the other. A vector
+    alone in its cluster (or in a cluster over ``max_cluster_size`` —
+    same guard and same quantizer-underfit reading as
+    semantic_dedup_pairs) emits no rows.
+
+    Scale shape: assignment is scan × broadcast(quantizer); the
+    within-cluster self-join shuffles on cell with the cap bounding the
+    quadratic term; the per-vector top-k is a row_number window whose
+    groups are cluster-bounded — rank-limited map-side AND post-shuffle
+    (WindowGroupLimit), so no task holds more than a cluster's pairs."""
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v")
+        ),
+        centroids,
+        id_col="vec_id",
+        n_best=1,
+    )
+    if max_cluster_size is not None:
+        cw = Window.partitionBy("cell")
+        assigned = (
+            assigned.withColumn("__n", F.count(F.lit(1)).over(cw))
+            .where(F.col("__n") <= max_cluster_size)
+            .drop("__n")
+        )
+    a = assigned.select("vec_id", F.col("__v").alias("__va"), "cell")
+    b = assigned.select(
+        F.col("vec_id").alias("nbr_id"), F.col("__v").alias("__vb"), "cell"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        a.join(b, on="cell")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            "cell",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("vec_id", "rk", "nbr_id", "cell", "cos_sim")
+    )
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

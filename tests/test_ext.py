@@ -848,3 +848,38 @@ def test_tfidf_topk_ranks_discriminative_terms(spark, tmp_path):
     assert [(r.token, r.rk) for r in by_doc[2]] == [("common", 1)]
     # per-doc cap: never more than 3 rows
     assert max(len(v) for v in by_doc.values()) <= 3
+
+
+def test_knn_graph_ranks_within_cluster_only(spark):
+    """knn_graph ranks neighbors by cosine within the vector's own
+    cluster, never across clusters; a singleton cluster emits no rows;
+    an over-cap cluster is dropped from the graph entirely."""
+    from etl_to_iceberg_spark.ext.similarity import knn_graph
+
+    def v(axis, tilt=0.0):
+        base = [0.0] * 4
+        base[axis] = 1.0
+        base[3] = tilt
+        return base
+
+    # cluster 0: ids 0,1,2 — 1 is tilted closer to 0 than 2 is
+    # cluster 1: id 10 alone
+    # cluster 2: ids 20..23 — over the cap of 3
+    rows = (
+        [(0, v(0)), (1, v(0, 0.1)), (2, v(0, 0.4))]
+        + [(10, v(1))]
+        + [(20 + i, v(2, 0.01 * i)) for i in range(4)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, v(0)), (1, v(1)), (2, v(2))], "cell int, __cent array<double>"
+    )
+    got = {
+        (r.vec_id, r.rk): r.nbr_id
+        for r in knn_graph(emb, cents, k=2, max_cluster_size=3).collect()
+    }
+    # cluster 0 only: 3 vectors, each with its 2 in-cluster neighbors
+    assert set(v_id for v_id, _ in got) == {0, 1, 2}
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2  # 1 is closer to 0
+    assert got[(1, 1)] == 0  # cos(0.1-tilt, flat) ≈ .995 > cos(.1,.4) ≈ .961
+    assert got[(2, 1)] == 1  # for the far tilt the mid vector is nearest

@@ -299,3 +299,13 @@ def test_importance_resample_shuffles_are_keyed_not_corpus(spark, sf_dir):
 
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in args, args
+
+
+def test_knn_graph_broadcast_assign_and_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_knn_graph")
+    # quantizer assignment must be scan x broadcast; the per-vector top-k
+    # must be rank-limited on both sides of the window exchange; the
+    # within-cell self-join must be an equi-join, never cartesian.
+    assert "BroadcastExchange" in plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from etl_to_iceberg_spark.ext.similarity import (
     ivf_kmeans_centroids,
+    knn_graph,
     semantic_dedup_pairs,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
@@ -119,4 +120,30 @@ for sf_name, (emb, nlist) in {
     print(
         f"{sf_name}: n={n} nlist={nlist} wall={best:.2f}s "
         f"shuffle_write={sw and round(sw / 1e6, 1)}MB pairs={pairs}"
+    )
+
+    # kNN graph over the same corpus + quantizer (the third consumer of
+    # the stored centroid table) — same nlist-scales-with-corpus posture
+    def run_knn():
+        knn_graph(
+            emb, cents, k=3, max_cluster_size=256
+        ).write.format("noop").mode("overwrite").save()
+
+    run_knn()  # warm
+    best, sw = None, None
+    for _ in range(3):
+        s0 = shuffle_write_bytes()
+        t0 = time.perf_counter()
+        run_knn()
+        el = time.perf_counter() - t0
+        if best is None or el < best:
+            best = el
+            s1 = shuffle_write_bytes()
+            sw = None if (s0 is None or s1 is None) else s1 - s0
+        else:
+            shuffle_write_bytes()
+    edges = knn_graph(emb, cents, k=3, max_cluster_size=256).count()
+    print(
+        f"{sf_name} knn_graph: n={n} nlist={nlist} wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 1)}MB edges={edges}"
     )
