@@ -178,3 +178,73 @@ def test_tfidf_topk_matches_model(spark, tmp_path, seed):
         for r in text_tfidf_topk(spark, sf).collect()
     }
     assert got == _model_tfidf_topk(rows)
+
+
+def _cos6(a, b):
+    """ext.similarity.cosine + round(…,6), replicated operation-for-
+    operation: sequential left-to-right fold for dot and norms (the
+    F.aggregate contract), double division, HALF_UP quantization."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    for x in a:
+        na = na + x * x
+    for y in b:
+        nb = nb + y * y
+    return _q(dot / (math.sqrt(na) * math.sqrt(nb)), "1e-6")
+
+
+def _model_knn_graph(vecs, cents, k, cap):
+    assign = {}
+    for vid, v in vecs:
+        best = min(
+            ((-_cos6(v, cv), cell) for cell, cv in cents),
+        )
+        assign[vid] = best[1]
+    sizes = Counter(assign.values())
+    kept = {vid: c for vid, c in assign.items() if sizes[c] <= cap}
+    out = {}
+    for vid, cell in kept.items():
+        v = dict(vecs)[vid]
+        nbrs = sorted(
+            (-_cos6(v, dict(vecs)[o]), o)
+            for o, c2 in kept.items()
+            if c2 == cell and o != vid
+        )
+        for rk, (neg, o) in enumerate(nbrs[:k], start=1):
+            out[(vid, rk)] = (o, cell, -neg)
+    return out
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_knn_graph_matches_model(spark, seed):
+    """Randomized vectors + randomized quantizer vs a from-scratch model
+    of assignment (rounded-cosine max, cell tiebreak), the cluster-size
+    cap, and per-vector top-k ordering — with a cap small enough that
+    some clusters really are dropped."""
+    from etl_to_iceberg_spark.ext.similarity import knn_graph
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    cents = [
+        (c, [rng.gauss(0, 1) for _ in range(dim)]) for c in range(4)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    got = {
+        (r.vec_id, r.rk): (r.nbr_id, r.cell, r.cos_sim)
+        for r in knn_graph(emb, cdf, k=3, max_cluster_size=14).collect()
+    }
+    model = _model_knn_graph(vecs, cents, k=3, cap=14)
+    assert got == model
+    # the sweep is only meaningful if the cap actually dropped something
+    sizes = Counter(
+        min(((-_cos6(v, cv), cell) for cell, cv in cents))[1]
+        for _, v in vecs
+    )
+    assert any(s > 14 for s in sizes.values()) or seed != 31
