@@ -113,7 +113,9 @@ def main() -> None:
                 # one-time JIT/pagecache cost into the first timed run
                 print(f"  warm-up failed for {wname}: {e!r}", file=sys.stderr)
 
-    def timed(names: list[str], results: dict[str, float]) -> None:
+    def timed(
+        names: list[str], results: dict[str, float], isolate: bool = False
+    ) -> None:
         # One untimed warm pass at the measured SF, then three timed runs
         # per query, min reported: single-shot wall times at 1-10s/query
         # are dominated by JIT compilation and GC/daemon scheduling jitter
@@ -126,6 +128,21 @@ def main() -> None:
         # where it belongs.
         for name in names:
             spec = specs[name]
+            if isolate:
+                # Composite-tranche isolation (VERDICT r8 #1): the r7 fix
+                # ordered compat before the composites, but the composites
+                # still share residue with EACH OTHER — r8's eager-training
+                # dedup_semantic_kmeans joining the tranche inflated
+                # dedup_connected_components 5.80→8.47s on unchanged code
+                # (6.08s isolated the same round). Start every composite
+                # from a clean block store: its own warm pass re-primes
+                # exactly what its timed runs legitimately reuse.
+                from etl_to_iceberg_spark.caching import (
+                    release_operator_caches,
+                )
+
+                release_operator_caches()
+                spark.catalog.clearCache()
             try:
                 spec.fn(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
@@ -166,7 +183,7 @@ def main() -> None:
     spark.catalog.clearCache()
     if do_warm:
         warm(extras, warm_sf)
-    timed(extras, results)
+    timed(extras, results, isolate=True)
 
     total = round(sum(results.values()), 3)
     sf = None

@@ -152,9 +152,11 @@ class TokenManager:
 
     ``token()`` serves the cached access token until ``expires_in`` minus
     ``skew_sec``, then renews: first via the refresh grant (cheap, no
-    credential replay), and if THAT fails with an HTTP error (Keycloak
-    answers 400 invalid_grant for expired/revoked refresh tokens) falls
-    back to a full re-authentication. The reference has no cache at all —
+    credential replay), and only if THAT is rejected outright (Keycloak
+    answers 400 invalid_grant for expired/revoked refresh tokens, 401
+    for bad client auth) falls back to a full re-authentication;
+    transient failures (unreachable, 5xx) re-raise rather than replay
+    the credential. The reference has no cache at all —
     every task pays a password grant (keycloak_spark_operator.py:243) —
     so this is strictly additive on the same endpoint contract.
     """
@@ -194,8 +196,15 @@ class TokenManager:
                     timeout=self.timeout,
                 )
             except AuthError as e:
-                if e.status is None:  # unreachable/garbled: no point
-                    raise  # re-authenticating against the same endpoint
+                # Only a REJECTED grant (Keycloak answers 400
+                # invalid_grant for expired/revoked refresh tokens, 401
+                # for bad client auth) justifies replaying the user
+                # credential. Unreachable/garbled (status None) and
+                # server-side 5xx are transient: the refresh token is
+                # still valid, so re-raise and let the caller retry
+                # instead of burning a password grant per blip.
+                if e.status not in (400, 401):
+                    raise
                 resp = None  # rejected refresh: fall through to full auth
         if resp is None:
             resp = fetch_token(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from etl_to_iceberg_spark import sidecars
 from etl_to_iceberg_spark.ext.text import WORD_RE, quality_score, words
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
@@ -163,25 +164,28 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFK_SIDECAR = "/tmp/e2is_ivfk_centroids"  # fixed path, same contract as
-# the dedup sketch sidecars (ext/queries._ensure_sidecar)
+_IVFK_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids")
+# same contract as the dedup sketch sidecars (sidecars.py docstring)
 
 
 def _ivfk_centroids(spark: SparkSession, sf_dir: str):
     """The fitted 16-cell quantizer, persisted once per (path, sf) and
     read back from the sidecar — shared by ``similarity_ivf_kmeans`` and
     ``dedup_semantic_kmeans`` (one stored quantizer, two consumers: ANN
-    routing and SemDeDup blocking), and by both ops' oracles."""
-    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
+    routing and SemDeDup blocking), and by both ops' oracles. The path
+    is keyed by sf_dir (sidecars.sidecar_path), so a returned lazy plan
+    always reads the quantizer of the SF it was built for — a later
+    different-SF call writes a different directory (ADVICE r8)."""
     from etl_to_iceberg_spark.ext.similarity import ivf_kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _ensure_sidecar(
-        _IVFK_SIDECAR,
+    side = sidecars.sidecar_path("ivfk_centroids", sf_dir)
+    sidecars.ensure_sidecar(
+        side,
         sf_dir,
         lambda: ivf_kmeans_centroids(emb, nlist=16, train_fraction=0.5),
     )
-    return spark.read.parquet(_IVFK_SIDECAR).select("cell", "__cent")
+    return spark.read.parquet(side).select("cell", "__cent")
 
 
 @register(

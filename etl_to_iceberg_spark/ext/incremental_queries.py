@@ -30,6 +30,7 @@ from etl_to_iceberg_spark.ext.incremental import (
     incremental_minhash_tick,
     minhash_index_rows,
 )
+from etl_to_iceberg_spark import sidecars
 from etl_to_iceberg_spark.ext.queries import _load_balanced
 from etl_to_iceberg_spark.operators.table_queries import seeded_clone
 from etl_to_iceberg_spark.registry import register
@@ -37,8 +38,8 @@ from etl_to_iceberg_spark.scratch import scratch_dir
 
 _sid_work_cache: dict[str, str] = {}  # sf_dir -> streaming-dedup work dir
 
-_MH_TICK_SIDECAR = "/tmp/e2is_mh_tick_sigs"  # fixed path, same contract as
-# ext/queries._MINHASH_SIDECAR: the query writes the corpus's
+_MH_TICK_SIDECAR = sidecars.oracle_sidecar_path("mh_tick_sigs")
+# same contract as ext/queries' sidecars: the query writes the corpus's
 # (doc_id, sig, band_hashes) rows (minhash_index_rows — num_hashes=32,
 # bands=8, the tick's parameters) once per (process, sf_dir); the static
 # oracle re-derives the tick's relational half from the stored rows.
@@ -291,11 +292,11 @@ def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_to_iceberg_spark.tables import Catalog
 
-    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
-
     docs = _load_balanced(spark, sf_dir, "documents")
-    _ensure_sidecar(
-        _MH_TICK_SIDECAR, sf_dir, lambda: minhash_index_rows(docs)
+    sidecars.ensure_sidecar(
+        sidecars.sidecar_path("mh_tick_sigs", sf_dir),
+        sf_dir,
+        lambda: minhash_index_rows(docs),
     )
     work = _sid_work(spark, sf_dir)
     schema = docs.select("doc_id", "text").schema
@@ -336,7 +337,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index holds plus what this tick computes for the batch) happens once
     per (process, sf_dir) so repeated runs time the tick, not the
     sketch."""
-    from etl_to_iceberg_spark.ext.queries import _ensure_sidecar
     while _mh_prev_caches:
         try:
             _mh_prev_caches.pop().unpersist()
@@ -344,8 +344,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # cache belonged to a since-stopped SparkSession: its
             # blocks died with the session; nothing to release
     docs = _load_balanced(spark, sf_dir, "documents")
-    _ensure_sidecar(
-        _MH_TICK_SIDECAR, sf_dir, lambda: minhash_index_rows(docs)
+    sidecars.ensure_sidecar(
+        sidecars.sidecar_path("mh_tick_sigs", sf_dir),
+        sf_dir,
+        lambda: minhash_index_rows(docs),
     )
     cat = seeded_clone(
         spark,

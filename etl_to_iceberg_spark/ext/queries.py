@@ -7,6 +7,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_to_iceberg_spark.plans import ensure_parallelism
 from etl_to_iceberg_spark.registry import register
+from etl_to_iceberg_spark.sidecars import (
+    ensure_sidecar,
+    oracle_sidecar_path,
+    sidecar_path,
+)
 from etl_to_iceberg_spark.sources.tables import load_table
 
 
@@ -281,48 +286,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, gram_n=8, min_span_tokens=16)
 
 
-_MINHASH_SIDECAR = "/tmp/e2is_minhash_sidecar"  # fixed path, same contract
-# as _SIMHASH_SIDECAR: written by the query, read by the static oracle.
+# Sidecar placement + freshness live in etl_to_iceberg_spark.sidecars
+# (uid-scoped base, sf-keyed paths — see that module's docstring for the
+# full contract). The oracle SQL below embeds the path keyed by the
+# pinned oracle SF; the query fns write the path keyed by their sf_dir —
+# identical whenever the oracle actually runs (the driver contract).
+_ensure_sidecar = ensure_sidecar  # back-compat alias (tests, siblings)
 
-def _ensure_sidecar(path: str, sf_dir: str, build) -> None:
-    """Write the oracle sidecar once per (path, sf_dir) — the same
-    'repeated runs time the tick, not re-seeding' convention as the
-    incremental index queries' seeded pristine warehouses
-    (ext/incremental_queries.py module docstring): the sketch is the
-    stored-index half of these operators, so bench/driver re-runs read
-    the stored rows instead of re-folding and re-writing an identical
-    sidecar. Deterministic: same corpus → byte-identical rows, and a
-    different sf_dir triggers a rewrite.
-
-    Freshness is judged by an ON-DISK marker (``_sfkey``, written after
-    the parquet, underscore-prefixed so both engines' readers skip it),
-    not an in-process memo: the fixed /tmp path is shared across
-    processes, and a sibling process's exit cleanup (scratch registers
-    the path for atexit removal) or a different-SF run can delete or
-    repopulate it out from under a long-lived session — an unverified
-    memo then serves the oracle somebody else's rows (caught in r8 by a
-    pytest run overlapping a driver_sim run). Two processes writing
-    DIFFERENT SFs truly concurrently can still interleave between the
-    marker check and the oracle's read; single-machine runs at one SF at
-    a time (the driver's and bench's shape) are race-free."""
-    import glob
-    import os
-
-    from etl_to_iceberg_spark import scratch
-
-    key = os.path.abspath(sf_dir)
-    marker = os.path.join(path, "_sfkey")
-    try:
-        with open(marker) as f:
-            on_disk = f.read()
-    except OSError:
-        on_disk = None
-    if on_disk == key and glob.glob(os.path.join(path, "*.parquet")):
-        return
-    scratch.register_cleanup(path)
-    build().write.mode("overwrite").parquet(path)
-    with open(marker, "w") as f:
-        f.write(key)
+_MINHASH_SIDECAR = oracle_sidecar_path("minhash_sidecar")
 
 
 @register(
@@ -411,8 +382,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.ext.incremental import band_hashes
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    _ensure_sidecar(
-        _MINHASH_SIDECAR,
+    side = sidecar_path("minhash_sidecar", sf_dir)
+    ensure_sidecar(
+        side,
         sf_dir,
         lambda: minhash_signatures(
             docs, extra_cols=[fingerprint("text").alias("fp")]
@@ -420,15 +392,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "fp", band_hashes("sig", bands=16).alias("band_hashes")
         ),
     )
-    stored = spark.read.parquet(_MINHASH_SIDECAR)
+    stored = spark.read.parquet(side)
     return minhash_pairs_from_bands(stored, docs, threshold=0.6)
 
 
-_SIMHASH_SIDECAR = "/tmp/e2is_simhash_sigs"  # FIXED path: embedded in the
-# static oracle SQL below. The query writes the Spark-computed signatures
-# here (overwrite) and builds its own result FROM the written files, so
-# the oracle and the Spark result always read the identical sketch; the
-# driver runs fn() before the oracle per query, so the sidecar is fresh.
+_SIMHASH_SIDECAR = oracle_sidecar_path("simhash_sigs")
+# Embedded in the static oracle SQL below. The query writes the
+# Spark-computed signatures (overwrite) and builds its own result FROM
+# the written files, so the oracle and the Spark result always read the
+# identical sketch; the driver runs fn() before the oracle per query,
+# so the sidecar is fresh.
 
 
 @register(
@@ -459,12 +432,19 @@ _SIMHASH_SIDECAR = "/tmp/e2is_simhash_sigs"  # FIXED path: embedded in the
       CROSS JOIN (SELECT unnest(range(0, 4)) AS byte_idx) b
       WHERE doc_id = rep
     ),
+    capped AS (
+      -- mirrors the Spark path's max_bucket_size=1024 guard
+      -- (simhash_pairs via _cap_buckets) so an oversized byte-band
+      -- bucket can never diverge engine-vs-oracle (ADVICE r8)
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY byte_idx, byte_val) <= 1024
+    ),
     near AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
              CAST(bit_count(xor(l.simhash, r.simhash) & 4294967295)
                   AS INT) AS hamming
-      FROM banded l
-      JOIN banded r
+      FROM capped l
+      JOIN capped r
         ON l.byte_idx = r.byte_idx AND l.byte_val = r.byte_val
        AND l.doc_id < r.doc_id
       WHERE bit_count(xor(l.simhash, r.simhash) & 4294967295) <= 3
@@ -483,12 +463,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.ext.dedup import simhash, simhash_pairs
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    _ensure_sidecar(
-        _SIMHASH_SIDECAR,
+    side = sidecar_path("simhash_sigs", sf_dir)
+    ensure_sidecar(
+        side,
         sf_dir,
         lambda: simhash(docs, id_col="doc_id", text_col="text", bits=32),
     )
-    stored = spark.read.parquet(_SIMHASH_SIDECAR)
+    stored = spark.read.parquet(side)
     return simhash_pairs(stored, id_col="doc_id", max_hamming=3)
 
 

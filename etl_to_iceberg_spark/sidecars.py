@@ -1,0 +1,114 @@
+"""Oracle sidecar placement + freshness.
+
+Several sketch-backed operators (dedup_minhash_lsh, dedup_simhash,
+similarity_ivf_kmeans and its quantizer consumers, the incremental
+minhash ticks) earn full DuckDB value-hash oracles by materializing
+their deterministic, seeded-hash sketch to a small parquet "sidecar"
+the static oracle SQL re-reads (``read_parquet('<path>/*.parquet')``).
+This module owns where those sidecars live and when they are rewritten.
+
+Placement (hardening, ADVICE r8 + VERDICT r8 #4):
+
+- The base directory is ``<tmpdir>/e2is-<uid>``, created ``0o700`` and
+  verified owned-by-us and not-a-symlink — on a multi-user host another
+  user can no longer pre-create or symlink the well-known path to make
+  the oracle read foreign parquet (the old ``/tmp/e2is_*`` world-shared
+  scheme).
+- Each sidecar path is keyed by a hash of the absolute ``sf_dir`` it
+  was built from (``<base>/<name>_<sha1(sf_dir)[:8]>``), so two
+  processes (or two calls in ONE process) working different scale
+  factors write DIFFERENT directories: the concurrent different-SF
+  writer race the r8 docstring could only document, and the in-process
+  lazy-DataFrame invalidation hazard (a returned plan capturing a path
+  a later different-SF call overwrites), are both structurally gone —
+  a plan only ever reads the sidecar of the sf_dir it was built for.
+
+The oracle SQL is assembled at import time (module-level f-strings),
+before any sf_dir is known, so it reads the path keyed by THE oracle
+scale factor: ``$E2IS_ORACLE_SF_DIR``, defaulting to the driver's check
+SF ``/root/testdata/sf0.01``. That is exactly the driver contract — the
+oracle only ever runs against the SF whose tables are registered as its
+views, with the query fn invoked first at that same SF. Processes that
+run oracle parity at a different SF (pytest at sf0.001, driver_sim with
+an explicit dir) export ``E2IS_ORACLE_SF_DIR`` before importing the
+package; a mismatch fails LOUDLY (read_parquet on an absent directory),
+never silently compares cross-SF rows.
+
+Within one (path, sf) the freshness contract is unchanged from r8:
+``ensure_sidecar`` writes once and re-runs read the stored rows — the
+sketch IS the stored-index half of these operators, so repeated
+bench/driver runs time the query, not re-seeding (the same convention
+as the incremental queries' seeded pristine warehouses). An ON-DISK
+``_sfkey`` marker (not an in-process memo) self-heals deletion or
+foreign content left by other runs.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import stat
+import tempfile
+
+_DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's check SF
+
+
+def oracle_sf_dir() -> str:
+    """The single SF the import-time oracle SQL is pinned to."""
+    return os.path.abspath(
+        os.environ.get("E2IS_ORACLE_SF_DIR", _DEFAULT_ORACLE_SF)
+    )
+
+
+def sidecar_base() -> str:
+    """Per-user sidecar root: ``<tmpdir>/e2is-<uid>``, 0o700, owned by
+    us, not a symlink — created on first use."""
+    base = os.path.join(tempfile.gettempdir(), f"e2is-{os.getuid()}")
+    try:
+        os.mkdir(base, 0o700)
+    except FileExistsError:
+        pass
+    st = os.lstat(base)
+    if stat.S_ISLNK(st.st_mode) or not stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"sidecar base {base!r} is not a plain directory")
+    if st.st_uid != os.getuid():
+        raise RuntimeError(f"sidecar base {base!r} is owned by uid {st.st_uid}")
+    return base
+
+
+def sidecar_path(name: str, sf_dir: str) -> str:
+    """Sidecar directory for (operator-family ``name``, ``sf_dir``)."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(sidecar_base(), f"{name}_{key}")
+
+
+def oracle_sidecar_path(name: str) -> str:
+    """The path the import-time oracle SQL embeds — ``name`` keyed by
+    the pinned oracle SF (see module docstring)."""
+    return sidecar_path(name, oracle_sf_dir())
+
+
+def ensure_sidecar(path: str, sf_dir: str, build) -> None:
+    """Write the oracle sidecar once per (path, sf_dir); see the module
+    docstring for the placement/freshness contract. ``build`` is a
+    zero-arg callable returning the DataFrame to persist. Deterministic:
+    same corpus → byte-identical rows. The ``_sfkey`` marker is written
+    AFTER the parquet (underscore-prefixed so both engines' readers skip
+    it) and judged from disk on every call, so a deleted or
+    foreign-content directory is rebuilt instead of trusted."""
+    from etl_to_iceberg_spark import scratch
+
+    key = os.path.abspath(sf_dir)
+    marker = os.path.join(path, "_sfkey")
+    try:
+        with open(marker) as f:
+            on_disk = f.read()
+    except OSError:
+        on_disk = None
+    if on_disk == key and glob.glob(os.path.join(path, "*.parquet")):
+        return
+    scratch.register_cleanup(path)
+    build().write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(key)

@@ -13,6 +13,11 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Pin the import-time oracle sidecar paths to the SF this test session
+# compares at (sidecars.py module docstring) — must be set before any
+# etl_to_iceberg_spark.ext module is imported.
+os.environ.setdefault("E2IS_ORACLE_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -30,6 +30,7 @@ from etl_to_iceberg_spark.auth import (
 class _Keycloak(BaseHTTPRequestHandler):
     requests: list[dict] = []  # class-level capture, reset per fixture
     valid_refresh = {"rt-1"}
+    refresh_5xx = False
     counter = 0
 
     def do_POST(self):  # noqa: N802 (http.server API)
@@ -45,6 +46,8 @@ class _Keycloak(BaseHTTPRequestHandler):
             return self._reply(404, {"error": "unknown endpoint"})
         grant = form.get("grant_type")
         if grant == "refresh_token":
+            if type(self).refresh_5xx:
+                return self._reply(503, {"error": "temporarily_unavailable"})
             if form.get("refresh_token") not in type(self).valid_refresh:
                 return self._reply(400, {"error": "invalid_grant"})
         elif grant == "password":
@@ -80,6 +83,7 @@ class _Keycloak(BaseHTTPRequestHandler):
 def idp():
     _Keycloak.requests = []
     _Keycloak.valid_refresh = {"rt-1"}
+    _Keycloak.refresh_5xx = False
     _Keycloak.counter = 0
     srv = HTTPServer(("127.0.0.1", 0), _Keycloak)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -164,6 +168,27 @@ def test_manager_falls_back_to_full_auth_on_rejected_refresh(idp):
     assert tm.token(now=1000.0) == "at-2"  # refresh 400 -> password grant
     grants = [r["form"]["grant_type"] for r in _Keycloak.requests]
     assert grants == ["password", "refresh_token", "password"]
+
+
+def test_manager_reraises_transient_refresh_failure_without_replay(idp):
+    # A 5xx from the refresh grant is transient: the refresh token is
+    # still valid, so the manager must NOT replay the password credential
+    # (ADVICE r8) — it re-raises and the caller retries.
+    tm = TokenManager(
+        idp, "etl", "spark-client", username="svc", password="s3cret",
+    )
+    assert tm.token(now=0.0) == "at-1"
+    _Keycloak.refresh_5xx = True
+    with pytest.raises(AuthError) as ei:
+        tm.token(now=1000.0)
+    assert ei.value.status == 503
+    grants = [r["form"]["grant_type"] for r in _Keycloak.requests]
+    assert grants == ["password", "refresh_token"]  # no password replay
+    # once the outage clears, the SAME refresh token succeeds
+    _Keycloak.refresh_5xx = False
+    _Keycloak.valid_refresh.add("rt-1")
+    assert tm.token(now=1000.0) == "at-2"
+    assert _Keycloak.requests[-1]["form"]["grant_type"] == "refresh_token"
 
 
 def test_manager_invalidate_forces_fresh_token(idp):

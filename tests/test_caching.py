@@ -46,6 +46,41 @@ def test_tracked_cache_release_drains_registry(spark):
     assert release_operator_caches() == 0  # idempotent
 
 
+def test_service_loop_storage_returns_to_baseline(spark, sf_dir):
+    """The realistic long-running-service shape (VERDICT r8 #8): several
+    tracked-cache operators back-to-back in ONE session, then a release
+    between "requests" — storage must return to its pre-loop baseline,
+    probed from the JVM's persistent-RDD registry (not our own
+    bookkeeping), so a leak in ANY operator's cache discipline fails
+    here even if it is registered nowhere."""
+    from etl_to_iceberg_spark.ext.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from etl_to_iceberg_spark.ext.queries import dedup_simhash
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    def persistent_rdds() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_operator_caches()
+    spark.catalog.clearCache()
+    baseline = persistent_rdds()
+
+    for _ in range(3):  # three service "requests" in one session
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        simhash_near_duplicates(docs).count()
+        minhash_near_duplicates(docs, threshold=0.6).count()
+        dedup_simhash(spark, sf_dir).count()  # registry-level entry point
+        assert persistent_rdds() > baseline  # caches were actually taken
+        released = release_operator_caches()
+        assert released >= 2
+        assert persistent_rdds() == baseline, (
+            "storage memory did not return to baseline after "
+            "release_operator_caches — an operator cache escaped tracking"
+        )
+
+
 def test_operator_caches_are_tracked(spark, sf_dir):
     """The dedup operators' internal caches (LSH candidate pairs, simhash
     collapsed relation) register for release — the VERDICT r7 #8 sites."""

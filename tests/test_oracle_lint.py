@@ -22,21 +22,25 @@ from etl_to_iceberg_spark.registry import all_specs
 
 _BANNED = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
 
-# The sidecar oracles (dedup_simhash, dedup_minhash_lsh) read a parquet
-# the QUERY writes before its oracle runs; DESCRIBE here runs without the
-# query, so seed each path with one schema-correct row if it's absent.
+# The sidecar oracles (dedup_simhash, dedup_minhash_lsh, ...) read a
+# parquet the QUERY writes before its oracle runs; DESCRIBE here runs
+# without the query, so seed each path with one schema-correct row if
+# it's absent. Paths come from sidecars.oracle_sidecar_path — the same
+# call the oracle SQL f-strings embed at import.
+from etl_to_iceberg_spark.sidecars import oracle_sidecar_path
+
 _SIDECAR_SEEDS = {
-    "/tmp/e2is_simhash_sigs": (
+    oracle_sidecar_path("simhash_sigs"): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS simhash"
     ),
-    "/tmp/e2is_minhash_sidecar": (
+    oracle_sidecar_path("minhash_sidecar"): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST('' AS VARCHAR) AS fp, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
     ),
-    "/tmp/e2is_ivfk_centroids": (
+    oracle_sidecar_path("ivfk_centroids"): (
         'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
     ),
-    "/tmp/e2is_mh_tick_sigs": (
+    oracle_sidecar_path("mh_tick_sigs"): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
     ),

@@ -17,6 +17,13 @@ import traceback
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
+# Import-time oracle SQL embeds sidecar paths keyed by the oracle SF
+# (sidecars.py) — pin it to the SF this run compares at, before the
+# registry modules are imported inside main().
+import os  # noqa: E402
+
+os.environ["E2IS_ORACLE_SF_DIR"] = SF_DIR
+
 
 def main() -> int:
     import duckdb
