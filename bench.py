@@ -65,6 +65,9 @@ HEADLINE = [
     # r8: SemDeDup blocking on the stored quantizer (training + sidecar
     # write land in the untimed warm pass; timed runs read stored rows)
     "dedup_semantic_kmeans",
+    # r9: the end-to-end semantic dedup composite — kNN graph on the
+    # stored quantizer → mutual-kNN edges → connected components
+    "dedup_semantic_clusters",
 ]
 
 

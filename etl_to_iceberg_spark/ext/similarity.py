@@ -334,6 +334,66 @@ def knn_graph(
     )
 
 
+def semantic_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """Semantic dedup clusters: :func:`knn_graph` → MUTUAL-kNN edges at
+    or above ``threshold`` (an edge survives only if each endpoint ranks
+    the other in its top-``k`` — the standard symmetrization that stops
+    one hub vector chaining unrelated neighborhoods) → min-label
+    connected components. Returns one row per corpus vector:
+    ``(vec_id, cluster_id, cluster_size, is_canonical)`` with
+    cluster_id = lowest reachable id and canonical = that lowest member
+    (SemDeDup's keep decision; ``WHERE NOT is_canonical`` is the delete
+    list). Vectors with no surviving edge are their own singleton.
+
+    Scale shape: every stage is individually audited — assignment is
+    scan × broadcast(quantizer), pairing is cell-bounded with the same
+    ``max_cluster_size`` guard as :func:`semantic_dedup_pairs`, the
+    top-k is WindowGroupLimit-bounded, the mutual filter is a left-semi
+    equi-join of two ≤k·n-row edge lists, and the component fixpoint
+    (ext/dedup.connected_components) iterates only over edge-incident
+    vectors in O(log diameter) reliably-checkpointed rounds. The
+    cluster_size window partitions by cluster_id, whose group sizes the
+    mutual-kNN degree bound (≤k edges per node) keeps from skewing."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    g = knn_graph(
+        corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        max_cluster_size=max_cluster_size,
+    )
+    fwd = g.where(
+        (F.col("cos_sim") >= threshold) & (F.col("vec_id") < F.col("nbr_id"))
+    ).select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    rev = g.where(F.col("vec_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    edges = fwd.join(rev, on=["src", "dst"], how="left_semi")
+    labels = connected_components(
+        edges,
+        corpus.select(F.col(id_col).alias("vec_id")),
+        id_col="vec_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

@@ -61,22 +61,18 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 8
+_CHANGED_AS_OF_ROUND = 9
 _CHANGED_THIS_ROUND = [
-    # r8 is again minimal by design (VERDICT r7 #1): 35 ops' newest green
-    # row is r4 and the ~50-row budget must drain that tail. Semantics-
-    # neutral r8 changes (await_drain label fix, _sid_work refactor — the
-    # inline block it replaced built the identical corpus) are NOT listed.
+    # r9 is minimal by design (VERDICT r8 #2): 38 ops' newest green row
+    # is r5 and the ~50-row budget must drain that tail. Semantics-
+    # neutral r9 changes are NOT listed: the sidecar relocation
+    # (sidecars.py — every affected op re-verified 7/7 against its
+    # oracle at sf0.01 this round) and the simhash oracle's 1024-cap
+    # CTE (mirrors a Spark-side guard unreachable at checked SFs).
     #
-    # rows-only -> full oracle: sketches materialized to a parquet
-    # sidecar the DuckDB oracle reads; pair logic unchanged (asserted
-    # output-identical to the fused pipelines) but the checked surface
-    # (value-hash vs rows-only) is new.
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "similarity_ivf_kmeans",
-    "dedup_incremental_minhash",
-    "stream_incremental_minhash",
+    # Gopher gained its seventh rule (≥80% alphabetic words) — new
+    # column + new verdict input on both engine and oracle sides.
+    "text_gopher_quality",
 ]
 
 

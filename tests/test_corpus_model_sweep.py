@@ -248,3 +248,223 @@ def test_knn_graph_matches_model(spark, seed):
         for _, v in vecs
     )
     assert any(s > 14 for s in sizes.values()) or seed != 31
+
+
+# --- Gopher quality rules (r9: all seven named rules) ----------------------
+
+_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _model_gopher(rows):
+    """text_gopher_quality re-derived from the paper's rule list in pure
+    Python: \\S+ words, char-count word length, ≥1-alphabetic-char word
+    fraction, '#'/'...' occurrence ratios, bullet/ellipsis line
+    fractions over non-blank lines, distinct-stopword hits — each ratio
+    HALF_UP-rounded to 6dp like the engine's round(…, 6)."""
+    import re
+
+    out = {}
+    for doc_id, text, _ in rows:
+        text = text or ""
+        ws = re.findall(r"\S+", text)
+        lines = [l for l in text.split("\n") if l.strip(" ") != ""]
+        n = len(ws)
+        wc = n
+        mean_len = _q(sum(len(w) for w in ws) / n, "1e-6") if n else 0.0
+        alpha = (
+            _q(sum(1 for w in ws if re.search("[A-Za-z]", w)) / n, "1e-6")
+            if n
+            else 0.0
+        )
+        hashes = len(re.findall("#", text))
+        dots = len(re.findall(r"\.\.\.", text))
+        hash_ratio = _q(hashes / n, "1e-6") if n else 0.0
+        ell_ratio = _q(dots / n, "1e-6") if n else 0.0
+        nl = len(lines)
+        bullet = (
+            _q(
+                sum(
+                    1
+                    for l in lines
+                    if l.lstrip(" ").startswith(("-", "*", "•"))
+                )
+                / nl,
+                "1e-6",
+            )
+            if nl
+            else 0.0
+        )
+        ell_line = (
+            _q(
+                sum(
+                    1
+                    for l in lines
+                    if l.rstrip(" ").endswith(("...", "…"))
+                )
+                / nl,
+                "1e-6",
+            )
+            if nl
+            else 0.0
+        )
+        lowered = {w.lower() for w in ws}
+        sw = sum(1 for s in _STOPWORDS if s in lowered)
+        passes = (
+            50 <= wc <= 100000
+            and 3 <= mean_len <= 10
+            and alpha >= 0.8
+            and hash_ratio < 0.1
+            and ell_ratio < 0.1
+            and bullet <= 0.9
+            and ell_line <= 0.3
+            and sw >= 2
+        )
+        out[doc_id] = (
+            wc, mean_len, alpha, hash_ratio, ell_ratio, bullet, ell_line,
+            sw, passes,
+        )
+    return out
+
+
+_GOPHER_WORDS = (
+    _STOPWORDS
+    + ["alpha", "bravo", "charlie", "delta", "interchange", "quantum"]
+    + ["12345", "9", "#tag", "x1", "...", "---", "•"]
+)
+
+
+def _gen_gopher_corpus(seed: int):
+    rng = random.Random(seed)
+    rows = []
+    for doc_id in range(rng.randint(14, 22)):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            n = rng.randint(0, 40)
+            toks = [rng.choice(_GOPHER_WORDS) for _ in range(n)]
+            line = " ".join(toks)
+            r = rng.random()
+            if r < 0.15:
+                line = "- " + line  # bullet-led
+            elif r < 0.25:
+                line = line + " ..."  # ellipsis-ended
+            elif r < 0.3:
+                line = "   "  # blank (must not count as a line)
+            lines.append(line)
+        rows.append((doc_id, "\n".join(lines), "en"))
+    # planted edges the random mix may miss:
+    rows.append((9000, "", "en"))  # empty doc: every ratio guards /0
+    rows.append((9001, "12 34 56", "en"))  # short all-numeric
+    return rows
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43, 44])
+def test_gopher_quality_matches_model(spark, tmp_path, seed):
+    from etl_to_iceberg_spark.ext.corpus_queries import text_gopher_quality
+
+    rows = _gen_gopher_corpus(seed)
+    sf = _write(spark, tmp_path, rows, f"g{seed}")
+    got = {
+        r.doc_id: (
+            r.word_count, r.mean_word_len, r.alpha_word_frac, r.hash_ratio,
+            r.ellipsis_ratio, r.bullet_frac, r.ellipsis_line_frac,
+            r.stopword_hits, r.passes,
+        )
+        for r in text_gopher_quality(spark, sf).collect()
+    }
+    assert got == _model_gopher(rows)
+
+
+def test_gopher_alphabetic_rule_flips_numeric_table(spark, tmp_path):
+    """A document that satisfies every OTHER rule — 100 clean words, two
+    stopwords, no symbols or bullets — but is 75% numeric tokens must
+    fail on alpha_word_frac alone (the r9 rule; a 6-rule implementation
+    would pass it)."""
+    from etl_to_iceberg_spark.ext.corpus_queries import text_gopher_quality
+
+    words = ["12345"] * 75 + ["the", "and"] + ["steady"] * 23
+    rows = [(0, " ".join(words), "en")]
+    sf = _write(spark, tmp_path, rows, "numtab")
+    (r,) = text_gopher_quality(spark, sf).collect()
+    assert r.word_count == 100 and r.stopword_hits >= 2
+    assert 3 <= r.mean_word_len <= 10
+    assert r.hash_ratio < 0.1 and r.ellipsis_ratio < 0.1
+    assert r.bullet_frac <= 0.9 and r.ellipsis_line_frac <= 0.3
+    assert r.alpha_word_frac == 0.25
+    assert r.passes is False  # fails ONLY the alphabetic-words rule
+
+
+# --- semantic clusters (r9 composite: mutual-kNN + components) -------------
+
+
+def _model_semantic_clusters(vecs, cents, k, cap, thr):
+    """semantic_clusters from scratch: model kNN graph → mutual edges at
+    ≥ thr on the ROUNDED cosine → min-label union-find over every
+    corpus vector (singletons stay their own cluster)."""
+    knn = _model_knn_graph(vecs, cents, k, cap)
+    directed = {}
+    for (vid, _rk), (nbr, _cell, cos) in knn.items():
+        directed[(vid, nbr)] = cos
+    edges = [
+        (a, b)
+        for (a, b), cos in directed.items()
+        if a < b and cos >= thr and (b, a) in directed
+    ]
+    parent = {vid: vid for vid, _ in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {vid: find(vid) for vid, _ in vecs}
+    sizes = Counter(labels.values())
+    return {
+        vid: (lab, sizes[lab], vid == lab) for vid, lab in labels.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_semantic_clusters_matches_model(spark, seed):
+    """Planted near-duplicate families (base vector + tiny perturbations,
+    in-family cosine ≈ 1) among isolated noise vectors, randomized
+    quantizer: the full composite — cell-blocked kNN, mutual-kNN edge
+    selection at the threshold, min-label components, cluster sizes and
+    the canonical flag — must match the union-find model exactly."""
+    from etl_to_iceberg_spark.ext.similarity import semantic_clusters
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs = []
+    vid = 0
+    for _f in range(rng.randint(3, 5)):  # planted families
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(rng.randint(2, 6)):
+            vecs.append(
+                (vid, [x + rng.gauss(0, 0.01) for x in base])
+            )
+            vid += 1
+    for _ in range(12):  # isolated noise
+        vecs.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    cents = [(c, [rng.gauss(0, 1) for _ in range(dim)]) for c in range(3)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    got = {
+        r.vec_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in semantic_clusters(
+            emb, cdf, k=2, threshold=0.5, max_cluster_size=50
+        ).collect()
+    }
+    model = _model_semantic_clusters(vecs, cents, k=2, cap=50, thr=0.5)
+    assert got == model
+    # a planted family's two mutually-nearest members always form a
+    # mutual edge, so the sweep must produce at least one real cluster
+    assert any(size >= 2 for _, size, _c in model.values())
+    # and the noise keeps at least one singleton canonical
+    assert any(size == 1 for _, size, _c in model.values())

@@ -309,3 +309,35 @@ def test_knn_graph_broadcast_assign_and_window_group_limit(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
+    """dedup_semantic_clusters up to (not including) the component
+    fixpoint, composed exactly as similarity.semantic_clusters does:
+    quantizer assignment broadcast, WindowGroupLimit-bounded top-k, and
+    the mutual-kNN filter as a LEFT-SEMI equi-join of the two directed
+    edge lists — never a cartesian. (The fixpoint itself executes
+    eagerly driver-side, so its rounds are pinned by the connected-
+    components tests, not a plan string.)"""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.corpus_queries import _ivfk_centroids
+    from etl_to_iceberg_spark.ext.similarity import knn_graph
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, _ivfk_centroids(spark, sf_dir), k=3, max_cluster_size=256
+    )
+    fwd = g.where(
+        (F.col("cos_sim") >= 0.3) & (F.col("vec_id") < F.col("nbr_id"))
+    ).select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    rev = g.where(F.col("vec_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    edges = fwd.join(rev, on=["src", "dst"], how="left_semi")
+    plan = explain_str(edges, "formatted")
+    assert "BroadcastExchange" in plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan
