@@ -593,6 +593,328 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_repetition",
+    # Line metrics are pure list arithmetic; the gram metrics re-derive
+    # the md5-keyed (doc, gram) aggregate. CAST-to-DOUBLE divisions of
+    # integer counts are bit-identical across engines; round(…,6) on top.
+    sql=r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ),
+    linem AS (
+      SELECT doc_id,
+             CAST(len(lines) AS INT) AS n_lines,
+             CASE WHEN len(lines) > 0 THEN round(
+               CAST(len(list_filter(lines, l ->
+                      len(list_filter(lines, x -> x = l)) >= 2)) AS DOUBLE)
+                 / len(lines), 6) ELSE CAST(0.0 AS DOUBLE) END
+               AS dup_line_frac,
+             CASE WHEN coalesce(list_sum(list_transform(lines,
+                          l -> length(l))), 0) > 0 THEN round(
+               CAST(coalesce(list_sum(list_transform(
+                      list_filter(lines, l ->
+                        len(list_filter(lines, x -> x = l)) >= 2),
+                      l -> length(l))), 0) AS DOUBLE)
+                 / list_sum(list_transform(lines, l -> length(l))), 6)
+               ELSE CAST(0.0 AS DOUBLE) END AS dup_line_char_frac,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS tc,
+             ws
+      FROM base
+    ),
+    g2 AS (
+      SELECT doc_id, tc, unnest(
+               CASE WHEN len(ws) >= 2
+                    THEN [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM linem
+    ),
+    g2c AS (
+      SELECT doc_id, tc, md5(g) AS k,
+             length(replace(g, ' ', '')) AS chars, COUNT(*) AS cnt
+      FROM g2 GROUP BY ALL
+    ),
+    g2m AS (
+      SELECT doc_id, round(CAST(MAX(cnt * chars) AS DOUBLE) / tc, 6)
+                 AS top2_char_frac
+      FROM g2c GROUP BY doc_id, tc
+    ),
+    g5 AS (
+      SELECT doc_id, tc, unnest(
+               CASE WHEN len(ws) >= 5
+                    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4]
+                          FOR i IN range(1, len(ws) - 3)]
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM linem
+    ),
+    g5c AS (
+      SELECT doc_id, tc, md5(g) AS k,
+             length(replace(g, ' ', '')) AS chars, COUNT(*) AS cnt
+      FROM g5 GROUP BY ALL
+    ),
+    g5m AS (
+      SELECT doc_id,
+             round(CAST(coalesce(SUM(CASE WHEN cnt >= 2
+                                          THEN cnt * chars END), 0)
+                        AS DOUBLE) / tc, 6) AS dup5_char_frac
+      FROM g5c GROUP BY doc_id, tc
+    )
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+           coalesce(a.top2_char_frac, CAST(0.0 AS DOUBLE)) AS top2_char_frac,
+           coalesce(b.dup5_char_frac, CAST(0.0 AS DOUBLE)) AS dup5_char_frac,
+           (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
+            AND coalesce(a.top2_char_frac, 0.0) <= 0.20
+            AND coalesce(b.dup5_char_frac, 0.0) <= 0.15) AS passes
+    FROM linem l
+    LEFT JOIN g2m a ON l.doc_id = a.doc_id
+    LEFT JOIN g5m b ON l.doc_id = b.doc_id
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION filters (Rae et al. 2021 §A1.1's other
+    half, complementing text_gopher_quality): per document —
+
+    - ``dup_line_frac`` ≤ 0.30: fraction of non-blank lines whose text
+      occurs ≥2 times in the document (every occurrence counts);
+    - ``dup_line_char_frac`` ≤ 0.20: same membership weighted by line
+      characters;
+    - ``top2_char_frac`` ≤ 0.20: characters covered by occurrences of
+      the single most frequent word 2-gram, over total word characters
+      (occurrences × gram letters — the standard open-source
+      approximation of the paper's coverage metric; overlaps of the SAME
+      gram are impossible at n=2 spacing, so it's exact there);
+    - ``dup5_char_frac`` ≤ 0.15: characters in all word 5-grams occurring
+      ≥2 times (occurrences × gram letters; may double-count overlapping
+      positions, erring toward rejection — documented approximation).
+
+    Thresholds are the paper's. Emits the metrics plus the combined
+    verdict, like the quality twin.
+
+    Scale shape: the LINE metrics are pure array expressions on the scan
+    — duplicate membership is equality-filter over the doc's own lines
+    (per-doc work bounded by its line count; no shuffle, no text leaves
+    the row). The GRAM metrics are the tf shape: explode → two-phase
+    hash agg keyed by (doc_id, md5(gram)) — a FIXED 32-hex key however
+    long the words, so the exchange carries fixed-width rows, never gram
+    text — then a per-doc fold and a doc-keyed broadcast-or-hash join
+    back. Same discipline as text_tfidf_topk: doc-bounded groups cannot
+    skew."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.selectExpr(
+        "doc_id",
+        "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0) AS ws",
+        r"filter(split(coalesce(text, ''), '\n', -1),"
+        r" l -> trim(l) != '') AS lines",
+    ).selectExpr(
+        "doc_id",
+        "ws",
+        "CAST(size(lines) AS INT) AS n_lines",
+        # duplicate-line membership via sorted adjacency: after
+        # array_sort, a line occurs >=2 times iff it equals its sorted
+        # neighbor — O(L log L) per row instead of the naive O(L^2)
+        "array_sort(lines) AS ls",
+        "aggregate(transform(lines, l -> length(l)), 0L, (a, x) -> a + x)"
+        " AS line_chars",
+        "aggregate(transform(ws, w -> length(w)), 0L, (a, x) -> a + x) AS tc",
+    ).selectExpr(
+        "doc_id",
+        "ws",
+        "n_lines",
+        "tc",
+        "line_chars",
+        "CASE WHEN n_lines > 0 THEN filter(sequence(0, n_lines - 1),"
+        " i -> (i > 0 AND ls[i] = ls[i-1])"
+        " OR (i < n_lines - 1 AND ls[i] = ls[i+1]))"
+        " ELSE CAST(array() AS array<int>) END AS dup_idx",
+        "ls",
+    ).selectExpr(
+        "doc_id",
+        "ws",
+        "tc",
+        "n_lines",
+        "CASE WHEN n_lines > 0 THEN round("
+        "  CAST(size(dup_idx) AS DOUBLE) / n_lines, 6)"
+        "  ELSE 0.0D END AS dup_line_frac",
+        "CASE WHEN line_chars > 0 THEN round("
+        "  CAST(aggregate(dup_idx, 0L, (a, i) -> a + length(ls[i]))"
+        "       AS DOUBLE) / line_chars, 6) ELSE 0.0D END"
+        " AS dup_line_char_frac",
+    )
+
+    def gram_rows(n: int):
+        arr = (
+            f"CASE WHEN size(ws) >= {n} THEN transform("
+            f"sequence(0, size(ws) - {n}), i -> "
+            + " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+            + ") ELSE array() END"
+        )
+        g = base.selectExpr("doc_id", "tc", f"{arr} AS __gs")
+        ex = explode_expensive(g, ["doc_id", "tc"], F.expr("__gs"), "g")
+        return (
+            ex.select(
+                "doc_id",
+                "tc",
+                F.md5(F.col("g").cast("binary")).alias("k"),
+                F.length(F.regexp_replace("g", " ", "")).alias("chars"),
+            )
+            .groupBy("doc_id", "tc", "k", "chars")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    g2m = (
+        gram_rows(2)
+        .groupBy("doc_id", "tc")
+        .agg(F.max(F.col("cnt") * F.col("chars")).alias("__top"))
+        .select(
+            "doc_id",
+            F.round(F.col("__top").cast("double") / F.col("tc"), 6).alias(
+                "top2_char_frac"
+            ),
+        )
+    )
+    g5m = (
+        gram_rows(5)
+        .groupBy("doc_id", "tc")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.col("chars")
+                    )
+                ),
+                F.lit(0),
+            ).alias("__dup")
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("__dup").cast("double") / F.col("tc"), 6).alias(
+                "dup5_char_frac"
+            ),
+        )
+    )
+    out = (
+        base.join(g2m, on="doc_id", how="left")
+        .join(g5m, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce("top2_char_frac", F.lit(0.0)).alias("top2_char_frac"),
+            F.coalesce("dup5_char_frac", F.lit(0.0)).alias("dup5_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top2_char_frac") <= 0.20)
+        & (F.col("dup5_char_frac") <= 0.15),
+    )
+
+
+@register(
+    "text_c4_quality",
+    sql=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> trim(l) <> '') AS lines,
+             lower(coalesce(text, '')) AS lt,
+             coalesce(text, '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CASE WHEN len(lines) > 0 THEN round(
+             CAST(len(list_filter(lines, l ->
+                    (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                     OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+                    AND len(regexp_extract_all(lower(l), '[a-z0-9]+')) >= 5))
+                  AS DOUBLE) / len(lines), 6)
+             ELSE CAST(0.0 AS DOUBLE) END AS retained_line_frac,
+           CAST(len(list_filter(string_split_regex(t, '[.!?]'), s ->
+                  len(regexp_extract_all(lower(s), '[a-z0-9]+')) >= 3))
+                AS INT) AS n_sentences,
+           contains(t, '{') AS has_curly_brace,
+           contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
+           len(list_filter(lines, l ->
+                 list_contains(regexp_extract_all(lower(l), '[a-z0-9]+'),
+                               'javascript'))) > 0 AS has_javascript_line,
+           (len(list_filter(string_split_regex(t, '[.!?]'), s ->
+                  len(regexp_extract_all(lower(s), '[a-z0-9]+')) >= 3)) >= 3
+            AND NOT contains(t, '{')
+            AND NOT contains(lt, 'lorem ipsum')) AS passes
+    FROM base
+    """,
+)
+def text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) as one pure-Catalyst scan — the other canonical named ruleset
+    next to the Gopher pair:
+
+    - ``retained_line_frac``: fraction of non-blank lines C4's LINE
+      filter keeps — ends in terminal punctuation ('.', '!', '?', '"')
+      AND has ≥5 words;
+    - ``n_sentences``: segments split on ``[.!?]`` with ≥3 words (the
+      paper's ≥3-sentence page gate);
+    - ``has_curly_brace`` / ``has_lorem_ipsum``: the code and
+      placeholder-text page drops, verbatim from the paper;
+    - ``has_javascript_line``: any line containing the word
+      'javascript' (C4 drops the line; surfaced here as an audit flag);
+    - ``passes``: the PAGE-level verdict — ≥3 sentences, no '{', no
+      'lorem ipsum'. (The paper's badwords list is deliberately not
+      shipped; plug a broadcast lexicon into the same shape.)
+
+    Scale shape: per-row string/array expressions only — no shuffle, no
+    Python, whole-stage codegen end-to-end, same posture as
+    text_gopher_quality. Line filtering at scale is `explode lines →
+    WHERE kept` over the same predicates; this op emits the audit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sent = (
+        "size(filter(split(coalesce(text, ''), '[.!?]', -1), s ->"
+        " size(regexp_extract_all(lower(s), '[a-z0-9]+', 0)) >= 3))"
+    )
+    kept_line = (
+        "(endswith(rtrim(l), '.') OR endswith(rtrim(l), '!')"
+        " OR endswith(rtrim(l), '?') OR endswith(rtrim(l), '\\\"'))"
+        " AND size(regexp_extract_all(lower(l), '[a-z0-9]+', 0)) >= 5"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        r"filter(split(coalesce(text, ''), '\n', -1),"
+        r" l -> trim(l) != '') AS lines",
+        f"CAST({sent} AS INT) AS n_sentences",
+        "contains(coalesce(text, ''), '{') AS has_curly_brace",
+        "contains(lower(coalesce(text, '')), 'lorem ipsum')"
+        " AS has_lorem_ipsum",
+        f"CAST({sent} >= 3 AS BOOLEAN)"
+        " AND NOT contains(coalesce(text, ''), '{')"
+        " AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')"
+        " AS passes",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(lines) AS INT) AS n_lines",
+        "CASE WHEN size(lines) > 0 THEN round("
+        f"  CAST(size(filter(lines, l -> {kept_line})) AS DOUBLE)"
+        "  / size(lines), 6) ELSE 0.0D END AS retained_line_frac",
+        "n_sentences",
+        "has_curly_brace",
+        "has_lorem_ipsum",
+        "size(filter(lines, l -> array_contains("
+        " regexp_extract_all(lower(l), '[a-z0-9]+', 0), 'javascript'))) > 0"
+        " AS has_javascript_line",
+        "passes",
+    )
+
+
+@register(
     "corpus_temperature_sample",
     # sqrt is IEEE-correctly-rounded in both engines and the share
     # denominator folds through the exact-decimal sum, so every double

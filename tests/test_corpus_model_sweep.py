@@ -468,3 +468,191 @@ def test_semantic_clusters_matches_model(spark, seed):
     assert any(size >= 2 for _, size, _c in model.values())
     # and the noise keeps at least one singleton canonical
     assert any(size == 1 for _, size, _c in model.values())
+
+
+# --- Gopher repetition filters (r9) ----------------------------------------
+
+
+def _model_gopher_repetition(rows):
+    """text_gopher_repetition from scratch: Counter-based duplicate-line
+    membership (every occurrence of a line seen ≥2 times), char-weighted
+    variant, top-2-gram and duplicated-5-gram character fractions over
+    total word characters — the occurrences × gram-letters approximation
+    the docstring documents, HALF_UP 6dp."""
+    import re
+
+    out = {}
+    for doc_id, text, _ in rows:
+        text = text or ""
+        lines = [l for l in text.split("\n") if l.strip(" ") != ""]
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        n_lines = len(lines)
+        cnt = Counter(lines)
+        dup_lines = [l for l in lines if cnt[l] >= 2]
+        dlf = _q(len(dup_lines) / n_lines, "1e-6") if n_lines else 0.0
+        line_chars = sum(len(l) for l in lines)
+        dlcf = (
+            _q(sum(len(l) for l in dup_lines) / line_chars, "1e-6")
+            if line_chars
+            else 0.0
+        )
+        tc = sum(len(w) for w in ws)
+
+        def grams(n):
+            if len(ws) < n:
+                return []
+            return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+        g2 = Counter(grams(2))
+        top2 = (
+            _q(
+                max(c * len(g.replace(" ", "")) for g, c in g2.items()) / tc,
+                "1e-6",
+            )
+            if g2 and tc
+            else 0.0
+        )
+        g5 = Counter(grams(5))
+        dup5 = (
+            _q(
+                sum(
+                    c * len(g.replace(" ", ""))
+                    for g, c in g5.items()
+                    if c >= 2
+                )
+                / tc,
+                "1e-6",
+            )
+            if g5 and tc
+            else 0.0
+        )
+        passes = (
+            dlf <= 0.30 and dlcf <= 0.20 and top2 <= 0.20 and dup5 <= 0.15
+        )
+        out[doc_id] = (n_lines, dlf, dlcf, top2, dup5, passes)
+    return out
+
+
+def _gen_repetition_corpus(seed: int):
+    """Small line pool + small vocab so exact line duplicates and
+    repeated 2/5-grams actually occur, plus planted pathologies."""
+    rng = random.Random(seed)
+    vocab = ["the", "fox", "data", "run", "42", "loop", "spark", "row"]
+    pool = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        for _ in range(6)
+    ]
+    rows = []
+    for doc_id in range(rng.randint(12, 18)):
+        n_lines = rng.randint(1, 8)
+        lines = [rng.choice(pool) for _ in range(n_lines)]
+        if rng.random() < 0.2:
+            lines.append("   ")  # blank line must not count
+        rows.append((doc_id, "\n".join(lines), "en"))
+    rows.append((9000, "", "en"))  # empty doc
+    # clean doc: long enough that its single biggest 2-gram covers <20%
+    # of chars (the metric inherently fails very short docs — Gopher
+    # applies repetition after the ≥50-word quality gate)
+    rows.append(
+        (9001, " ".join(f"word{i} item{i}" for i in range(20)), "en")
+    )
+    rows.append((9002, "\n".join(["same line again"] * 30), "en"))  # all-dup
+    rows.append((9003, " ".join(["alpha beta gamma delta eps"] * 30), "en"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63, 64])
+def test_gopher_repetition_matches_model(spark, tmp_path, seed):
+    from etl_to_iceberg_spark.ext.corpus_queries import text_gopher_repetition
+
+    rows = _gen_repetition_corpus(seed)
+    sf = _write(spark, tmp_path, rows, f"r{seed}")
+    got = {
+        r.doc_id: (
+            r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+            r.top2_char_frac, r.dup5_char_frac, r.passes,
+        )
+        for r in text_gopher_repetition(spark, sf).collect()
+    }
+    model = _model_gopher_repetition(rows)
+    assert got == model
+    # planted pathologies flip the verdict...
+    assert got[9002][1] == 1.0 and got[9002][5] is False  # all-dup lines
+    assert got[9003][4] > 1.0 and got[9003][5] is False  # looped phrase
+    # ...and clean docs keep it
+    assert got[9001][5] is True
+    assert got[9000] == (0, 0.0, 0.0, 0.0, 0.0, True)  # empty doc
+
+
+# --- C4 heuristics (r9) ----------------------------------------------------
+
+
+def _model_c4(rows):
+    import re
+
+    out = {}
+    for doc_id, text, _ in rows:
+        t = text or ""
+        lt = t.lower()
+        lines = [l for l in t.split("\n") if l.strip(" ") != ""]
+
+        def wc(s):
+            return len(re.findall(r"[a-z0-9]+", s.lower()))
+
+        kept = [
+            l
+            for l in lines
+            if l.rstrip(" ").endswith((".", "!", "?", '"')) and wc(l) >= 5
+        ]
+        rlf = _q(len(kept) / len(lines), "1e-6") if lines else 0.0
+        sents = [s for s in re.split(r"[.!?]", t) if wc(s) >= 3]
+        brace = "{" in t
+        lorem = "lorem ipsum" in lt
+        js = any("javascript" in re.findall(r"[a-z0-9]+", l.lower()) for l in lines)
+        passes = len(sents) >= 3 and not brace and not lorem
+        out[doc_id] = (len(lines), rlf, len(sents), brace, lorem, js, passes)
+    return out
+
+
+def _gen_c4_corpus(seed: int):
+    rng = random.Random(seed)
+    frag = ["the data is here", "we run spark jobs", "rows scan fast", "ok"]
+    rows = []
+    for doc_id in range(rng.randint(12, 18)):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            s = " ".join(rng.choice(frag) for _ in range(rng.randint(1, 3)))
+            r = rng.random()
+            if r < 0.5:
+                s += rng.choice([".", "!", "?", '"'])
+            if r > 0.9:
+                s += " {code}"
+            lines.append(s)
+        rows.append((doc_id, "\n".join(lines), "en"))
+    rows.append((9000, "", "en"))
+    rows.append((9001, "Lorem Ipsum dolor sit amet. More words here. And a third sentence now.", "en"))
+    rows.append((9002, "Click here to enable javascript in your browser now.\nThe data is here to stay. We run spark jobs daily. Rows scan fast always.", "en"))
+    rows.append((9003, "The data is here to stay. We run spark jobs daily. Rows scan fast always.", "en"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73, 74])
+def test_c4_quality_matches_model(spark, tmp_path, seed):
+    from etl_to_iceberg_spark.ext.corpus_queries import text_c4_quality
+
+    rows = _gen_c4_corpus(seed)
+    sf = _write(spark, tmp_path, rows, f"c{seed}")
+    got = {
+        r.doc_id: (
+            r.n_lines, r.retained_line_frac, r.n_sentences,
+            r.has_curly_brace, r.has_lorem_ipsum, r.has_javascript_line,
+            r.passes,
+        )
+        for r in text_c4_quality(spark, sf).collect()
+    }
+    model = _model_c4(rows)
+    assert got == model
+    assert got[9001][4] is True and got[9001][6] is False  # lorem drops page
+    assert got[9002][5] is True and got[9002][6] is True  # js flags line only
+    assert got[9003][6] is True and got[9003][1] == 1.0  # clean page passes
+    assert got[9000] == (0, 0.0, 0, False, False, False, False)

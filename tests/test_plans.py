@@ -341,3 +341,18 @@ def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, plan
+
+
+def test_gopher_repetition_gram_exchange_is_hashed_not_text(spark, sf_dir):
+    """text_gopher_repetition's gram metrics are the tf shape: two-phase
+    hash aggs keyed by (doc_id, md5(gram)) — the exchange must carry the
+    fixed-width digest key, never document text or gram text, and no
+    join may degenerate to a cartesian."""
+    plan = _plan(spark, sf_dir, "text_gopher_repetition")
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final, g2+g5
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args
+        assert not re.search(r"\bg#\d", args), args  # gram text column
