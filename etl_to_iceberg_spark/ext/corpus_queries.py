@@ -474,6 +474,96 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFK_V2_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids_v2")
+
+
+@register(
+    "similarity_quantizer_refresh",
+    # Both quantizers are sidecar tables, so the oracle re-derives the
+    # whole refresh audit: nearest-old-cell matching (rounded cosine,
+    # old-cell tiebreak) and corpus occupancy under the NEW quantizer
+    # (same assignment CTE as every ivf oracle).
+    sql=f"""
+    WITH old AS (
+      SELECT cell AS old_cell, __cent AS ov
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    neu AS (
+      SELECT cell, __cent AS nv
+      FROM read_parquet('{_IVFK_V2_SIDECAR}/*.parquet')
+    ),
+    matched AS (
+      SELECT cell, old_cell, drift FROM (
+        SELECT n.cell, o.old_cell,
+               round(list_cosine_similarity(n.nv, o.ov), 6) AS drift,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.cell
+                 ORDER BY round(list_cosine_similarity(n.nv, o.ov), 6) DESC,
+                          o.old_cell
+               ) AS rn
+        FROM neu n CROSS JOIN old o
+      ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, n.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       n.nv), 6) DESC, n.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN neu n
+      ) WHERE rn <= 1
+    )
+    SELECT m.cell, m.old_cell, m.drift AS cos_to_old,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_assigned
+    FROM matched m
+    LEFT JOIN (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell) a
+      USING (cell)
+    ORDER BY m.cell
+    """,
+)
+def similarity_quantizer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer REFRESH audit — the maintenance tick for the stored
+    coarse quantizer that similarity_ivf_kmeans routes with and
+    SemDeDup/kNN-graph block with. Every quantizer docstring in this
+    repo says "at scale the quantizer is a stored table a training job
+    refreshes"; this op IS that job's audit: retrain on the current
+    corpus (a different seed + sample standing in for drifted data),
+    persist the candidate quantizer to its own sidecar, then report —
+    per new cell — its nearest old cell (rounded cosine, deterministic
+    tiebreak), the cosine to it (1.0 ⇒ the cell is stable; low ⇒ the
+    partitioning genuinely moved), and the corpus occupancy under the
+    NEW quantizer (even occupancy = healthy; an empty or giant cell =
+    underfit, the same signal the cluster-size caps guard against).
+
+    Scale shape: training is seeded MLlib KMeans on a deterministic
+    hash-sample (bounded regardless of corpus size); cell matching is
+    an nlist×nlist broadcast cross (metadata-sized); occupancy is one
+    scan × broadcast(new quantizer) assignment + a 16-group two-phase
+    agg. Nothing corpus-sized shuffles. The swap itself is a table
+    write: publish the v2 sidecar/table and consumers route with it
+    next read — the same publish-then-read shape as the managed-table
+    snapshot commits."""
+    from etl_to_iceberg_spark.ext.similarity import (
+        ivf_kmeans_centroids,
+        quantizer_refresh_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = _ivfk_centroids(spark, sf_dir)
+    side = sidecars.sidecar_path("ivfk_centroids_v2", sf_dir)
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: ivf_kmeans_centroids(
+            emb, nlist=16, train_fraction=0.3, seed=29
+        ),
+    )
+    new = spark.read.parquet(side).select("cell", "__cent")
+    return quantizer_refresh_report(emb, old, new)
+
+
 @register(
     "text_gopher_quality",
     sql=r"""
@@ -695,14 +785,15 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict, like the quality twin.
 
     Scale shape: the LINE metrics are pure array expressions on the scan
-    — duplicate membership is equality-filter over the doc's own lines
+    — duplicate membership is sorted-adjacency over the doc's own lines
     (per-doc work bounded by its line count; no shuffle, no text leaves
     the row). The GRAM metrics are the tf shape: explode → two-phase
-    hash agg keyed by (doc_id, md5(gram)) — a FIXED 32-hex key however
-    long the words, so the exchange carries fixed-width rows, never gram
-    text — then a per-doc fold and a doc-keyed broadcast-or-hash join
-    back. Same discipline as text_tfidf_topk: doc-bounded groups cannot
-    skew."""
+    hash agg keyed by (doc_id, xxhash64(gram)) — a FIXED 8-byte key
+    however long the words, so the exchange carries fixed-width rows,
+    never gram text (the key never reaches the output, so the oracle
+    groups by the raw gram and the groups are identical) — then a
+    per-doc fold and a doc-keyed broadcast-or-hash join back. Same
+    discipline as text_tfidf_topk: doc-bounded groups cannot skew."""
     from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -760,7 +851,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.select(
                 "doc_id",
                 "tc",
-                F.md5(F.col("g").cast("binary")).alias("k"),
+                # the key never appears in output, so the oracle can
+                # group by the raw gram while the engine groups by an
+                # 8-byte hash — identical groups, 4x narrower exchange
+                # than an md5 hex key
+                F.xxhash64("g").alias("k"),
                 F.length(F.regexp_replace("g", " ", "")).alias("chars"),
             )
             .groupBy("doc_id", "tc", "k", "chars")

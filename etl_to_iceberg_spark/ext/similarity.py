@@ -343,6 +343,7 @@ def semantic_clusters(
     k: int = 3,
     threshold: float = 0.3,
     max_cluster_size: int | None = 4096,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Semantic dedup clusters: :func:`knn_graph` → MUTUAL-kNN edges at
     or above ``threshold`` (an edge survives only if each endpoint ranks
@@ -379,11 +380,27 @@ def semantic_clusters(
     rev = g.where(F.col("vec_id") > F.col("nbr_id")).select(
         F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
     )
-    edges = fwd.join(rev, on=["src", "dst"], how="left_semi")
+    # RELIABLY CHECKPOINT the edge list before the fixpoint. Two reasons:
+    # (1) the fixpoint consumes `edges` several times before its own
+    # first checkpoint (symmetrize = union of two branches, plus the
+    # incident-node seed) — unmaterialized, each consumer re-executes
+    # the whole kNN-graph + mutual-join pipeline (measured +40% at
+    # sf0.1); (2) lineage TRUNCATION, which a cache does not provide:
+    # the un-truncated plan nests the knn self-join (itself a join over
+    # a windowed join) four deep once CC symmetrizes it, and Catalyst's
+    # size-only stats estimation blows up on exactly this shape — the
+    # SCALING.md watchpoint-9 failure, reproduced at 10× scale when
+    # this used .cache(). The checkpoint is tiny: two longs per mutual
+    # edge, ≤ k·n rows by the degree bound.
+    from etl_to_iceberg_spark.ext.dedup import _reliable_checkpoint
+
+    ckpt = _reliable_checkpoint(corpus.sparkSession)
+    edges = ckpt(fwd.join(rev, on=["src", "dst"], how="left_semi"))
     labels = connected_components(
         edges,
         corpus.select(F.col(id_col).alias("vec_id")),
         id_col="vec_id",
+        stats=stats,
     )
     w = Window.partitionBy("cluster_id")
     return labels.select(
@@ -391,6 +408,67 @@ def semantic_clusters(
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def quantizer_refresh_report(
+    corpus: DataFrame,
+    old_centroids: DataFrame,
+    new_centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refresh audit behind ``similarity_quantizer_refresh``: per
+    NEW cell — its nearest old cell (rounded cosine, old-cell tiebreak),
+    the cosine to it, and corpus occupancy under the new quantizer.
+    Both centroid frames carry (cell, __cent). Matching is an
+    nlist×nlist broadcast cross (metadata-sized); occupancy is one
+    scan × broadcast assignment + a tiny two-phase agg — nothing
+    corpus-sized shuffles."""
+    old = old_centroids.select(
+        F.col("cell").alias("old_cell"), F.col("__cent").alias("ov")
+    )
+    new = new_centroids.select("cell", F.col("__cent").alias("nv"))
+    mw = Window.partitionBy("cell").orderBy(
+        F.col("drift").desc(), F.col("old_cell")
+    )
+    matched = (
+        new.crossJoin(F.broadcast(old))
+        .select(
+            "cell",
+            "old_cell",
+            F.round(cosine(F.col("nv"), F.col("ov")), 6).alias("drift"),
+        )
+        .withColumn("__rn", F.row_number().over(mw))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    occupancy = (
+        ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                _to_double(vec_col).alias("__v"),
+            ),
+            new.select("cell", F.col("nv").alias("__cent")),
+            id_col="vec_id",
+            n_best=1,
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        # both sides are nlist rows, but post-window/post-agg stats are
+        # unknown to the planner — without the hint this 16x16 join
+        # planned as a SortMergeJoin
+        matched.join(F.broadcast(occupancy), on="cell", how="left")
+        .select(
+            "cell",
+            "old_cell",
+            F.col("drift").alias("cos_to_old"),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_assigned"),
+        )
+        .orderBy("cell")
     )
 
 

@@ -656,3 +656,48 @@ def test_c4_quality_matches_model(spark, tmp_path, seed):
     assert got[9002][5] is True and got[9002][6] is True  # js flags line only
     assert got[9003][6] is True and got[9003][1] == 1.0  # clean page passes
     assert got[9000] == (0, 0.0, 0, False, False, False, False)
+
+
+# --- quantizer refresh audit (r9) ------------------------------------------
+
+
+def _model_refresh(vecs, old, new):
+    matched = {}
+    for nc, nv in new:
+        best = min((-_cos6(nv, ov), oc) for oc, ov in old)
+        matched[nc] = (best[1], -best[0])
+    occ = Counter(
+        min((-_cos6(v, nv), nc) for nc, nv in new)[1] for _, v in vecs
+    )
+    return {
+        nc: (oc, drift, occ.get(nc, 0))
+        for nc, (oc, drift) in matched.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [81, 82, 83])
+def test_quantizer_refresh_matches_model(spark, seed):
+    """Randomized old/new quantizers over random vectors, plus planted
+    structure: new cell 0 IS old cell 2 (drift exactly 1.0 after
+    rounding) and one new cell placed opposite everything — the model
+    re-derives matching, drift, and occupancy from scratch."""
+    from etl_to_iceberg_spark.ext.similarity import quantizer_refresh_report
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    old = [(c, [rng.gauss(0, 1) for _ in range(dim)]) for c in range(4)]
+    new = [(0, list(old[2][1]))] + [  # planted: unchanged cell
+        (c, [rng.gauss(0, 1) for _ in range(dim)]) for c in range(1, 4)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    odf = spark.createDataFrame(old, "cell int, __cent array<double>")
+    ndf = spark.createDataFrame(new, "cell int, __cent array<double>")
+    got = {
+        r.cell: (r.old_cell, r.cos_to_old, r.n_assigned)
+        for r in quantizer_refresh_report(emb, odf, ndf).collect()
+    }
+    model = _model_refresh(vecs, old, new)
+    assert got == model
+    assert got[0][0] == 2 and got[0][1] == 1.0  # planted identity match
+    assert sum(n for _, _, n in got.values()) == len(vecs)  # total occupancy

@@ -343,11 +343,29 @@ def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_quantizer_refresh_broadcasts_and_never_shuffles_vectors(
+    spark, sf_dir
+):
+    """similarity_quantizer_refresh: cell matching is an nlist x nlist
+    broadcast cross (metadata-sized — broadcast nested loop is correct
+    there), corpus occupancy is scan x broadcast(new quantizer) + a
+    16-group two-phase agg, and no exchange may carry the embedding
+    vectors — the corpus never shuffles to be audited."""
+    plan = _plan(spark, sf_dir, "similarity_quantizer_refresh")
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final occupancy
+    assert "SortMergeJoin" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in args and "__v" not in args, args
+
+
 def test_gopher_repetition_gram_exchange_is_hashed_not_text(spark, sf_dir):
     """text_gopher_repetition's gram metrics are the tf shape: two-phase
-    hash aggs keyed by (doc_id, md5(gram)) — the exchange must carry the
-    fixed-width digest key, never document text or gram text, and no
-    join may degenerate to a cartesian."""
+    hash aggs keyed by (doc_id, xxhash64(gram)) — the exchange must
+    carry the fixed-width hash key, never document text or gram text,
+    and no join may degenerate to a cartesian."""
     plan = _plan(spark, sf_dir, "text_gopher_repetition")
     assert plan.count("HashAggregate") >= 4, plan  # partial+final, g2+g5
     assert "CartesianProduct" not in plan

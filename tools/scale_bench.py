@@ -33,12 +33,24 @@ QUERIES = [
     # r8 additions: DSIR importance resampling + per-doc TF-IDF keywords
     "corpus_importance_resample",
     "text_tfidf_topk",
+    # r9 additions: the Gopher repetition filters (line metrics pure
+    # scan; gram metrics the md5-keyed tf shape) + the C4 page/line
+    # heuristics (pure scan). dedup_semantic_clusters is measured in
+    # tools/semantic_scale.py with nlist scaled to the corpus, like its
+    # quantizer siblings.
+    "text_gopher_repetition",
+    "text_c4_quality",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
 
 spark = get_spark(SessionConfig(app_name="scale-bench", local_cores=32,
-                                shuffle_partitions=32))
+                                shuffle_partitions=32,
+                                # sf1 broadcast builds (multiway star dims
+                                # + minhash band indexes) exceed the 1g
+                                # driver default once several queries'
+                                # broadcasts coexist pre-GC
+                                extra_conf={"spark.driver.memory": "8g"}))
 spark.sparkContext.setLogLevel("ERROR")
 app_id = spark.sparkContext.applicationId
 ui = spark.sparkContext.uiWebUrl

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from etl_to_iceberg_spark.ext.similarity import (
     ivf_kmeans_centroids,
     knn_graph,
+    semantic_clusters,
     semantic_dedup_pairs,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
@@ -86,9 +87,18 @@ def shuffle_write_bytes():
 spark.range(1000).selectExpr("sum(id)").collect()
 
 base = load_table(spark, SRC, "embeddings")
+# Materialize the 10x replica to parquet and read it back rather than
+# localCheckpoint: an RDD-scan leaf carries Catalyst's DEFAULT size
+# estimate (effectively unbounded), and the clusters composite's nested
+# join estimation multiplies those defaults into BigIntegers until the
+# driver heap dies (the watchpoint-9 mechanism, triggered by leaf stats
+# rather than plan depth). A parquet leaf has real stats — and a stored
+# table is the deployment shape for a corpus anyway.
+_emb10_path = "/tmp/e2is_sf1_embeddings"
+replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
 for sf_name, (emb, nlist) in {
     "sf0.1": (base, 16),
-    "sf1 (10x)": (replicate_embeddings(base, 10).localCheckpoint(), 160),
+    "sf1 (10x)": (spark.read.parquet(_emb10_path), 160),
 }.items():
     n = emb.count()
     # the quantizer is a stored table in deployment: train once, outside
@@ -146,4 +156,43 @@ for sf_name, (emb, nlist) in {
     print(
         f"{sf_name} knn_graph: n={n} nlist={nlist} wall={best:.2f}s "
         f"shuffle_write={sw and round(sw / 1e6, 1)}MB edges={edges}"
+    )
+
+    # r9: the full composite — mutual-kNN edges + connected components.
+    # The fixpoint executes eagerly inside the call, so wall measures the
+    # whole pipeline; rounds-to-converge is the scale-invariance claim.
+    st = {}
+
+    def run_clusters():
+        semantic_clusters(
+            emb, cents, k=3, threshold=0.3, max_cluster_size=256,
+            stats=st,
+        ).write.format("noop").mode("overwrite").save()
+
+    run_clusters()  # warm
+    best, sw = None, None
+    for _ in range(3):
+        s0 = shuffle_write_bytes()
+        t0 = time.perf_counter()
+        run_clusters()
+        el = time.perf_counter() - t0
+        if best is None or el < best:
+            best = el
+            s1 = shuffle_write_bytes()
+            sw = None if (s0 is None or s1 is None) else s1 - s0
+        else:
+            shuffle_write_bytes()
+    res = semantic_clusters(
+        emb, cents, k=3, threshold=0.3, max_cluster_size=256
+    )
+    agg = res.selectExpr(
+        "count(*) AS n",
+        "count(DISTINCT cluster_id) AS clusters",
+        "sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS dropped",
+    ).collect()[0]
+    print(
+        f"{sf_name} semantic_clusters: n={n} nlist={nlist} wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 1)}MB "
+        f"clusters={agg.clusters} dropped={agg.dropped} "
+        f"cc_rounds={st.get('rounds')}"
     )
