@@ -14,7 +14,7 @@ in tests/test_ext.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_to_iceberg_spark import sidecars
 from etl_to_iceberg_spark.ext.text import WORD_RE, quality_score, words
@@ -1089,6 +1089,199 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_docs",
         )
         .orderBy("lang")
+    )
+
+
+# Per-source token budget for corpus_token_budget_mix: ~60% of a source's
+# tokens at sf0.01 and ~6% at sf0.1, so the cutoff genuinely bites at
+# every checked scale.
+_TOKEN_BUDGET = 800
+
+
+@register(
+    "corpus_token_budget_mix",
+    # the scored CTE mirrors ext/text.py::quality_score (same formula as
+    # the text_quality_score oracle); quality is bucketed to 2dp tiers
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wc,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                 AS sw_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, wc AS n_tokens,
+             round(round(0.4 * (least(wc, 100) / 100.0)
+                   + 0.3 * (1.0 - CASE WHEN nonspace > 0
+                                       THEN CAST(nonspace - alnum AS DOUBLE) / nonspace
+                                       ELSE 0.0 END)
+                   + 0.3 * least(4.0 * CASE WHEN wc > 0
+                                            THEN CAST(sw_hits AS DOUBLE) / wc
+                                            ELSE 0.0 END, 1.0), 6), 2) AS qb
+      FROM t
+    ),
+    tiers AS (
+      SELECT source, qb, SUM(n_tokens) AS tier_tokens
+      FROM scored GROUP BY source, qb
+    ),
+    kept AS (
+      SELECT source, qb FROM (
+        SELECT source, qb,
+               SUM(tier_tokens) OVER (PARTITION BY source ORDER BY qb DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM tiers
+      ) WHERE cum_tokens <= {_TOKEN_BUDGET}
+    )
+    SELECT s.doc_id, s.source, s.n_tokens, s.qb AS quality_tier
+    FROM scored s JOIN kept k ON s.source = k.source AND s.qb = k.qb
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted quality mix: fill each source's token budget with
+    its best-quality documents — the selection step that turns "we can
+    afford B tokens from this domain" (the output of a mixture-weight
+    decision like `corpus_temperature_sample`) into an actual document
+    list. Documents are bucketed into 2-decimal quality TIERS (the
+    6dp-rounded score of `text_quality_score`, re-rounded to 2dp); a
+    source admits whole tiers best-first while the cumulative token
+    count stays within the budget. Tier granularity is the point, not a
+    shortcut: admission is a property of (source, tier) — metadata —
+    never a per-document rank.
+
+    Scale shape: deliberately NOT a per-source cumulative window over
+    the corpus (a hot domain would funnel its whole partition through
+    one task — the anti-pattern text_quality_rank_filter's docstring
+    names). Instead: one scan scores and bucketizes; a (source, tier)
+    agg — ≤101 tiers x #sources rows, metadata-sized — takes the only
+    corpus exchange; the tier-table window and budget cut run on that
+    tiny table; the admitted (source, tier) pairs broadcast back into a
+    scan-level semi-join. The corpus shuffles once (fixed-width agg
+    rows), and selection itself is free."""
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(words("text")).alias("n_tokens"),
+        F.round(F.round(quality_score("text"), 6), 2).alias("qb"),
+    )
+    tiers = scored.groupBy("source", "qb").agg(
+        F.sum("n_tokens").alias("tier_tokens")
+    )
+    wt = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        tiers.withColumn("cum_tokens", F.sum("tier_tokens").over(wt))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("source", "qb")
+    )
+    return (
+        scored.join(F.broadcast(kept), on=["source", "qb"])
+        .select(
+            "doc_id", "source", "n_tokens", F.col("qb").alias("quality_tier")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Character-entropy floor for text_entropy_filter: lowered English prose
+# (with spaces/punct in stream) sits near 4.0–4.5 bits/char; repeated-
+# character and single-token spam sits near 0–2.
+_ENTROPY_FLOOR = 2.5
+
+
+@register(
+    "text_entropy_filter",
+    sql="""
+    WITH c AS (
+      -- both engines split '' into [''] (one empty element); the guard
+      -- makes the empty document genuinely empty: 0 chars, entropy 0
+      SELECT doc_id,
+             CASE WHEN length(text) > 0
+                  THEN string_split(lower(text), '')
+                  ELSE [] END AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           len(cs) AS n_chars_total,
+           len(list_distinct(cs)) AS n_distinct,
+           round(CAST(-coalesce(list_sum(list_transform(list_distinct(cs),
+                 c -> CAST((len(list_filter(cs, x -> x = c))
+                            / CAST(len(cs) AS DOUBLE))
+                           * log2(len(list_filter(cs, x -> x = c))
+                                  / CAST(len(cs) AS DOUBLE))
+                           AS DECIMAL(20,9)))), 0) AS DOUBLE), 6) AS entropy,
+           round(CAST(-coalesce(list_sum(list_transform(list_distinct(cs),
+                 c -> CAST((len(list_filter(cs, x -> x = c))
+                            / CAST(len(cs) AS DOUBLE))
+                           * log2(len(list_filter(cs, x -> x = c))
+                                  / CAST(len(cs) AS DOUBLE))
+                           AS DECIMAL(20,9)))), 0) AS DOUBLE), 6) >= 2.5
+               AS passes
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish filter (the Dolma/RedPajama "unigram
+    entropy" heuristic, at character granularity): Shannon entropy of
+    the document's own lowered character distribution. Repeated-char
+    spam, single-token floods, and base64/hex walls all score far from
+    prose; the filter needs no model and no corpus pass — the verdict is
+    a property of the row. Emits the audit columns plus
+    ``passes = entropy >= 2.5`` so thresholding stays a scan ``WHERE``.
+
+    Exactness: each term p·log2(p) is quantized to DECIMAL(20,9) before
+    the fold, so the per-doc sum is exact and ORDER-INDEPENDENT — which
+    is what lets Spark's ``array_distinct`` (first-occurrence order) and
+    DuckDB's ``list_distinct`` (unspecified order) disagree on iteration
+    order yet agree on the sum to the last bit (the same exact-decimal
+    discipline as text_unigram_logprob).
+
+    Scale shape: a pure per-row scan — no shuffle, no join, no UDF;
+    per-doc work is O(distinct_chars × length), with distinct_chars
+    bounded by the alphabet (~40-100 for text), i.e. linear in corpus
+    bytes with a small constant. The higher-order lambdas keep the
+    expression out of whole-stage codegen (as with every HOF op here),
+    but it stays JVM-side vectorized-scan work in a single stage — the
+    only exchange in the plan is the output ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    # split('') yields [''] in both engines; guard so empty text is []
+    cs = F.when(
+        F.length("text") > 0, F.split(F.lower(F.col("text")), "")
+    ).otherwise(F.array().cast("array<string>"))
+    entropy = F.round(
+        (
+            -F.expr(
+                """
+        aggregate(
+          transform(array_distinct(__cs),
+            c -> CAST((size(filter(__cs, x -> x = c)) / CAST(size(__cs) AS DOUBLE))
+                      * log2(size(filter(__cs, x -> x = c)) / CAST(size(__cs) AS DOUBLE))
+                      AS DECIMAL(20,9))),
+          CAST(0 AS DECIMAL(20,9)),
+          (acc, t) -> CAST(acc + t AS DECIMAL(20,9)))
+        """
+            )
+        ).cast("double"),
+        6,
+    )
+    return (
+        docs.select("doc_id", cs.alias("__cs"))
+        .select(
+            "doc_id",
+            F.size("__cs").alias("n_chars_total"),
+            F.size(F.array_distinct("__cs")).alias("n_distinct"),
+            entropy.alias("entropy"),
+        )
+        .withColumn("passes", F.col("entropy") >= _ENTROPY_FLOOR)
+        .orderBy("doc_id")
     )
 
 

@@ -138,6 +138,101 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle_sql() -> str:
+    """DuckDB mirror of the Bloom decision — the SAME hex-slice bit
+    positions (digit-by-digit base-16, DuckDB has no ``conv``), so the
+    oracle reproduces the engine's verdicts bit-for-bit, false positives
+    included. Built by a helper only to keep the per-seed arithmetic
+    readable; the result is a static string."""
+    from etl_to_iceberg_spark.ext.bloom import BLOOM_K, hex5_duck_sql
+
+    offs = [1 + 5 * i for i in range(BLOOM_K)]
+    ev_pos = " UNION ALL ".join(
+        f"SELECT {i} AS seed, {hex5_duck_sql('h', off)} AS idx FROM evh"
+        for i, off in enumerate(offs)
+    )
+    tr_pos = " UNION ALL ".join(
+        f"SELECT doc_id, h, {i} AS seed, {hex5_duck_sql('h', off)} AS idx FROM trh"
+        for i, off in enumerate(offs)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_extract_all(text, '{WORD_RE}') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN len(t) >= {_SHINGLE}
+                  THEN list_transform(range(1, len(t) - {_SHINGLE - 2}),
+                                      i -> array_to_string(t[i:i+{_SHINGLE - 1}], ' '))
+                  ELSE [] END AS shingles
+      FROM tok
+    ),
+    evh AS (
+      SELECT DISTINCT md5(s) AS h
+      FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)
+    ),
+    pos AS (SELECT DISTINCT seed, idx FROM ({ev_pos})),
+    trh AS (
+      SELECT DISTINCT doc_id, md5(s) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s
+            FROM sh WHERE doc_id % 97 <> 0)
+    ),
+    tri AS ({tr_pos}),
+    bad AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, h FROM tri JOIN pos USING (seed, idx)
+        GROUP BY doc_id, h HAVING COUNT(*) = {BLOOM_K}
+      )
+    )
+    SELECT doc_id, lang, n_chars
+    FROM sh
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+
+@register("corpus_bloom_decontaminate", sql=_bloom_oracle_sql())
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a partitioned Bloom filter — the
+    100 TB shape of :func:`corpus_decontaminate`. Same contamination
+    semantics (drop training docs sharing an 8-token shingle with the
+    ``doc_id % 97 == 0`` eval slice), but the eval side collapses to a
+    fixed-size bitset (3 seeds x 2^20 bits packed into one map<word,
+    bits> row) instead of a broadcast shingle-string set, and the
+    training side tests membership INSIDE its scan with shift/mask
+    column arithmetic — no explode, no join, no shuffle of anything
+    corpus-sized. Bloom false positives over-drop by design (the safe
+    direction for decontamination); the deterministic hex-slice
+    positions make engine and oracle agree on every verdict, false
+    positives included (ext/bloom.py).
+
+    Scale shape: the ONLY exchanges are eval-sized (distinct positions,
+    a ≤49k-group word agg, a one-row map collect). The bitset is
+    eval-suite-independent in width — a 1000x bigger benchmark suite
+    broadcasts the same ~384 KB (3 x 128 KB regions), vs
+    `corpus_decontaminate`'s broadcast growing with eval text. The
+    corpus side is one scan: crossJoin(broadcast(one-row bitmap)) +
+    a whole-stage-codegen filter expression."""
+    from etl_to_iceberg_spark.ext.bloom import bloom_bitmap, bloom_contains_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", "n_chars", words("text").alias("__t"))
+    base = toks.select(
+        "doc_id", "lang", "n_chars", _shingles(F.col("__t"), _SHINGLE).alias("sh")
+    )
+    ev = explode_expensive(
+        base.where(F.col("doc_id") % 97 == 0), [], F.col("sh"), "s"
+    ).distinct()
+    bm = bloom_bitmap(ev)
+    train = base.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.crossJoin(F.broadcast(bm))
+        .where(~F.expr(bloom_contains_expr("sh")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 @register(
     "text_ngram_topk",
     sql="""

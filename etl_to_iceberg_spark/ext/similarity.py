@@ -358,8 +358,8 @@ def semantic_clusters(
     Scale shape: every stage is individually audited — assignment is
     scan × broadcast(quantizer), pairing is cell-bounded with the same
     ``max_cluster_size`` guard as :func:`semantic_dedup_pairs`, the
-    top-k is WindowGroupLimit-bounded, the mutual filter is a left-semi
-    equi-join of two ≤k·n-row edge lists, and the component fixpoint
+    top-k is WindowGroupLimit-bounded, the mutual filter is ONE
+    fixed-width aggregation (below), and the component fixpoint
     (ext/dedup.connected_components) iterates only over edge-incident
     vectors in O(log diameter) reliably-checkpointed rounds. The
     cluster_size window partitions by cluster_id, whose group sizes the
@@ -374,28 +374,42 @@ def semantic_clusters(
         k=k,
         max_cluster_size=max_cluster_size,
     )
-    fwd = g.where(
-        (F.col("cos_sim") >= threshold) & (F.col("vec_id") < F.col("nbr_id"))
-    ).select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
-    rev = g.where(F.col("vec_id") > F.col("nbr_id")).select(
-        F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+    # Mutual-kNN detection as a GROUP-BY on the unordered pair, not a
+    # self-join of the directed graph with itself: each directed row
+    # appears exactly once in g (row_number top-k), so a pair is mutual
+    # iff its group has both directions (count = 2). cos_sim is computed
+    # from the same per-term products in index order for either
+    # direction, then rounded — bit-identical across the two rows — so
+    # thresholding max() preserves the fwd-row semantics exactly. One
+    # shuffle of ≤k·n fixed-width rows replaces a two-sided join, and —
+    # as important at 10× — keeps the logical plan SHALLOW: the joined
+    # form nested the knn self-join (itself a join over a windowed join)
+    # on both sides, and Catalyst's size-only stats estimation multiplies
+    # nested-join size guesses into BigIntegers big enough to OOM the
+    # driver (the SCALING.md watchpoint-9 failure, reproduced at sf1).
+    mutual = (
+        g.select(
+            F.least("vec_id", "nbr_id").alias("src"),
+            F.greatest("vec_id", "nbr_id").alias("dst"),
+            "cos_sim",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("cos_sim").alias("__c"))
+        .where((F.col("__n") == 2) & (F.col("__c") >= threshold))
+        .select("src", "dst")
     )
-    # RELIABLY CHECKPOINT the edge list before the fixpoint. Two reasons:
-    # (1) the fixpoint consumes `edges` several times before its own
-    # first checkpoint (symmetrize = union of two branches, plus the
-    # incident-node seed) — unmaterialized, each consumer re-executes
-    # the whole kNN-graph + mutual-join pipeline (measured +40% at
-    # sf0.1); (2) lineage TRUNCATION, which a cache does not provide:
-    # the un-truncated plan nests the knn self-join (itself a join over
-    # a windowed join) four deep once CC symmetrizes it, and Catalyst's
-    # size-only stats estimation blows up on exactly this shape — the
-    # SCALING.md watchpoint-9 failure, reproduced at 10× scale when
-    # this used .cache(). The checkpoint is tiny: two longs per mutual
-    # edge, ≤ k·n rows by the degree bound.
+    # RELIABLY CHECKPOINT the edge list before the fixpoint: it is
+    # consumed several times before the fixpoint's own first checkpoint
+    # (symmetrize = union of two branches, plus the incident-node seed)
+    # — unmaterialized, each consumer re-executes the whole kNN-graph
+    # pipeline (measured +40% at sf0.1) — and truncation keeps the
+    # fixpoint's growing plans rooted at a leaf with real stats. The
+    # checkpoint is tiny: two longs per mutual edge, ≤ k·n rows by the
+    # degree bound.
     from etl_to_iceberg_spark.ext.dedup import _reliable_checkpoint
 
     ckpt = _reliable_checkpoint(corpus.sparkSession)
-    edges = ckpt(fwd.join(rev, on=["src", "dst"], how="left_semi"))
+    edges = ckpt(mutual)
     labels = connected_components(
         edges,
         corpus.select(F.col(id_col).alias("vec_id")),

@@ -701,3 +701,217 @@ def test_quantizer_refresh_matches_model(spark, seed):
     assert got == model
     assert got[0][0] == 2 and got[0][1] == 1.0  # planted identity match
     assert sum(n for _, _, n in got.values()) == len(vecs)  # total occupancy
+
+
+# --- Bloom decontamination membership (r9) -----------------------------------
+
+
+def _model_bloom_hits(eval_shingles, candidates, k):
+    """Pure-Python partitioned-Bloom verdicts: candidate is positive iff
+    every one of its k (seed, idx) positions was set by SOME eval
+    shingle — false positives arise exactly when different shingles
+    cover all k positions."""
+    from etl_to_iceberg_spark.ext.bloom import model_positions
+
+    bits = set()
+    for s in eval_shingles:
+        bits.update(model_positions(s, k=k))
+    return [
+        all(p in bits for p in model_positions(c, k=k)) for c in candidates
+    ]
+
+
+@pytest.mark.parametrize("seed,k,n_eval", [(91, 3, 300), (92, 1, 50_000)])
+def test_bloom_membership_matches_model(spark, seed, k, n_eval):
+    """Engine Bloom verdicts == the pure-Python model on every candidate
+    — true members, misses, AND false positives. The k=1 / dense-eval
+    case raises the fill factor (~5%) until FPs genuinely occur; md5 is
+    deterministic so the planted strings give a fixed outcome."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.bloom import (
+        bloom_bitmap,
+        bloom_contains_expr,
+    )
+
+    rng = random.Random(seed)
+    eval_sh = [f"ev {seed} {i} shingle" for i in range(n_eval)]
+    cands, want_member = [], []
+    for i in range(400):
+        member = rng.random() < 0.1
+        cands.append(
+            rng.choice(eval_sh) if member else f"cand {seed} {i} novel"
+        )
+        want_member.append(member)
+
+    ev = spark.createDataFrame([(s,) for s in eval_sh], "s string")
+    bm = bloom_bitmap(ev, k=k)
+    cdf = spark.createDataFrame(
+        [(i, [c]) for i, c in enumerate(cands)], "i long, sh array<string>"
+    )
+    got_hits = sorted(
+        r.i
+        for r in cdf.crossJoin(F.broadcast(bm))
+        .where(F.expr(bloom_contains_expr("sh", k=k)))
+        .collect()
+    )
+    model = _model_bloom_hits(eval_sh, cands, k)
+    assert got_hits == [i for i, h in enumerate(model) if h]
+    # every true member must hit (Bloom has no false negatives)
+    assert all(model[i] for i, m in enumerate(want_member) if m)
+    fps = [i for i, m in enumerate(want_member) if model[i] and not m]
+    if k == 1:  # dense case: the FP path is genuinely exercised
+        assert fps, "expected at least one false positive at ~5% fill"
+    else:  # 3 seeds at tiny fill: FPs astronomically unlikely
+        assert not fps
+
+
+# --- token-budgeted quality mix (r9) ----------------------------------------
+
+
+def _model_quality6(text):
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    wc = len(toks)
+    nonspace = len(re.sub(r"\s", "", text))
+    alnum = len(re.sub(r"[^A-Za-z0-9]", "", text))
+    sw = sum(
+        1
+        for t in toks
+        if t in {"the", "and", "of", "to", "is", "in", "that", "with"}
+    )
+    punct = (nonspace - alnum) / nonspace if nonspace > 0 else 0.0
+    swr = sw / wc if wc else 0.0
+    q = (
+        0.4 * (min(wc, 100) / 100.0)
+        + 0.3 * (1.0 - punct)
+        + 0.3 * min(4.0 * swr, 1.0)
+    )
+    return _q(q, "0.000001")
+
+
+def _model_budget_mix(rows, budget):
+    """rows: (doc_id, text, source). Whole 2dp quality tiers admitted
+    best-first per source while cumulative tokens stay within budget."""
+    per_src = {}
+    scored = []
+    for doc_id, text, src in rows:
+        n_tok = len(_toks(text))
+        qb = _q(_model_quality6(text), "0.01")
+        scored.append((doc_id, src, n_tok, qb))
+        per_src.setdefault(src, {}).setdefault(qb, 0)
+        per_src[src][qb] += n_tok
+    kept_tiers = set()
+    for src, tiers in per_src.items():
+        cum = 0
+        for qb in sorted(tiers, reverse=True):
+            cum += tiers[qb]
+            if cum > budget:
+                break
+            kept_tiers.add((src, qb))
+    return sorted(
+        (d, s, n, qb) for d, s, n, qb in scored if (s, qb) in kept_tiers
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_token_budget_mix_matches_model(spark, tmp_path, seed):
+    """Randomized multi-source corpora with a spread of quality scores;
+    one planted tiny source must be admitted in full (its total is under
+    budget) and at least one doc must be dropped somewhere."""
+    from etl_to_iceberg_spark.ext.corpus_queries import (
+        _TOKEN_BUDGET,
+        corpus_token_budget_mix,
+    )
+
+    rng = random.Random(seed)
+    sw = ["the", "and", "of", "to", "is", "in", "that", "with"]
+    rows = []
+    doc_id = 0
+    for src in ["sa", "sb", "sc"]:
+        for _ in range(rng.randint(10, 16)):
+            n = rng.randint(30, 110)
+            toks = [
+                rng.choice(sw)
+                if rng.random() < rng.random() * 0.6
+                else rng.choice(_VOCAB)
+                for _ in range(n)
+            ]
+            if rng.random() < 0.2:
+                toks.append("!!!???...")  # punctuation drag on quality
+            rows.append((doc_id, " ".join(toks), src))
+            doc_id += 1
+    rows.append((doc_id, "tiny low doc", "sd"))  # planted under-budget source
+    d = tmp_path / "mix"
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    got = sorted(
+        (r.doc_id, r.source, r.n_tokens, r.quality_tier)
+        for r in corpus_token_budget_mix(spark, str(d)).collect()
+    )
+    model = _model_budget_mix(rows, _TOKEN_BUDGET)
+    assert got == model
+    assert any(s == "sd" for _, s, _, _ in got)  # tiny source fully kept
+    assert len(got) < len(rows)  # the budget genuinely dropped docs
+
+
+# --- character-entropy filter (r9) ------------------------------------------
+
+
+def _model_entropy(text):
+    cs = list(text.lower())
+    n = len(cs)
+    if n == 0:
+        return (0, 0, 0.0, False)
+    cnt = Counter(cs)
+    total = Decimal(0)
+    for _, c in cnt.items():
+        p = c / n
+        total += Decimal(p * math.log2(p)).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+    ent = _q(float(-total), "0.000001")
+    return (n, len(cnt), ent, ent >= 2.5)
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_entropy_filter_matches_model(spark, tmp_path, seed):
+    """Randomized docs plus planted degenerates: empty text, a
+    repeated-char flood (entropy 0), a two-char alternation (entropy 1)
+    — all must fail the 2.5-bit floor; ordinary prose must pass. The
+    model re-derives the quantized fold from scratch, summing in a
+    DIFFERENT order than either engine (dict order), which is exactly
+    what the DECIMAL(20,9) per-term quantization must make irrelevant."""
+    from etl_to_iceberg_spark.ext.corpus_queries import text_entropy_filter
+
+    rng = random.Random(seed)
+    rows = [
+        (9000, "", "en"),
+        (9001, "aaaaaaaaaaaaaaaaaaaaaaaa", "en"),
+        (9002, "ababababababababababab", "en"),
+        (9003, "The quick brown fox jumps over the lazy dog.", "en"),
+    ]
+    for i in range(rng.randint(12, 20)):
+        n = rng.randint(5, 160)
+        rows.append(
+            (
+                i,
+                " ".join(rng.choice(_VOCAB) for _ in range(max(1, n // 4))),
+                "en",
+            )
+        )
+    d = _write(spark, tmp_path, [(i, t, la) for i, t, la in rows], "ent")
+    got = {
+        r.doc_id: (r.n_chars_total, r.n_distinct, r.entropy, r.passes)
+        for r in text_entropy_filter(spark, d).collect()
+    }
+    model = {i: _model_entropy(t) for i, t, _ in rows}
+    assert got == model
+    assert not got[9000][3] and not got[9001][3] and not got[9002][3]
+    assert got[9001][2] == 0.0 and got[9002][2] == 1.0
+    assert got[9003][3]

@@ -315,10 +315,13 @@ def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
     """dedup_semantic_clusters up to (not including) the component
     fixpoint, composed exactly as similarity.semantic_clusters does:
     quantizer assignment broadcast, WindowGroupLimit-bounded top-k, and
-    the mutual-kNN filter as a LEFT-SEMI equi-join of the two directed
-    edge lists — never a cartesian. (The fixpoint itself executes
-    eagerly driver-side, so its rounds are pinned by the connected-
-    components tests, not a plan string.)"""
+    the mutual-kNN filter as ONE aggregation over the unordered pair —
+    no self-join of the directed graph (the joined form nested the knn
+    plan on both sides and blew up Catalyst's size-only stats estimation
+    at 10×), so exactly one join (the cell-bounded knn pairing) and
+    never a cartesian. (The fixpoint itself executes eagerly
+    driver-side, so its rounds are pinned by the connected-components
+    tests, not a plan string.)"""
     from pyspark.sql import functions as F
 
     from etl_to_iceberg_spark.ext.corpus_queries import _ivfk_centroids
@@ -329,18 +332,70 @@ def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
     g = knn_graph(
         emb, _ivfk_centroids(spark, sf_dir), k=3, max_cluster_size=256
     )
-    fwd = g.where(
-        (F.col("cos_sim") >= 0.3) & (F.col("vec_id") < F.col("nbr_id"))
-    ).select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
-    rev = g.where(F.col("vec_id") > F.col("nbr_id")).select(
-        F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+    mutual = (
+        g.select(
+            F.least("vec_id", "nbr_id").alias("src"),
+            F.greatest("vec_id", "nbr_id").alias("dst"),
+            "cos_sim",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("cos_sim").alias("__c"))
+        .where((F.col("__n") == 2) & (F.col("__c") >= 0.3))
+        .select("src", "dst")
     )
-    edges = fwd.join(rev, on=["src", "dst"], how="left_semi")
-    plan = explain_str(edges, "formatted")
+    plan = explain_str(mutual, "formatted")
     assert "BroadcastExchange" in plan
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan, plan
+    # the mutual filter is a two-phase agg, and no join type appears
+    # more than once — the knn pairing is the only join of each kind
+    assert plan.count("HashAggregate") >= 2, plan
+    for jt in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert explain_str(mutual, "simple").count(jt) <= 1, jt
+
+
+def test_entropy_filter_is_pure_scan(spark, sf_dir):
+    """text_entropy_filter is a property of the row: no exchange (beyond
+    the output ordering's range partitioning), no join, no generate —
+    one whole-stage-codegen scan."""
+    plan = _plan(spark, sf_dir, "text_entropy_filter")
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_token_budget_mix_tier_window_not_corpus_window(spark, sf_dir):
+    """corpus_token_budget_mix: the budget cut must run on the tiny
+    (source, tier) agg table, not a per-source window over the corpus —
+    so the corpus exchange is the two-phase agg (partial+final), the
+    admitted tiers come back as a BROADCAST join, and no exchange
+    carries document text."""
+    plan = _plan(spark, sf_dir, "corpus_token_budget_mix")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args
+
+
+def test_bloom_decontaminate_corpus_side_is_scan_only(spark, sf_dir):
+    """corpus_bloom_decontaminate: the training corpus is ONE scan whose
+    membership test is a filter expression against a broadcast one-row
+    bitmap (BroadcastNestedLoopJoin over a single row) — no explode into
+    a join, no SortMergeJoin anywhere, and only eval-sized exchanges
+    (distinct positions / word agg / one-row collect), so no exchange
+    partitions on text or shingles."""
+    plan = _plan(spark, sf_dir, "corpus_bloom_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args and "sh#" not in args, args
 
 
 def test_quantizer_refresh_broadcasts_and_never_shuffles_vectors(

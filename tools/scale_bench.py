@@ -40,6 +40,12 @@ QUERIES = [
     # quantizer siblings.
     "text_gopher_repetition",
     "text_c4_quality",
+    # r9 additions, tranche 2: Bloom decontamination (bitset broadcast +
+    # scan-side membership), tier-based token budget mix (agg+broadcast,
+    # no corpus window), char-entropy filter (pure scan)
+    "corpus_bloom_decontaminate",
+    "corpus_token_budget_mix",
+    "text_entropy_filter",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}

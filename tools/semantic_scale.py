@@ -66,7 +66,14 @@ def replicate_embeddings(emb, r):
     return out
 
 spark = get_spark(
-    SessionConfig(app_name="semantic-scale", local_cores=32, shuffle_partitions=32)
+    SessionConfig(
+        app_name="semantic-scale",
+        local_cores=32,
+        shuffle_partitions=32,
+        # the sf1 composite's fixpoint accumulates plan/broadcast state
+        # beyond the 1g driver default (same lesson as scale_bench)
+        extra_conf={"spark.driver.memory": "8g"},
+    )
 )
 spark.sparkContext.setLogLevel("ERROR")
 app_id = spark.sparkContext.applicationId
