@@ -1161,12 +1161,26 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus exchange; the tier-table window and budget cut run on that
     tiny table; the admitted (source, tier) pairs broadcast back into a
     scan-level semi-join. The corpus shuffles once (fixed-width agg
-    rows), and selection itself is free."""
-    scored = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(words("text")).alias("n_tokens"),
-        F.round(F.round(quality_score("text"), 6), 2).alias("qb"),
+    rows), and selection itself is free.
+
+    The scored relation feeds BOTH the tier agg and the final join —
+    unmaterialized, Catalyst would run the tokenizer/quality regexes
+    twice over the corpus (measured 2x wall at sf1). It is fixed-width
+    (no text), so a tracked cache holds it across the two consumers and
+    `release_operator_caches` drains it between service queries.
+    `ensure_parallelism` runs BEFORE the regex projection so single-file
+    dev fixtures don't serialize the scoring onto one core (no-op at
+    real split counts)."""
+    from etl_to_iceberg_spark.caching import tracked_cache
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    scored = tracked_cache(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "source",
+            F.size(words("text")).alias("n_tokens"),
+            F.round(F.round(quality_score("text"), 6), 2).alias("qb"),
+        )
     )
     tiers = scored.groupBy("source", "qb").agg(
         F.sum("n_tokens").alias("tier_tokens")
@@ -1244,41 +1258,62 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     order yet agree on the sum to the last bit (the same exact-decimal
     discipline as text_unigram_logprob).
 
-    Scale shape: a pure per-row scan — no shuffle, no join, no UDF;
-    per-doc work is O(distinct_chars × length), with distinct_chars
-    bounded by the alphabet (~40-100 for text), i.e. linear in corpus
-    bytes with a small constant. The higher-order lambdas keep the
-    expression out of whole-stage codegen (as with every HOF op here),
-    but it stays JVM-side vectorized-scan work in a single stage — the
-    only exchange in the plan is the output ordering."""
+    Scale shape: histogram-by-explode, NOT a per-row higher-order fold.
+    A first draft computed the entropy inside the scan with
+    ``aggregate(transform(array_distinct(cs), ...))`` — "pure scan, no
+    shuffle" reads well, but HOF lambdas evaluate INTERPRETED (outside
+    whole-stage codegen) and the fold is O(distinct x length) per row:
+    measured 9.0s at sf0.1 / 14.1s at sf1 on one task. This shape stays
+    in codegen end-to-end: explode to one row per character, partial
+    count by (doc_id, char) — map-side combine collapses to at most
+    alphabet-size (~40-100) rows per doc BEFORE the exchange — then a
+    doc-partitioned window for the total and one final agg. Both
+    exchanges carry fixed-width (doc_id, char, count) rows, never text;
+    the per-doc window/agg groups are alphabet-bounded so they cannot
+    skew. Empty documents are restored by a doc_id-only left join
+    (entropy 0). `ensure_parallelism` runs before the split so the dev
+    fixture's single file doesn't serialize the explode stage."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
     # split('') yields [''] in both engines; guard so empty text is []
     cs = F.when(
         F.length("text") > 0, F.split(F.lower(F.col("text")), "")
     ).otherwise(F.array().cast("array<string>"))
-    entropy = F.round(
-        (
-            -F.expr(
-                """
-        aggregate(
-          transform(array_distinct(__cs),
-            c -> CAST((size(filter(__cs, x -> x = c)) / CAST(size(__cs) AS DOUBLE))
-                      * log2(size(filter(__cs, x -> x = c)) / CAST(size(__cs) AS DOUBLE))
-                      AS DECIMAL(20,9))),
-          CAST(0 AS DECIMAL(20,9)),
-          (acc, t) -> CAST(acc + t AS DECIMAL(20,9)))
-        """
-            )
-        ).cast("double"),
-        6,
+    ch = explode_expensive(
+        ensure_parallelism(docs).select("doc_id", cs.alias("__cs")),
+        ["doc_id"],
+        F.col("__cs"),
+        "c",
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    # p·log2(p) quantized to DECIMAL(20,9) per term, summed EXACTLY —
+    # order-independent, so the agg's nondeterministic order and the
+    # oracle's list_transform order agree to the last bit (same
+    # discipline as the HOF draft and text_unigram_logprob).
+    p = F.col("cnt") / F.col("total").cast("double")
+    term = (p * F.log2(p)).cast("decimal(20,9)")
+    per_doc = (
+        cnt.withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("doc_id"))
+        )
+        .select("doc_id", "total", term.alias("__t"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").alias("n_chars_total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round((-F.sum("__t")).cast("double"), 6).alias("entropy"),
+        )
     )
     return (
-        docs.select("doc_id", cs.alias("__cs"))
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
         .select(
             "doc_id",
-            F.size("__cs").alias("n_chars_total"),
-            F.size(F.array_distinct("__cs")).alias("n_distinct"),
-            entropy.alias("entropy"),
+            F.coalesce("n_chars_total", F.lit(0)).alias("n_chars_total"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
         )
         .withColumn("passes", F.col("entropy") >= _ENTROPY_FLOOR)
         .orderBy("doc_id")

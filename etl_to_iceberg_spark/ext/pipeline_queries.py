@@ -200,23 +200,32 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 97 == 0`` eval slice), but the eval side collapses to a
     fixed-size bitset (3 seeds x 2^20 bits packed into one map<word,
     bits> row) instead of a broadcast shingle-string set, and the
-    training side tests membership INSIDE its scan with shift/mask
-    column arithmetic — no explode, no join, no shuffle of anything
-    corpus-sized. Bloom false positives over-drop by design (the safe
-    direction for decontamination); the deterministic hex-slice
-    positions make engine and oracle agree on every verdict, false
-    positives included (ext/bloom.py).
+    training side tests membership with shift/mask column arithmetic
+    against the broadcast bitmap — no shuffle of anything corpus-sized.
+    Bloom false positives over-drop by design (the safe direction for
+    decontamination); the deterministic hex-slice positions make engine
+    and oracle agree on every verdict, false positives included
+    (ext/bloom.py).
 
-    Scale shape: the ONLY exchanges are eval-sized (distinct positions,
-    a ≤49k-group word agg, a one-row map collect). The bitset is
-    eval-suite-independent in width — a 1000x bigger benchmark suite
-    broadcasts the same ~384 KB (3 x 128 KB regions), vs
-    `corpus_decontaminate`'s broadcast growing with eval text. The
-    corpus side is one scan: crossJoin(broadcast(one-row bitmap)) +
-    a whole-stage-codegen filter expression."""
-    from etl_to_iceberg_spark.ext.bloom import bloom_bitmap, bloom_contains_expr
+    Scale shape: the bitset is eval-suite-independent in width — a
+    1000x bigger benchmark suite broadcasts the same ~384 KB (3 x
+    128 KB regions), vs `corpus_decontaminate`'s broadcast growing with
+    eval text. The training side hashes its shingles inside the scan
+    (one md5 per shingle, materialized by the explode projection so it
+    is never re-derived per seed), explodes to fixed-width (doc_id,
+    hash) rows — text never leaves the scan — attaches the one-row
+    bitmap (BroadcastNestedLoopJoin over a single row; column pruning
+    drops the map right after the codegen'd probe filter), and the
+    surviving contaminated doc_ids come back as a BROADCAST anti-join.
+    A first draft probed un-exploded shingle arrays with an
+    ``exists(transform(...))`` lambda — "no explode" read well, but
+    HOF lambdas evaluate interpreted: 20s at sf0.1 vs ~2s for this
+    shape. The only exchanges: eval-sized bitmap build aggs + the
+    distinct over contaminated doc_ids (hit-sized)."""
+    from etl_to_iceberg_spark.ext.bloom import bloom_bitmap, bloom_probe_expr
+    from etl_to_iceberg_spark.plans import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "lang", "n_chars", words("text").alias("__t"))
     base = toks.select(
         "doc_id", "lang", "n_chars", _shingles(F.col("__t"), _SHINGLE).alias("sh")
@@ -226,10 +235,16 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     bm = bloom_bitmap(ev)
     train = base.where(F.col("doc_id") % 97 != 0)
-    return (
-        train.crossJoin(F.broadcast(bm))
-        .where(~F.expr(bloom_contains_expr("sh")))
-        .select("doc_id", "lang", "n_chars")
+    hashed = F.expr("transform(sh, s -> md5(cast(s AS BINARY)))")
+    bad = (
+        explode_expensive(train, ["doc_id"], hashed, "h")
+        .crossJoin(F.broadcast(bm))
+        .where(F.expr(bloom_probe_expr("h")))
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "n_chars"
     )
 
 

@@ -354,14 +354,20 @@ def test_semantic_clusters_edge_stage_plan(spark, sf_dir):
         assert explain_str(mutual, "simple").count(jt) <= 1, jt
 
 
-def test_entropy_filter_is_pure_scan(spark, sf_dir):
-    """text_entropy_filter is a property of the row: no exchange (beyond
-    the output ordering's range partitioning), no join, no generate —
-    one whole-stage-codegen scan."""
+def test_entropy_filter_fixed_width_exchanges(spark, sf_dir):
+    """text_entropy_filter is histogram-by-explode: a Generate feeding a
+    partial+final count (map-side combine bounds shuffle rows at
+    alphabet-size per doc), a doc-partitioned window, and the empty-doc
+    restore join — every hash exchange carries (doc_id, char, count)-
+    width rows, never text."""
     plan = _plan(spark, sf_dir, "text_entropy_filter")
-    assert "Join" not in plan, plan
-    assert "Generate" not in plan, plan
-    assert "hashpartitioning" not in plan, plan
+    assert "Generate" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args
 
 
 def test_token_budget_mix_tier_window_not_corpus_window(spark, sf_dir):
@@ -381,15 +387,17 @@ def test_token_budget_mix_tier_window_not_corpus_window(spark, sf_dir):
         assert "text" not in args, args
 
 
-def test_bloom_decontaminate_corpus_side_is_scan_only(spark, sf_dir):
-    """corpus_bloom_decontaminate: the training corpus is ONE scan whose
-    membership test is a filter expression against a broadcast one-row
-    bitmap (BroadcastNestedLoopJoin over a single row) — no explode into
-    a join, no SortMergeJoin anywhere, and only eval-sized exchanges
-    (distinct positions / word agg / one-row collect), so no exchange
-    partitions on text or shingles."""
+def test_bloom_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+    """corpus_bloom_decontaminate: the training text stays inside its
+    scan — membership is a codegen'd probe filter on exploded (doc_id,
+    md5) rows against the broadcast one-row bitmap
+    (BroadcastNestedLoopJoin over a single row), and contaminated
+    doc_ids come back as a BROADCAST anti-join. No SortMergeJoin
+    anywhere; no hash exchange partitions on text or shingles (the only
+    corpus-derived exchange is the hit-sized doc_id distinct)."""
     plan = _plan(spark, sf_dir, "corpus_bloom_decontaminate")
     assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     import re
