@@ -1675,3 +1675,240 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "token", "tf", "tfidf")
         .orderBy("doc_id", "rk")
     )
+
+
+# --- IVF-PQ: the compressed-index ANN scale path -----------------------------
+
+_PQ_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks")
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
+_PQ_RERANK = 64
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """The fitted product-quantizer codebooks (m, code, cent), persisted
+    once per (path, sf) and read back — the same stored-quantizer
+    contract as :func:`_ivfk_centroids`. Training collects a BOUNDED
+    deterministic hash-sample to the driver (ext/similarity.
+    pq_train_codebooks) — sample-sized no matter the corpus."""
+    from etl_to_iceberg_spark.ext.similarity import pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = sidecars.sidecar_path("pq_codebooks", sf_dir)
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: pq_train_codebooks(
+            emb, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB, train_rows=256
+        ),
+    )
+    return spark.read.parquet(side).select("m", "code", "cent")
+
+
+@register(
+    "similarity_ann_ivf_pq",
+    # Oracle resumes from TWO sidecars — the coarse IVF quantizer and the
+    # PQ codebooks — and re-derives codes, the per-query ADC lookup
+    # table, routing, and the top-k rank entirely in SQL. Code argmin
+    # orders by an exact DECIMAL(20,9) term-sum of squared differences
+    # (order-independent, so DuckDB's list_sum and Spark's fold agree
+    # bit-for-bit); ADC parts use the same discipline on products.
+    sql=f"""
+    WITH cb AS (
+      SELECT m, code, cent FROM read_parquet('{_PQ_SIDECAR}/*.parquet')
+    ),
+    cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT e.vec_id, ms.m,
+             v[ms.m * {_PQ_DSUB} + 1 : (ms.m + 1) * {_PQ_DSUB}] AS sv
+      FROM e CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> CAST((s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i])
+                             AS DECIMAL(20,9)))) ASC,
+                 c.code
+               ) AS rn
+        FROM sub s JOIN cb c USING (m)
+      ) WHERE rn <= 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> CAST(s.sv[i] * c.cent[i] AS DECIMAL(20,9)))) AS part
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id % 97 = 0
+    ),
+    corpus_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    query_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM e CROSS JOIN cent c
+        WHERE e.vec_id % 97 = 0
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT qa.query_id, ca.vec_id
+      FROM query_assign qa JOIN corpus_assign ca USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(CAST(SUM(l.part) AS DOUBLE), 6) AS score
+      FROM cand
+      JOIN codes k ON k.vec_id = cand.vec_id
+      JOIN lut l ON l.query_id = cand.query_id
+               AND l.m = k.m AND l.code = k.code
+      GROUP BY cand.query_id, cand.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= {_PQ_RERANK}
+    ),
+    refined AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+      FROM shortlist s
+      JOIN e qe ON qe.vec_id = s.query_id
+      JOIN e ce ON ce.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM refined
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") with the FAISS refine
+    tail: the coarse IVF quantizer routes each query to its nprobe=4
+    nearest cells; candidates are scored by ASYMMETRIC DISTANCE
+    COMPUTATION — dot(query, vector reconstructed from m=8 one-byte-
+    class PQ codes) via a broadcast per-query lookup table, never by
+    touching raw candidate vectors; the ADC top-64 shortlist is then
+    re-ranked by exact cosine (raw vectors fetched for nq x 64 rows
+    only). Quantization error decides the shortlist, never the final
+    order — measured recall@5 vs bruteforce 0.73 on the near-isotropic
+    fixture (vs 0.33 pure-ADC; tests/test_ext.py).
+
+    This is the memory/IO scale path the exact and LSH variants lack:
+    at 100 TB the serving layer stores m=8 small codes per vector
+    (vs 64 floats, a ~32x compression), the ADC joins carry only
+    (query_id, vec_id, m, code) fixed-width rows, and the LUT is
+    nq x m x ksub — broadcast-sized by construction. Raw embeddings are
+    read in exactly three bounded places: the two scan x broadcast
+    assignment stages (code derivation, cell routing — 16-row quantizer
+    / 128-row codebooks, bounded-group top-1 windows) and the
+    shortlist-sized refine fetch. Both stored tables come from
+    sidecars, the deployment shape."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivfk_centroids(spark, sf_dir)
+    codebooks = _pq_codebooks(spark, sf_dir)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    return pq_adc_topk(
+        c,
+        q,
+        centroids,
+        codebooks,
+        k=10,
+        nprobe=4,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        rerank=_PQ_RERANK,
+    )
+
+
+# Margin below the cell's mean assignment-cosine at which a vector is
+# flagged: generous enough that only genuine stragglers flag, tight
+# enough that the fixture's planted structure produces both verdicts.
+_OUTLIER_MARGIN = 0.1
+
+
+@register(
+    "corpus_embedding_outlier_prune",
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    assigned AS (
+      SELECT vec_id, cell, cos_sim FROM (
+        SELECT b.vec_id, c.cell,
+               round(list_cosine_similarity(b.e, c.cv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.e, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+        CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    stats AS (
+      SELECT cell, COUNT(*) AS n_cell,
+             round(CAST(SUM(CAST(cos_sim AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS cell_mean
+      FROM assigned GROUP BY cell
+    )
+    SELECT a.vec_id, a.cell, a.cos_sim, s.cell_mean,
+           a.cos_sim < s.cell_mean - {_OUTLIER_MARGIN} AS is_outlier
+    FROM assigned a JOIN stats s USING (cell)
+    ORDER BY a.vec_id
+    """,
+)
+def corpus_embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report (the DataComp/SemDeDup-adjacent
+    quality gate: a vector far from everything in its own region is a
+    mislabeled/garbled/exotic sample — prune or down-weight it before
+    training): assign each vector to its nearest stored-quantizer cell,
+    compare its assignment cosine to the CELL's mean, flag vectors more
+    than {_OUTLIER_MARGIN} below it. Emits the audit columns for every
+    vector (is_outlier boolean) so thresholding stays a downstream
+    filter.
+
+    Exactness: cos_sim is the house rounded-6dp cosine; the cell mean
+    sums DECIMAL(20,9)-quantized cosines exactly before one double
+    division and round — engine/oracle identical, order-independent.
+
+    Scale shape: assignment is scan x broadcast(16-row quantizer) with
+    a per-vector top-1 window (the ivf_assign shape every quantizer
+    consumer shares); the per-cell stats agg partial-collapses to nlist
+    rows per partition map-side, and the means come back as a BROADCAST
+    join. No corpus-sized exchange carries vectors — only (vec_id,
+    cell, cos) fixed-width rows through the assignment window."""
+    from etl_to_iceberg_spark.ext.similarity import embedding_outlier_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivfk_centroids(spark, sf_dir)
+    return embedding_outlier_report(emb, centroids, margin=_OUTLIER_MARGIN)

@@ -915,3 +915,175 @@ def test_entropy_filter_matches_model(spark, tmp_path, seed):
     assert not got[9000][3] and not got[9001][3] and not got[9002][3]
     assert got[9001][2] == 0.0 and got[9002][2] == 1.0
     assert got[9003][3]
+
+
+# --- IVF-PQ codes + ADC (r9) --------------------------------------------------
+
+
+def _qdec(x: float) -> Decimal:
+    """Spark's CAST(double AS DECIMAL(20,9)) on the exact double value."""
+    return Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+
+def _model_pq_codes(vecs, cbs, m, dsub):
+    """codes[(vec_id, m)] = argmin over the codebook by (exact decimal
+    sum of squared diffs, code) — the engine's window order."""
+    codes = {}
+    for vid, v in vecs:
+        for mi in range(m):
+            sv = v[mi * dsub : (mi + 1) * dsub]
+            cands = []
+            for code, cent in cbs[mi]:
+                d2 = sum(
+                    (_qdec((a - b) * (a - b)) for a, b in zip(sv, cent)),
+                    Decimal(0),
+                )
+                cands.append((d2, code))
+            codes[(vid, mi)] = min(cands)[1]
+    return codes
+
+
+def _model_pq_adc(vecs, queries, cents, cbs, *, m, dsub, nprobe, k):
+    """(query_id, vec_id) -> (score, rank) of the full IVF-PQ search."""
+    codes = _model_pq_codes(vecs, cbs, m, dsub)
+    cell_of = {
+        vid: min((-_cos6(v, cv), cell) for cell, cv in cents)[1]
+        for vid, v in vecs
+    }
+    out = {}
+    for qid, qv in queries:
+        probed = {
+            cell
+            for _, cell in sorted(
+                ((-_cos6(qv, cv), cell) for cell, cv in cents)
+            )[:nprobe]
+        }
+        scored = []
+        for vid, _ in vecs:
+            if cell_of[vid] not in probed:
+                continue
+            total = Decimal(0)
+            for mi in range(m):
+                cent = dict(cbs[mi])[codes[(vid, mi)]]
+                qsv = qv[mi * dsub : (mi + 1) * dsub]
+                total += sum(
+                    (_qdec(a * b) for a, b in zip(qsv, cent)), Decimal(0)
+                )
+            scored.append((_q(float(total), "1e-6"), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (score, vid) in enumerate(scored[:k], start=1):
+            out[(qid, vid)] = (score, r)
+    return out
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_pq_codes_and_adc_match_model(spark, seed):
+    """Engine IVF-PQ (codes + ADC ranking) == the pure-Python model on
+    seeded random unit vectors, with planted structure: codebook entries
+    2 and 3 of subspace 0 are IDENTICAL, so every vector equidistant to
+    them must take code 2 (tie broken by code), and query 0 is also
+    corpus vector 0 (self should score highly, though PQ quantization
+    need not rank it first)."""
+    from etl_to_iceberg_spark.ext.similarity import pq_adc_topk, pq_codes
+
+    rng = random.Random(seed)
+    m, dsub, ksub, nprobe, k = 2, 4, 4, 2, 5
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    vecs = [(i, unit(m * dsub)) for i in range(30)]
+    cents = [(c, unit(m * dsub)) for c in range(3)]
+    cbs = {mi: [(j, unit(dsub)) for j in range(ksub)] for mi in range(m)}
+    cbs[0][3] = (3, list(cbs[0][2][1]))  # planted duplicate entry
+    queries = [(0, list(vecs[0][1])), (99, unit(m * dsub))]
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    cbdf = spark.createDataFrame(
+        [(mi, j, cv) for mi, entries in cbs.items() for j, cv in entries],
+        "m int, code int, cent array<double>",
+    )
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    from pyspark.sql import functions as F
+
+    c = emb.select("vec_id", F.col("embedding").alias("__v"))
+    q = qdf.select("query_id", F.col("embedding").alias("__v"))
+
+    got_codes = {
+        (r.vec_id, r.m): r.code
+        for r in pq_codes(c, cbdf, m=m, dsub=dsub).collect()
+    }
+    assert got_codes == _model_pq_codes(vecs, cbs, m, dsub)
+    assert 3 not in {
+        code for (_, mi), code in got_codes.items() if mi == 0
+    }  # the duplicate entry never wins its tie
+
+    got = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in pq_adc_topk(
+            c, q, cdf, cbdf, k=k, nprobe=nprobe, m=m, dsub=dsub
+        ).collect()
+    }
+    model = _model_pq_adc(
+        vecs, queries, cents, cbs, m=m, dsub=dsub, nprobe=nprobe, k=k
+    )
+    assert got == model
+
+
+# --- embedding outlier prune (r9) ---------------------------------------------
+
+
+def _model_outlier(vecs, cents, margin):
+    assigned = {}
+    for vid, v in vecs:
+        best = min((-_cos6(v, cv), cell) for cell, cv in cents)
+        assigned[vid] = (best[1], -best[0])
+    means = {}
+    for cell in {c for c, _ in assigned.values()}:
+        cos = [cs for c, cs in assigned.values() if c == cell]
+        means[cell] = _q(
+            float(sum((_qdec(x) for x in cos), Decimal(0))) / len(cos), "1e-6"
+        )
+    return {
+        vid: (cell, cs, means[cell], cs < means[cell] - margin)
+        for vid, (cell, cs) in assigned.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_embedding_outlier_matches_model(spark, seed):
+    """Engine outlier report == the model on seeded vectors clustered
+    tightly around 2 centroids, plus ONE planted straggler (orthogonal
+    direction, still nearest to centroid 0) that must flag — and the
+    tight members must not."""
+    from etl_to_iceberg_spark.ext.similarity import embedding_outlier_report
+
+    rng = random.Random(seed)
+    dim = 6
+    cents = [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0, 1.0] + [0.0] * (dim - 2))]
+
+    def around(axis):
+        v = [rng.gauss(0, 0.05) for _ in range(dim)]
+        v[axis] += 1.0
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    vecs = [(i, around(i % 2)) for i in range(20)]
+    straggler = [0.3, 0.0, 0.0, 0.0, 0.0, 0.954]  # leans to cell 0, far off
+    s = math.sqrt(sum(x * x for x in straggler))
+    vecs.append((99, [x / s for x in straggler]))
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    got = {
+        r.vec_id: (r.cell, r.cos_sim, r.cell_mean, r.is_outlier)
+        for r in embedding_outlier_report(emb, cdf, margin=0.1).collect()
+    }
+    assert got == _model_outlier(vecs, cents, 0.1)
+    assert got[99][3] is True  # the planted straggler flags
+    assert not any(got[i][3] for i in range(20))  # tight members don't

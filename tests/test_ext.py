@@ -883,3 +883,46 @@ def test_knn_graph_ranks_within_cluster_only(spark):
     assert got[(0, 1)] == 1 and got[(0, 2)] == 2  # 1 is closer to 0
     assert got[(1, 1)] == 0  # cos(0.1-tilt, flat) ≈ .995 > cos(.1,.4) ≈ .961
     assert got[(2, 1)] == 1  # for the far tilt the mid vector is nearest
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-PQ with trained codebooks on the (unit-norm) fixture, both
+    modes vs exact cosine top-5: the refine tail must recover most of
+    what pure-ADC ranking loses to quantization error (the fixture is
+    near-isotropic — the hardest regime, SCALING.md "ANN recall").
+    Seeded training + deterministic tie-breaks make the bounds stable,
+    not flaky. Measured: pure ADC 0.33, rerank=64 0.73."""
+    from etl_to_iceberg_spark.ext.similarity import (
+        _to_double,
+        cosine_topk,
+        ivf_kmeans_centroids,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    cents = ivf_kmeans_centroids(emb, nlist=8, train_fraction=0.5)
+    cbs = pq_train_codebooks(emb, m=8, dsub=8, ksub=16, train_rows=256)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = queries.select("query_id", _to_double("embedding").alias("__v"))
+    n_exact = exact.count()
+
+    pure = pq_adc_topk(c, q, cents, cbs, k=5, nprobe=4, m=8, dsub=8)
+    pure_recall = (
+        exact.join(pure, on=["query_id", "vec_id"], how="left_semi").count()
+        / n_exact
+    )
+    refined = pq_adc_topk(
+        c, q, cents, cbs, k=5, nprobe=4, m=8, dsub=8, rerank=64
+    )
+    ref_recall = (
+        exact.join(refined, on=["query_id", "vec_id"], how="left_semi").count()
+        / n_exact
+    )
+    assert pure_recall >= 0.2, pure_recall
+    assert ref_recall >= 0.5, ref_recall
+    assert ref_recall >= pure_recall  # the refine stage can only help

@@ -43,6 +43,10 @@ _SIDECAR_SEEDS = {
     oracle_sidecar_path("ivfk_centroids_v2"): (
         'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
     ),
+    oracle_sidecar_path("pq_codebooks"): (
+        "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS code, "
+        "CAST([0.0] AS DOUBLE[]) AS cent"
+    ),
     oracle_sidecar_path("mh_tick_sigs"): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
         "CAST([0] AS BIGINT[]) AS band_hashes"

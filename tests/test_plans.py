@@ -437,3 +437,35 @@ def test_gopher_repetition_gram_exchange_is_hashed_not_text(spark, sf_dir):
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in args, args
         assert not re.search(r"\bg#\d", args), args  # gram text column
+
+
+def test_pq_scoring_never_exchanges_vectors(spark, sf_dir):
+    """similarity_ann_ivf_pq: raw vectors appear only in the scan-side
+    assignment stages — the scoring joins carry (query_id, vec_id, m,
+    code) rows against a BROADCAST lookup table, and no hash exchange
+    carries an embedding/vector column (column pruning drops __v below
+    the assignment windows because only (id, cell)/(id, m, code)
+    survive). Codebooks and quantizer are broadcast; no cartesian."""
+    plan = _plan(spark, sf_dir, "similarity_ann_ivf_pq")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in args and "__v" not in args and "sv#" not in args, args
+
+
+def test_outlier_prune_broadcasts_and_fixed_width_exchanges(spark, sf_dir):
+    """corpus_embedding_outlier_prune: quantizer and per-cell means are
+    broadcast; the only hash exchanges are the per-vector assignment
+    window and the nlist-group stats agg — fixed-width rows, never the
+    vectors themselves."""
+    plan = _plan(spark, sf_dir, "corpus_embedding_outlier_prune")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in args and "__v" not in args, args
