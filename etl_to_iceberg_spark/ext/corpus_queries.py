@@ -1912,3 +1912,112 @@ def corpus_embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _ivfk_centroids(spark, sf_dir)
     return embedding_outlier_report(emb, centroids, margin=_OUTLIER_MARGIN)
+
+
+# avg-bigram-logprob floor for text_bigram_logprob's passes flag: corpus-
+# typical prose sits well above it; token sequences the corpus LM finds
+# surprising (shuffled/truncated/rare-heavy) fall below.
+_BIGRAM_LP_FLOOR = -7.0
+
+
+@register(
+    "text_bigram_logprob",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+      FROM t WHERE len(ws) >= 2
+    ),
+    pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    uni AS (
+      SELECT w1 AS w, COUNT(*) AS c1 FROM pairs GROUP BY w1
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_bigrams,
+             round(CAST(SUM(CAST(ln(b.c12 / CAST(u.c1 AS DOUBLE))
+                                 AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_logprob
+      FROM pairs p
+      JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN uni u ON p.w1 = u.w
+      GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           s.avg_logprob,
+           coalesce(s.avg_logprob >= {_BIGRAM_LP_FLOOR}, false) AS passes
+    FROM t LEFT JOIN scored s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram conditional log-probability under the
+    corpus's OWN bigram LM — the second rung of the KenLM-style
+    perplexity-filter ladder above :func:`text_unigram_logprob` (CCNet's
+    quality signal): P(w2|w1) = c(w1,w2)/c(w1·) estimated from the
+    corpus itself, so no external model and no unseen-bigram smoothing
+    is needed (every scored bigram is in the table by construction —
+    the unigram denominator counts bigram FIRST-positions, the exact
+    conditional MLE). Shuffled, truncated, and rare-heavy token
+    sequences score low; ``passes = avg_logprob >= -7.0``
+    keeps thresholding a scan predicate. Documents with <2 tokens carry
+    n_bigrams=0 / NULL score / passes=false.
+
+    Scale shape: the unigram-logprob template with a bigram key — pass
+    1 builds bigram and first-position-unigram tables (explode →
+    two-phase aggs, both vocabulary-sized: bigram types grow ~O(n^0.7)
+    by Heaps' law, far below corpus bytes); pass 2 re-joins positions to
+    their counts (hash-join on the token keys, broadcast when small —
+    planner's pick) and takes one doc_id agg. Each ln() term is
+    DECIMAL(20,9)-quantized before the sum — exact, order-independent,
+    engine-identical. The empty-doc restore is a doc_id-only left
+    join."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import explode_expensive
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", words(F.lower(F.col("text"))).alias("__ws"))
+    bg_arr = F.expr(
+        "transform(sequence(0, size(__ws) - 2),"
+        " i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+    )
+    pairs = explode_expensive(
+        t.where(F.size("__ws") >= 2), ["doc_id"], bg_arr, "b"
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    logp = F.log(F.col("c12") / F.col("c1").cast("double")).cast(
+        "decimal(20,9)"
+    )
+    scored = (
+        pairs.join(big, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        t.select("doc_id")
+        .join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            F.coalesce(
+                F.col("avg_logprob") >= _BIGRAM_LP_FLOOR, F.lit(False)
+            ).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -541,3 +541,113 @@ def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign_split("text").alias("split"),
         )
     )
+
+
+@register(
+    "corpus_eval_overlap_report",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(text, '{WORD_RE}') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_SHINGLE}
+                  THEN list_transform(range(1, len(t) - {_SHINGLE - 2}),
+                                      i -> array_to_string(t[i:i+{_SHINGLE - 1}], ' '))
+                  ELSE [] END AS shingles
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 97 <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_matched
+      FROM train t JOIN bench USING (s)
+      GROUP BY t.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(tt.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_matched, 0) AS n_matched,
+           CASE WHEN tt.n_shingles > 0
+                THEN round(coalesce(h.n_matched, 0)
+                           / CAST(tt.n_shingles AS DOUBLE), 6)
+                ELSE 0.0 END AS overlap_rate
+    FROM sh s
+    LEFT JOIN totals tt USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 97 <> 0
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REPORT, the audit sibling of
+    :func:`corpus_decontaminate`: for every training document, the
+    fraction of its DISTINCT 8-token shingles that also appear in the
+    eval slice (``doc_id % 97 == 0``) — the per-document n-gram overlap
+    rate LLM reports publish (GPT-3 appendix C / PaLM-style contamination
+    analysis) and the evidence behind a drop/keep/flag policy, where
+    decontaminate only drops. Documents shorter than one shingle emit
+    rate 0 over 0 shingles.
+
+    Scale shape: identical to decontaminate's — eval shingles collapse
+    to a DISTINCT broadcast-sized set (or the Bloom bitset of
+    `corpus_bloom_decontaminate` at suite scale); the training side
+    explodes to (doc_id, shingle) rows whose dedup + per-doc counts ride
+    ONE doc_id-keyed exchange (the matched and total counts are two aggs
+    over the same exploded relation); text itself never shuffles. The
+    final assembly joins doc_id-only relations."""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", words("text").alias("__t"))
+    base = toks.select(
+        "doc_id", _shingles(F.col("__t"), _SHINGLE).alias("sh")
+    )
+    bench = (
+        explode_expensive(
+            base.where(F.col("doc_id") % 97 == 0), [], F.col("sh"), "s"
+        )
+        .distinct()
+    )
+    train = (
+        explode_expensive(
+            base.where(F.col("doc_id") % 97 != 0), ["doc_id"], F.col("sh"), "s"
+        )
+        .distinct()
+    )
+    hits = (
+        train.join(F.broadcast(bench), on="s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        base.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(totals, on="doc_id", how="left")
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.coalesce("n_matched", F.lit(0))
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1087,3 +1087,126 @@ def test_embedding_outlier_matches_model(spark, seed):
     assert got == _model_outlier(vecs, cents, 0.1)
     assert got[99][3] is True  # the planted straggler flags
     assert not any(got[i][3] for i in range(20))  # tight members don't
+
+
+# --- bigram LM logprob (r9) ----------------------------------------------------
+
+
+def _model_bigram_logprob(rows, floor=-7.0):
+    import re
+
+    pairs = []
+    doc_pairs = {}
+    for doc_id, text, _ in rows:
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        bs = list(zip(ws, ws[1:]))
+        doc_pairs[doc_id] = bs
+        pairs.extend(bs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    c12 = Counter(pairs)
+    out = {}
+    for doc_id, bs in doc_pairs.items():
+        if not bs:
+            out[doc_id] = (0, None, False)
+            continue
+        total = sum(
+            (_qdec(math.log(c12[b] / float(c1[b[0]]))) for b in bs),
+            Decimal(0),
+        )
+        avg = _q(float(total) / len(bs), "1e-6")
+        out[doc_id] = (len(bs), avg, avg >= floor)
+    return out
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63])
+def test_bigram_logprob_matches_model(spark, tmp_path, seed):
+    """Engine bigram LM == the model on seeded random small-vocab docs,
+    with planted degenerates: a single-token doc (0 bigrams, NULL score,
+    passes=false), a repeated-token doc ('a a a ...': P(a|a) dominated
+    by the corpus, hand-checkable), and one doc of corpus-unique tokens
+    (every bigram count 1 but first-position counts vary)."""
+    from etl_to_iceberg_spark.ext.corpus_queries import text_bigram_logprob
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))), "en")
+        for i in range(25)
+    ]
+    rows.append((100, "lonely", "en"))  # 0 bigrams
+    rows.append((101, " ".join(["a"] * 12), "en"))
+    rows.append((102, "zq zr zs zt", "en"))  # corpus-unique chain
+    sf = _write(spark, tmp_path, rows, f"bg{seed}")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob, r.passes)
+        for r in text_bigram_logprob(spark, sf).collect()
+    }
+    model = _model_bigram_logprob(rows)
+    assert got == model
+    assert got[100] == (0, None, False)
+    assert got[102][0] == 3  # three unique bigrams
+
+
+# --- eval overlap report (r9) --------------------------------------------------
+
+
+def _model_eval_overlap(rows, shingle=8):
+    import re
+
+    WORD = re.compile(r"[A-Za-z0-9']+")
+
+    def shingles(text):
+        t = WORD.findall(text)
+        return {
+            " ".join(t[i : i + shingle]) for i in range(len(t) - shingle + 1)
+        }
+
+    bench = set()
+    for doc_id, text, _ in rows:
+        if doc_id % 97 == 0:
+            bench |= shingles(text)
+    out = {}
+    for doc_id, text, _ in rows:
+        if doc_id % 97 == 0:
+            continue
+        sh = shingles(text)
+        n = len(sh)
+        m = len(sh & bench)
+        out[doc_id] = (n, m, _q(m / n, "1e-6") if n else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_eval_overlap_report_matches_model(spark, tmp_path, seed):
+    """Engine overlap rates == the model, with planted structure: doc
+    200 copies eval doc 0 verbatim (rate 1.0), doc 201 splices one eval
+    shingle into fresh text (0 < rate < 1), doc 202 is shorter than one
+    shingle (0/0 -> rate 0)."""
+    from etl_to_iceberg_spark.ext.pipeline_queries import (
+        corpus_eval_overlap_report,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40))), "en")
+        for i in range(60)
+    ]
+    eval_text = rows[0][1]  # doc 0 is the eval slice (0 % 97 == 0)
+    rows.append((200, eval_text, "en"))
+    ev_words = eval_text.split()
+    if len(ev_words) >= 8:
+        splice = " ".join(ev_words[:8])
+        rows.append((201, "x1 x2 x3 " + splice + " x4 x5 x6 x7 x8 x9", "en"))
+    rows.append((202, "too short for shingles", "en"))
+    sf = _write(spark, tmp_path, rows, f"ov{seed}")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.overlap_rate)
+        for r in corpus_eval_overlap_report(spark, sf).collect()
+    }
+    model = _model_eval_overlap(rows)
+    assert got == model
+    if len(ev_words) >= 8:
+        assert got[200][2] == 1.0
+        assert 0.0 < got[201][2] < 1.0
+    assert got[202] == (0, 0, 0.0)

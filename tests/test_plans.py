@@ -469,3 +469,29 @@ def test_outlier_prune_broadcasts_and_fixed_width_exchanges(spark, sf_dir):
 
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in args and "__v" not in args, args
+
+
+def test_bigram_logprob_vocab_joins_no_text_exchange(spark, sf_dir):
+    """text_bigram_logprob: two-phase aggs for the bigram/unigram tables
+    (partial collapse before the exchange), and no hash exchange carries
+    the document text — only token-pair keys and doc_id."""
+    plan = _plan(spark, sf_dir, "text_bigram_logprob")
+    assert plan.count("HashAggregate") >= 4, plan  # bigram+unigram+doc aggs
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args
+
+
+def test_eval_overlap_broadcasts_bench_side(spark, sf_dir):
+    """corpus_eval_overlap_report: the eval shingle set joins in as a
+    BROADCAST (decontaminate's shape); the training side's exchanges are
+    (doc_id, shingle) dedup and doc_id counts — never raw text."""
+    plan = _plan(spark, sf_dir, "corpus_eval_overlap_report")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in args, args
