@@ -1,0 +1,158 @@
+"""sf0.1 vs 10x scaling measurement for the IVF-PQ search and the
+embedding outlier report, with nlist scaled to the corpus (the same
+posture as tools/semantic_scale.py: E[cell size] stays ~constant, so
+candidates per query are flat and total ADC work is query-linear).
+Codebook/quantizer training runs OUTSIDE the timed loop — both are
+stored tables in deployment (the sidecar convention) — and PQ training
+cost is CONSTANT by construction (a bounded 256-row sample regardless
+of corpus size).
+
+Reuses semantic_scale's replicate_embeddings sign-flip replication
+(orthogonal: within-replica cosines invariant, cross-replica ~0).
+Results rows -> SCALING.md.
+"""
+import json
+import os
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.ext.similarity import (
+    _to_double,
+    embedding_outlier_report,
+    ivf_kmeans_centroids,
+    pq_adc_topk,
+    pq_train_codebooks,
+)
+from etl_to_iceberg_spark.session import SessionConfig, get_spark
+from etl_to_iceberg_spark.sources.tables import load_table
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+
+spark = get_spark(
+    SessionConfig(
+        app_name="pq-scale",
+        local_cores=32,
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+)
+spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
+ui = spark.sparkContext.uiWebUrl
+
+
+def shuffle_write_bytes():
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/executors"
+        ) as r:
+            return sum(e.get("totalShuffleWrite", 0) for e in json.load(r))
+    except Exception:
+        return None
+
+
+def timed(run):
+    run()  # warm
+    best, sw = None, None
+    for _ in range(3):
+        s0 = shuffle_write_bytes()
+        t0 = time.perf_counter()
+        run()
+        el = time.perf_counter() - t0
+        s1 = shuffle_write_bytes()
+        if best is None or el < best:
+            best = el
+            sw = None if (s0 is None or s1 is None) else s1 - s0
+    return best, sw
+
+
+spark.range(1000).selectExpr("sum(id)").collect()
+
+def replicate_embeddings(emb, r):
+    """semantic_scale.py's seeded sign-flip replication (that file is a
+    measurement script — runs at import — so the 30 lines are repeated
+    here rather than imported): orthogonal per-replica sign patterns
+    keep within-replica cosines invariant and cancel cross-replica
+    ones."""
+    import random
+
+    d = 64
+    parts = []
+    for i in range(r):
+        rng = random.Random(9000 + i)
+        signs = F.array(
+            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
+              for _ in range(d)]
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    signs,
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+base = load_table(spark, SRC, "embeddings")
+_emb10_path = "/tmp/e2is_sf1_embeddings"
+if not os.path.isdir(_emb10_path):
+    replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
+
+for sf_name, (emb, nlist) in {
+    "sf0.1": (base.select("vec_id", "embedding"), 16),
+    "sf1 (10x)": (spark.read.parquet(_emb10_path), 160),
+}.items():
+    n = emb.count()
+    cents = ivf_kmeans_centroids(emb, nlist=nlist, train_fraction=0.5)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin rows
+    t0 = time.perf_counter()
+    cbs = pq_train_codebooks(emb, m=8, dsub=8, ksub=16, train_rows=256)
+    cbs = spark.createDataFrame(cbs.collect(), cbs.schema)
+    train_s = time.perf_counter() - t0
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    nq = q.count()
+
+    def run_pq():
+        pq_adc_topk(
+            c, q, cents, cbs, k=10, nprobe=4, m=8, dsub=8, rerank=64
+        ).write.format("noop").mode("overwrite").save()
+
+    best, sw = timed(run_pq)
+    print(
+        f"{sf_name} ann_ivf_pq: n={n} nq={nq} nlist={nlist} "
+        f"train={train_s:.2f}s wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 2)}MB"
+    )
+
+    def run_outlier():
+        embedding_outlier_report(
+            emb, cents, margin=0.1
+        ).write.format("noop").mode("overwrite").save()
+
+    best, sw = timed(run_outlier)
+    flagged = (
+        embedding_outlier_report(emb, cents, margin=0.1)
+        .where("is_outlier")
+        .count()
+    )
+    print(
+        f"{sf_name} outlier_prune: n={n} nlist={nlist} wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 2)}MB flagged={flagged}"
+    )
+spark.stop()

@@ -46,6 +46,14 @@ QUERIES = [
     "corpus_bloom_decontaminate",
     "corpus_token_budget_mix",
     "text_entropy_filter",
+    # r9 additions, tranche 3: corpus bigram LM (vocabulary-sized tables
+    # + one doc agg) and the eval-overlap contamination report
+    # (decontaminate's broadcast shape, counts instead of drops).
+    # similarity_ann_ivf_pq / corpus_embedding_outlier_prune are
+    # measured in tools/pq_scale.py with nlist scaled to the corpus,
+    # like their quantizer siblings.
+    "text_bigram_logprob",
+    "corpus_eval_overlap_report",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
