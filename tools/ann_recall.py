@@ -162,6 +162,38 @@ for regime, corpus in (
                         "wall_s": round(wall, 2)}
         print(key, results[key], flush=True)
 
+    # IVF-PQ (r9): same routing cost axis as ivf (cand_frac =
+    # nprobe/nlist), but candidates scored from 8-byte codes; the
+    # rerank row shows what the exact-cosine refine of the ADC top-64
+    # shortlist recovers (compression error decides the shortlist,
+    # never the final order).
+    from etl_to_iceberg_spark.ext.similarity import (
+        _to_double,
+        ivf_kmeans_centroids,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    nlist, nprobe = 64, 8
+    cents = ivf_kmeans_centroids(corpus, nlist=nlist, train_fraction=0.5)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    cbs = pq_train_codebooks(corpus, m=8, dsub=8, ksub=16, train_rows=256)
+    cbs = spark.createDataFrame(cbs.collect(), cbs.schema)
+    c = corpus.select("vec_id", _to_double("embedding").alias("__v"))
+    qv = queries.select("query_id", _to_double("embedding").alias("__v"))
+    for rerank in (None, 64):
+        t0 = time.perf_counter()
+        approx = pq_adc_topk(c, qv, cents, cbs, k=K, nprobe=nprobe,
+                             m=8, dsub=8, rerank=rerank)
+        r = recall_at_k(approx, exact)
+        wall = time.perf_counter() - t0
+        key = (f"{regime}/ivfpq nlist{nlist} nprobe{nprobe} "
+               f"rerank{rerank or 0}")
+        results[key] = {"recall": round(r, 3),
+                        "cand_frac": round(nprobe / nlist, 4),
+                        "wall_s": round(wall, 2)}
+        print(key, results[key], flush=True)
+
     exact.unpersist()
     queries.unpersist()
     corpus.unpersist()
