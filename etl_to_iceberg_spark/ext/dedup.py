@@ -775,6 +775,69 @@ def _reliable_checkpoint(spark):
     return lambda df: df.checkpoint(eager=True)
 
 
+def _local_contraction(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Per-partition union-find over the RAW edge list → ``(node, root)``
+    pairs, where root = the min id of the node's WITHIN-PARTITION
+    component.
+
+    Arrow-batched ``mapInPandas`` with state accumulated across the
+    partition's batch iterator — a union-find needs whole-partition scope,
+    which mapInPandas provides (one generator invocation per partition).
+    Direction, duplicates and self-loops are all no-ops to a union-find,
+    so this consumes the edge relation AS-IS: no symmetrize, no
+    ``distinct()``, no shuffle at all beyond whatever partitioning the
+    edges already carry (any partitioning is correct — the contraction is
+    purely a seed, the bridge fixpoint merges across partitions).
+
+    Union-by-min keeps the invariant "a root is the minimum id of its
+    tree" (both candidate roots are their trees' minima; the union keeps
+    the smaller), so the final root IS the local component min — no
+    second pass. Path compression in ``find`` bounds the chain walks.
+
+    Memory: one dict entry per distinct endpoint in the partition. Edges
+    are degree-capped ≤ k·n upstream (mutual-kNN / banded candidates), so
+    at 100 TB the edge partition count is sized so a partition's
+    endpoints fit the executor heap (~2M endpoints ≈ 300 MB of dict);
+    `spark.sql.files.maxPartitionBytes` / an upstream repartition governs
+    that, not this operator."""
+    node_t = dict(edges.dtypes)[src_col]
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["__s"].tolist(), pdf["__d"].tolist()):
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        if not parent:
+            return
+        members = list(parent)
+        roots = [find(v) for v in members]
+        for i in range(0, len(members), 1 << 16):
+            yield pd.DataFrame(
+                {"node": members[i : i + (1 << 16)], "root": roots[i : i + (1 << 16)]}
+            )
+
+    return edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).mapInPandas(contract, schema=f"node {node_t}, root {node_t}")
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -795,51 +858,85 @@ def connected_components(
     "one doc per matched pair" under-deletes; one doc per component is
     the production semantics.
 
-    Scale shape: each round is (1) edges join labels on dst, groupBy src
-    takes the min neighbor label, and nodes fold it in with ``least``;
-    (2) POINTER DOUBLING — every node jumps to its label's label (a
-    self-join of the label table, which is tiny next to the edge
-    relation), so label chains halve each round and convergence is
-    O(log diameter) rounds, not O(diameter): a 10M-node path converges
-    in ~24 rounds where pure neighbor propagation would need 10M (and
-    would silently return a half-propagated labeling when
-    ``max_iterations`` ran out). Each round is RELIABLY checkpointed
-    (``df.checkpoint()`` to the session's checkpoint dir) so (a) the
-    plan doesn't grow exponentially and (b) a lost executor
-    mid-fixpoint recomputes from durable storage instead of killing the
-    whole job — ``localCheckpoint`` keeps blocks only in executor
-    memory, which is not survivable on a real cluster. The round's OLD
-    label rides the checkpointed frame as ``__old``, so termination
-    detection is a trivial scan of the checkpoint (label != __old,
-    limit 1) instead of a per-round join of two label tables. The
+    Scale shape (two phases since r11 — the fixpoint round count, not the
+    data volume, was the measured wall even at sf0.01):
+
+    **Phase 1 — local contraction.** A per-partition union-find over the
+    raw edge list (``_local_contraction``) labels every edge-incident
+    node with its WITHIN-PARTITION component minimum, in one distributed
+    pass with zero shuffles. ``M(n)`` = min of n's local roots across
+    partitions (one groupBy of the (node, root) pairs). Since each local
+    root is reachable from n, contracting by M is a quotient that
+    preserves components.
+
+    **Phase 2 — bridge fixpoint.** The only connectivity the contraction
+    can miss crosses partitions through a SHARED node — a node whose
+    partitions disagree on its root. Each such node's root-set becomes a
+    star of bridge edges (min-root ↔ other roots); the global min id of
+    any multi-partition component is itself a local root (local minima of
+    subsets that contain the global min), so min-label propagation +
+    POINTER DOUBLING over this bridge graph — typically orders of
+    magnitude smaller than the edge relation, often empty — converges to
+    the true component minima in O(log bridge-diameter) rounds. Where the
+    pre-r11 shape ran ~14 blocking rounds over the full incident-node
+    set (16s of round overhead even at sf0.01), the bridge fixpoint runs
+    0–4 rounds over the contracted graph.
+
+    Each round is RELIABLY checkpointed (``df.checkpoint()`` to the
+    session's checkpoint dir) so (a) the plan doesn't grow exponentially
+    and (b) a lost executor mid-fixpoint recomputes from durable storage
+    instead of killing the whole job — ``localCheckpoint`` would pin
+    blocks in executor memory, not survivable on a real cluster. The
+    round's OLD label rides the checkpointed frame as ``__old``, so
+    termination detection is a trivial scan of the checkpoint. The
     driver-side loop is inherent to iterative fixpoints (same as
     GraphX/Pregel); everything inside the loop is distributed. (The
-    large-star/small-star rounds of Kiveris et al. are the same idea
-    with edge-set rewriting; label-side doubling keeps the edge relation
-    static and checkpoints only the label table.)
+    large-star/small-star rounds of Kiveris et al. are the same
+    contraction idea with edge-set rewriting; seeding with a partition-
+    local union-find gets the same collapse in a single pass and keeps
+    the distributed rounds for genuinely cross-partition chains only.)
     """
     ckpt = _reliable_checkpoint(edges.sparkSession)
-    sym = edges.select(
-        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
-    ).union(
-        edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
-    )
-    sym = ckpt(sym.where(F.col("e_src") != F.col("e_dst")).distinct())
-
-    # Only EDGE-INCIDENT nodes can ever change labels; in a near-dup graph
-    # the overwhelming majority of docs are isolated, so iterating over all
-    # of them joins, shuffles, and checkpoints dead weight every round. The
-    # fixpoint runs on nodes ∩ edge endpoints; isolated nodes rejoin at the
-    # end as their own singleton clusters (identical semantics, and the
-    # per-round state is O(candidate-pair nodes) instead of O(corpus)).
-    incident = sym.select(F.col("e_src").alias("node")).distinct()
     all_nodes = nodes.select(F.col(id_col).alias("node"))
+
+    # Phase 1: local contraction. groupBy(node) both takes the min root
+    # (the seed label M) and collects the root-set that generates bridge
+    # edges. Checkpointed once — both consumers below read it, and it
+    # truncates the upstream candidate-pair plan (minhash/kNN pipelines)
+    # the way the pre-r11 edge checkpoint did.
+    seeded = ckpt(
+        _local_contraction(edges, src_col, dst_col)
+        .groupBy("node")
+        .agg(
+            F.min("root").alias("label"),
+            F.collect_set("root").alias("__roots"),
+        )
+    )
+    m_map = seeded.select("node", "label")
+
+    # Phase 2: bridge graph over local roots. A node seen by >1 partition
+    # with differing roots proves those roots are one component.
+    bridge = (
+        seeded.where(F.size("__roots") > 1)
+        .select(F.col("label").alias("e_src"), F.explode("__roots").alias("e_dst"))
+        .where(F.col("e_src") != F.col("e_dst"))
+    )
+    sym = ckpt(
+        bridge.union(
+            bridge.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+        ).distinct()
+    )
+
     labels = ckpt(
-        all_nodes.join(incident, "node", "left_semi")
+        sym.select(F.col("e_src").alias("node"))
+        .distinct()
         .select("node", F.col("node").alias("label"))
     )
 
     rounds = 0
+    if sym.limit(1).count() == 0:
+        # Every component was partition-local: the contraction is final.
+        max_iterations = 0
     for _ in range(max_iterations):
         rounds += 1
         nbr_min = (
@@ -888,10 +985,17 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
 
+    # Compose: n → M(n) (local-contraction seed) → bridge label of M(n).
+    # Nodes whose component never crossed a partition miss the bridge
+    # table (coalesce to the seed); isolated nodes miss both (singleton).
+    root_labels = labels.select(
+        F.col("node").alias("__r"), F.col("label").alias("__rl")
+    )
     return (
-        all_nodes.join(labels, "node", "left_outer")
+        all_nodes.join(m_map, "node", "left_outer")
+        .join(root_labels, F.col("label") == F.col("__r"), "left_outer")
         .select(
             F.col("node").alias(id_col),
-            F.coalesce("label", F.col("node")).alias("cluster_id"),
+            F.coalesce("__rl", "label", "node").alias("cluster_id"),
         )
     )

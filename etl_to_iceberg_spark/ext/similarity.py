@@ -398,20 +398,16 @@ def semantic_clusters(
         .where((F.col("__n") == 2) & (F.col("__c") >= threshold))
         .select("src", "dst")
     )
-    # RELIABLY CHECKPOINT the edge list before the fixpoint: it is
-    # consumed several times before the fixpoint's own first checkpoint
-    # (symmetrize = union of two branches, plus the incident-node seed)
-    # — unmaterialized, each consumer re-executes the whole kNN-graph
-    # pipeline (measured +40% at sf0.1) — and truncation keeps the
-    # fixpoint's growing plans rooted at a leaf with real stats. The
-    # checkpoint is tiny: two longs per mutual edge, ≤ k·n rows by the
-    # degree bound.
-    from etl_to_iceberg_spark.ext.dedup import _reliable_checkpoint
-
-    ckpt = _reliable_checkpoint(corpus.sparkSession)
-    edges = ckpt(mutual)
+    # No edge checkpoint since r11: connected_components' local-
+    # contraction phase consumes the edge relation exactly ONCE (a single
+    # mapInPandas pass — no symmetrize union, no incident-node seed), and
+    # its own first checkpoint (the contracted (node, root) aggregate)
+    # truncates the kNN plan for everything downstream. The pre-r11 edge
+    # checkpoint existed because three consumers each re-executed the
+    # whole kNN pipeline (measured +40% at sf0.1); with one consumer it
+    # was a pure extra materialization.
     labels = connected_components(
-        edges,
+        mutual,
         corpus.select(F.col(id_col).alias("vec_id")),
         id_col="vec_id",
         stats=stats,

@@ -288,6 +288,33 @@ def test_connected_components_long_chain_converges_log_rounds(spark):
     assert len(out) == n
 
 
+def test_connected_components_cross_partition_bridges(spark):
+    """Force the edge list across many partitions so components span
+    partitions and the r11 BRIDGE fixpoint (not just the per-partition
+    union-find contraction) carries the merge. AQE coalesces small edge
+    relations to one partition in the composite queries, so without an
+    explicit repartition this path would only ever run at scale. Chains
+    interleave ids (i, i+500, ...) so hash partitioning scatters each
+    component widely; expected label = min id of each chain."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    # 10 chains of 50 nodes each: chain c holds ids {c, c+10, c+20, ...}
+    edges_rows = [
+        (c + 10 * j, c + 10 * (j + 1)) for c in range(10) for j in range(49)
+    ]
+    edges = spark.createDataFrame(edges_rows, "src long, dst long").repartition(16)
+    nodes = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    stats: dict = {}
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes, stats=stats).collect()
+    }
+    assert out == {i: i % 10 for i in range(500)}
+    # the contraction alone cannot finish a 16-partition interleaved
+    # chain — the bridge fixpoint must actually run
+    assert stats["rounds"] >= 1
+
+
 def test_minhash_identical_flood_is_collapsed_not_quadratic(spark):
     """10k byte-identical docs — the crawl-boilerplate pathology. The
     exact-collapse guard must reduce the LSH join to ONE representative
