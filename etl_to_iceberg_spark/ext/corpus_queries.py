@@ -164,7 +164,8 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFK_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids")
+_IVFK_PARAMS = {"nlist": 16, "train_fraction": 0.5}
+_IVFK_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids", _IVFK_PARAMS)
 # same contract as the dedup sketch sidecars (sidecars.py docstring)
 
 
@@ -179,11 +180,11 @@ def _ivfk_centroids(spark: SparkSession, sf_dir: str):
     from etl_to_iceberg_spark.ext.similarity import ivf_kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    side = sidecars.sidecar_path("ivfk_centroids", sf_dir)
+    side = sidecars.sidecar_path("ivfk_centroids", sf_dir, _IVFK_PARAMS)
     sidecars.ensure_sidecar(
         side,
         sf_dir,
-        lambda: ivf_kmeans_centroids(emb, nlist=16, train_fraction=0.5),
+        lambda: ivf_kmeans_centroids(emb, **_IVFK_PARAMS),
     )
     return spark.read.parquet(side).select("cell", "__cent")
 
@@ -474,7 +475,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFK_V2_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids_v2")
+_IVFK_V2_PARAMS = {"nlist": 16, "train_fraction": 0.3, "seed": 29}
+_IVFK_V2_SIDECAR = sidecars.oracle_sidecar_path(
+    "ivfk_centroids_v2", _IVFK_V2_PARAMS
+)
 
 
 @register(
@@ -552,13 +556,11 @@ def similarity_quantizer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     old = _ivfk_centroids(spark, sf_dir)
-    side = sidecars.sidecar_path("ivfk_centroids_v2", sf_dir)
+    side = sidecars.sidecar_path("ivfk_centroids_v2", sf_dir, _IVFK_V2_PARAMS)
     sidecars.ensure_sidecar(
         side,
         sf_dir,
-        lambda: ivf_kmeans_centroids(
-            emb, nlist=16, train_fraction=0.3, seed=29
-        ),
+        lambda: ivf_kmeans_centroids(emb, **_IVFK_V2_PARAMS),
     )
     new = spark.read.parquet(side).select("cell", "__cent")
     return quantizer_refresh_report(emb, old, new)
@@ -1679,9 +1681,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF-PQ: the compressed-index ANN scale path -----------------------------
 
-_PQ_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks")
 _PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
 _PQ_RERANK = 64
+_PQ_PARAMS = {"m": _PQ_M, "dsub": _PQ_DSUB, "ksub": _PQ_KSUB, "train_rows": 256}
+_PQ_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks", _PQ_PARAMS)
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
@@ -1693,13 +1696,11 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     from etl_to_iceberg_spark.ext.similarity import pq_train_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    side = sidecars.sidecar_path("pq_codebooks", sf_dir)
+    side = sidecars.sidecar_path("pq_codebooks", sf_dir, _PQ_PARAMS)
     sidecars.ensure_sidecar(
         side,
         sf_dir,
-        lambda: pq_train_codebooks(
-            emb, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB, train_rows=256
-        ),
+        lambda: pq_train_codebooks(emb, **_PQ_PARAMS),
     )
     return spark.read.parquet(side).select("m", "code", "cent")
 
@@ -1893,7 +1894,7 @@ def corpus_embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFram
     mislabeled/garbled/exotic sample — prune or down-weight it before
     training): assign each vector to its nearest stored-quantizer cell,
     compare its assignment cosine to the CELL's mean, flag vectors more
-    than {_OUTLIER_MARGIN} below it. Emits the audit columns for every
+    than ``_OUTLIER_MARGIN`` (0.1) below it. Emits the audit columns for every
     vector (is_outlier boolean) so thresholding stays a downstream
     filter.
 

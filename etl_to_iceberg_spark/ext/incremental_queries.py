@@ -38,7 +38,9 @@ from etl_to_iceberg_spark.scratch import scratch_dir
 
 _sid_work_cache: dict[str, str] = {}  # sf_dir -> streaming-dedup work dir
 
-_MH_TICK_SIDECAR = sidecars.oracle_sidecar_path("mh_tick_sigs")
+# effective minhash_index_rows knobs (its defaults)
+_MH_TICK_PARAMS = {"num_hashes": 32, "shingle_n": 3, "bands": 8}
+_MH_TICK_SIDECAR = sidecars.oracle_sidecar_path("mh_tick_sigs", _MH_TICK_PARAMS)
 # same contract as ext/queries' sidecars: the query writes the corpus's
 # (doc_id, sig, band_hashes) rows (minhash_index_rows — num_hashes=32,
 # bands=8, the tick's parameters) once per (process, sf_dir); the static
@@ -294,7 +296,7 @@ def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load_balanced(spark, sf_dir, "documents")
     sidecars.ensure_sidecar(
-        sidecars.sidecar_path("mh_tick_sigs", sf_dir),
+        sidecars.sidecar_path("mh_tick_sigs", sf_dir, _MH_TICK_PARAMS),
         sf_dir,
         lambda: minhash_index_rows(docs),
     )
@@ -345,7 +347,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             # blocks died with the session; nothing to release
     docs = _load_balanced(spark, sf_dir, "documents")
     sidecars.ensure_sidecar(
-        sidecars.sidecar_path("mh_tick_sigs", sf_dir),
+        sidecars.sidecar_path("mh_tick_sigs", sf_dir, _MH_TICK_PARAMS),
         sf_dir,
         lambda: minhash_index_rows(docs),
     )

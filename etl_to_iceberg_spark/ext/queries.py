@@ -293,7 +293,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical whenever the oracle actually runs (the driver contract).
 _ensure_sidecar = ensure_sidecar  # back-compat alias (tests, siblings)
 
-_MINHASH_SIDECAR = oracle_sidecar_path("minhash_sidecar")
+# effective sketch knobs: minhash_signatures defaults + the band count
+_MINHASH_PARAMS = {"num_hashes": 32, "shingle_n": 3, "bands": 16}
+_MINHASH_SIDECAR = oracle_sidecar_path("minhash_sidecar", _MINHASH_PARAMS)
 
 
 @register(
@@ -382,7 +384,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.ext.incremental import band_hashes
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    side = sidecar_path("minhash_sidecar", sf_dir)
+    side = sidecar_path("minhash_sidecar", sf_dir, _MINHASH_PARAMS)
     ensure_sidecar(
         side,
         sf_dir,
@@ -396,7 +398,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_bands(stored, docs, threshold=0.6)
 
 
-_SIMHASH_SIDECAR = oracle_sidecar_path("simhash_sigs")
+_SIMHASH_PARAMS = {"bits": 32}
+_SIMHASH_SIDECAR = oracle_sidecar_path("simhash_sigs", _SIMHASH_PARAMS)
 # Embedded in the static oracle SQL below. The query writes the
 # Spark-computed signatures (overwrite) and builds its own result FROM
 # the written files, so the oracle and the Spark result always read the
@@ -463,7 +466,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.ext.dedup import simhash, simhash_pairs
 
     docs = _load_balanced(spark, sf_dir, "documents")
-    side = sidecar_path("simhash_sigs", sf_dir)
+    side = sidecar_path("simhash_sigs", sf_dir, _SIMHASH_PARAMS)
     ensure_sidecar(
         side,
         sf_dir,

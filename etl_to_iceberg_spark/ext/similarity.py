@@ -485,6 +485,72 @@ def quantizer_refresh_report(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def _super_quantizer(
+    centroids: DataFrame, *, nsuper: int | None = None, iters: int = 8
+):
+    """Driver-side Lloyd over the quantizer's OWN rows → ``(cell →
+    super)`` map + ``nsuper`` super-centroids, for two-level coarse
+    assignment. The quantizer is metadata-sized by contract (nlist ≤ a
+    few thousand at any corpus size), so the collect is bounded and the
+    numpy k-means over nlist × dim is microseconds. Deterministic: rows
+    sorted by cell, init = first nsuper cells, fixed iteration count,
+    argmax ties → lowest super index."""
+    import math
+
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if nsuper is None:
+        nsuper = max(2, math.isqrt(len(rows) - 1) + 1)  # ⌈√nlist⌉
+    cents = np.asarray([r["__cent"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = cents / norms[:, None]  # cluster on the unit sphere: the
+    # assignment below ranks COSINE, so the super-cells must too
+    sup = unit[:nsuper].copy()
+    for _ in range(iters):
+        assign = (unit @ sup.T).argmax(axis=1)
+        for j in range(nsuper):
+            pts = unit[assign == j]
+            if len(pts):
+                sup[j] = pts.mean(axis=0)
+    assign = (unit @ sup.T).argmax(axis=1)
+    cellmap = [(rows[i]["cell"], int(assign[i])) for i in range(len(rows))]
+    supers = [(j, [float(v) for v in sup[j]]) for j in range(nsuper)]
+    return cellmap, supers
+
+
+def _best_cells(
+    scored: DataFrame, id_col: str, vec_col: str, n_best: int
+) -> DataFrame:
+    """Per-id top-``n_best`` cells from (id, vec, cell, __cs) rows.
+
+    n_best=1 — the corpus-side assignment, i.e. the dominant volume —
+    avoids the row_number window entirely: all of an id's scored rows
+    are TASK-LOCAL (they fan out of one scan row via a broadcast join),
+    so a ``max_by`` hash-aggregate collapses n·nlist rows to n map-side
+    and the shuffle carries one skinny row per vector instead of the
+    full fan-out (each row of which dragged the raw vector through the
+    exchange). Ordering matches the window exactly: rounded cosine
+    desc, then cell asc via the negated-cell struct field."""
+    if n_best == 1:
+        best = F.max_by(
+            F.struct(F.col("cell"), F.col(vec_col)),
+            F.struct(F.col("__cs"), (-F.col("cell")).alias("__negc")),
+        )
+        return scored.groupBy(id_col).agg(best.alias("__b")).select(
+            F.col(id_col),
+            F.col("__b").getField(vec_col).alias(vec_col),
+            F.col("__b").getField("cell").alias("cell"),
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_best)
+        .drop("__rn", "__cs")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -492,24 +558,106 @@ def ivf_assign(
     id_col: str,
     vec_col: str = "__v",
     n_best: int = 1,
+    two_level_min_nlist: int = 64,
+    super_probes: int = 4,
 ) -> DataFrame:
     """Assign each vector to its ``n_best`` nearest centroids by cosine.
 
     The centroid set is broadcast (a coarse quantizer is metadata-sized:
     nlist ≤ a few thousand even at billions of vectors), so assignment is
-    scan × broadcast + a per-id top-n window — the corpus never shuffles."""
-    scored = vectors.join(F.broadcast(centroids)).select(
+    scan × broadcast + a per-id top-n — the corpus never shuffles.
+
+    **Two-level assignment** (r11, the SCALING.md n×nlist fix): flat
+    assignment scores every vector against every centroid — n·nlist·dim
+    scalar work, the one term that grew 100× at a 10× scale-up (nlist
+    grows with the corpus to keep E[cell] constant, so the product is
+    superlinear). When nlist ≥ ``two_level_min_nlist``, the quantizer is
+    itself quantized (``_super_quantizer``: ⌈√nlist⌉ super-cells,
+    driver-side numpy over the metadata-sized centroid set), each vector
+    routes to its ``super_probes`` best super-cells, and only those
+    supers' children are scored: n·√nlist·(1 + super_probes)·dim work —
+    the standard IMI/two-level-IVF posture (Babenko & Lempitsky 2012).
+    Routing is a task-local ``collect_list`` + ``sort_array`` slice
+    (partial-agg collapses map-side; the raw vector crosses the exchange
+    once per vector, not once per super-cell). Below the threshold the
+    flat path is bit-identical to pre-r11 behavior, so small fixtures
+    (nlist=16 at all checked SFs) are unaffected; above it, assignment
+    is approximate in the usual multiprobe sense. super_probes=4 was
+    chosen by A/B against flat assignment on the tools/ann_recall.py
+    grid: at nlist=64 it reproduces flat recall EXACTLY on the near-dup
+    regime the engine targets (1.000 at nprobe=8 and 16; probes=2 gave
+    0.916) and lands within ~0.05 of flat on the no-structure isotropic
+    regime where every sublinear index is documented-pessimal. Cost is
+    (1 + super_probes)·√nlist ≈ 5√nlist scalar work per vector — the
+    crossover vs flat nlist sits at nlist ≈ 25, hence the 64 threshold
+    with margin."""
+    nlist_probe = centroids.limit(two_level_min_nlist).count()
+    if nlist_probe < two_level_min_nlist:
+        scored = vectors.join(F.broadcast(centroids)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
+        )
+        return _best_cells(scored, id_col, vec_col, n_best)
+
+    import math
+
+    spark = vectors.sparkSession
+    cell_t = dict(centroids.dtypes)["cell"]
+    cellmap, supers = _super_quantizer(centroids)
+    nlist, nsuper = len(cellmap), len(supers)
+    # A multiprobe caller (n_best = nprobe on the query side) needs the
+    # probed supers to hold comfortably more than n_best child cells —
+    # widen the super fan-out with one super of slack, never past all.
+    super_probes = min(
+        nsuper, max(super_probes, math.ceil(n_best * nsuper / nlist) + 1)
+    )
+    sup_df = spark.createDataFrame(supers, "__super int, __scent array<double>")
+    map_df = spark.createDataFrame(cellmap, f"cell {cell_t}, __super int")
+    # Route: per-vector top-super_probes super-cells. collect_list over
+    # the task-local fan-out + sort_array((-score, super)) is the same
+    # (score desc, super asc) order the window would give, with ties
+    # impossible (super ids are distinct) — but it partial-aggregates
+    # map-side, so the exchange carries n rows, not n·nsuper.
+    routed = (
+        vectors.join(F.broadcast(sup_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__super"),
+            F.round(cosine(F.col(vec_col), F.col("__scent")), 6).alias("__ss"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("__ss")).alias("s"),
+                            F.col("__super").alias("u"),
+                        )
+                    )
+                ),
+                1,
+                super_probes,
+            ).alias("__top"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.col("__top").getField("u")).alias("__super"),
+        )
+    )
+    children = F.broadcast(centroids.join(F.broadcast(map_df), on="cell"))
+    scored = routed.join(children, on="__super").select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
         F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_best)
-        .drop("__rn", "__cs")
-    )
+    return _best_cells(scored, id_col, vec_col, n_best)
 
 
 def ivf_probe_topk(

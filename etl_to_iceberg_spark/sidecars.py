@@ -77,16 +77,37 @@ def sidecar_base() -> str:
     return base
 
 
-def sidecar_path(name: str, sf_dir: str) -> str:
-    """Sidecar directory for (operator-family ``name``, ``sf_dir``)."""
+def _params_key(params: dict) -> str:
+    """Stable fingerprint of a training-parameter dict (sorted repr —
+    values are small literals at every call site)."""
+    return hashlib.sha1(repr(sorted(params.items())).encode()).hexdigest()[:8]
+
+
+def sidecar_path(name: str, sf_dir: str, params: dict | None = None) -> str:
+    """Sidecar directory for (operator-family ``name``, ``sf_dir``,
+    training ``params``).
+
+    Keying on params (ADVICE r9): a sidecar is the STORED-MODEL half of
+    its operator — trained with specific knobs (nlist, m/dsub/ksub,
+    bands, bits, …). Before r11 a parameter change reused the old
+    directory, silently serving a stale sketch to engine AND oracle:
+    parity stayed green while both sides computed the wrong model.
+    Folding a fingerprint of the params into the path makes a knob
+    change a NEW sidecar the same way a different sf_dir is, and two
+    processes running different-param builds never race one directory.
+    Callers pass the same dict to this and to the import-time
+    ``oracle_sidecar_path`` (module-level constants at each site, so
+    the two cannot drift)."""
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    if params:
+        key = f"{key}_{_params_key(params)}"
     return os.path.join(sidecar_base(), f"{name}_{key}")
 
 
-def oracle_sidecar_path(name: str) -> str:
+def oracle_sidecar_path(name: str, params: dict | None = None) -> str:
     """The path the import-time oracle SQL embeds — ``name`` keyed by
-    the pinned oracle SF (see module docstring)."""
-    return sidecar_path(name, oracle_sf_dir())
+    the pinned oracle SF (see module docstring) and ``params``."""
+    return sidecar_path(name, oracle_sf_dir(), params)
 
 
 def ensure_sidecar(path: str, sf_dir: str, build) -> None:

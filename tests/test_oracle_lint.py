@@ -27,27 +27,34 @@ _BANNED = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
 # without the query, so seed each path with one schema-correct row if
 # it's absent. Paths come from sidecars.oracle_sidecar_path — the same
 # call the oracle SQL f-strings embed at import.
+from etl_to_iceberg_spark.ext.corpus_queries import (
+    _IVFK_PARAMS,
+    _IVFK_V2_PARAMS,
+    _PQ_PARAMS,
+)
+from etl_to_iceberg_spark.ext.incremental_queries import _MH_TICK_PARAMS
+from etl_to_iceberg_spark.ext.queries import _MINHASH_PARAMS, _SIMHASH_PARAMS
 from etl_to_iceberg_spark.sidecars import oracle_sidecar_path
 
 _SIDECAR_SEEDS = {
-    oracle_sidecar_path("simhash_sigs"): (
+    oracle_sidecar_path("simhash_sigs", _SIMHASH_PARAMS): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS simhash"
     ),
-    oracle_sidecar_path("minhash_sidecar"): (
+    oracle_sidecar_path("minhash_sidecar", _MINHASH_PARAMS): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST('' AS VARCHAR) AS fp, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
     ),
-    oracle_sidecar_path("ivfk_centroids"): (
+    oracle_sidecar_path("ivfk_centroids", _IVFK_PARAMS): (
         'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
     ),
-    oracle_sidecar_path("ivfk_centroids_v2"): (
+    oracle_sidecar_path("ivfk_centroids_v2", _IVFK_V2_PARAMS): (
         'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
     ),
-    oracle_sidecar_path("pq_codebooks"): (
+    oracle_sidecar_path("pq_codebooks", _PQ_PARAMS): (
         "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS code, "
         "CAST([0.0] AS DOUBLE[]) AS cent"
     ),
-    oracle_sidecar_path("mh_tick_sigs"): (
+    oracle_sidecar_path("mh_tick_sigs", _MH_TICK_PARAMS): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
     ),

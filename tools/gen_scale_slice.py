@@ -1,4 +1,4 @@
-"""Generate a 10x replica of sf0.1 into $SCALE_DST (default /tmp/e2is_sf1).
+"""Generate a 10x replica of sf0.1 into $SCALE_DST (default <tmp>/e2is-<uid>/sf1).
 
 Run: PYTHONPATH=. python tools/gen_scale_slice.py  (~1 min on local[32])
 
@@ -15,7 +15,7 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
-DST = os.environ.get("SCALE_DST", "/tmp/e2is_sf1")
+DST = os.environ.get("SCALE_DST", os.path.join(__import__("tempfile").gettempdir(), f"e2is-{os.getuid()}", "sf1"))
 R = 10
 
 from pyspark.sql import functions as F

@@ -38,7 +38,7 @@ from etl_to_iceberg_spark.tables import Catalog
 
 SFS = {
     "sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
-    "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1"),
+    "sf1": os.environ.get("SCALE_DST", os.path.join(__import__("tempfile").gettempdir(), f"e2is-{os.getuid()}", "sf1")),
 }
 
 spark = get_spark(

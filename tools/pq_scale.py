@@ -30,6 +30,7 @@ from etl_to_iceberg_spark.ext.similarity import (
     pq_train_codebooks,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
+from etl_to_iceberg_spark.sidecars import sidecar_base
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
@@ -107,7 +108,9 @@ def replicate_embeddings(emb, r):
 
 
 base = load_table(spark, SRC, "embeddings")
-_emb10_path = "/tmp/e2is_sf1_embeddings"
+# uid-scoped (sidecars.sidecar_base): the old world-shared /tmp path was
+# exactly the foreign-content hazard the sidecar relocation killed
+_emb10_path = os.path.join(sidecar_base(), "sf1_embeddings")
 if not os.path.isdir(_emb10_path):
     replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
 

@@ -56,7 +56,7 @@ QUERIES = [
     "corpus_eval_overlap_report",
 ]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
-       "sf1": os.environ.get("SCALE_DST", "/tmp/e2is_sf1")}
+       "sf1": os.environ.get("SCALE_DST", os.path.join(__import__("tempfile").gettempdir(), f"e2is-{os.getuid()}", "sf1"))}
 
 spark = get_spark(SessionConfig(app_name="scale-bench", local_cores=32,
                                 shuffle_partitions=32,

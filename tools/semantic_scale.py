@@ -25,6 +25,7 @@ from etl_to_iceberg_spark.ext.similarity import (
     semantic_dedup_pairs,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
+from etl_to_iceberg_spark.sidecars import sidecar_base
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
