@@ -1850,6 +1850,181 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RES_PARAMS = dict(_PQ_PARAMS, residual=True)
+_PQ_RES_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks", _PQ_RES_PARAMS)
+
+
+def _pq_res_codebooks(spark: SparkSession, sf_dir: str):
+    """Residual-trained PQ codebooks (IVFADC): same contract as
+    :func:`_pq_codebooks`, but the bounded training sample is replaced
+    by x − its assigned coarse centroid before the per-subspace Lloyd's
+    run. Params-keyed sidecar, so raw and residual codebooks never
+    share a directory."""
+    from etl_to_iceberg_spark.ext.similarity import pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = sidecars.sidecar_path("pq_codebooks", sf_dir, _PQ_RES_PARAMS)
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: pq_train_codebooks(
+            emb, **_PQ_PARAMS, centroids=_ivfk_centroids(spark, sf_dir)
+        ),
+    )
+    return spark.read.parquet(side).select("m", "code", "cent")
+
+
+@register(
+    "similarity_ann_ivf_pq_residual",
+    # Same two-sidecar resume as similarity_ann_ivf_pq, with the IVFADC
+    # differences mirrored exactly: codes quantize the RESIDUAL
+    # (v − assigned coarse centroid, elementwise double subtraction —
+    # bit-identical across engines), and the ADC score adds the exact
+    # per-(query, cell) centroid inner product as a DECIMAL(20,9)
+    # term-sum before the one double cast.
+    sql=f"""
+    WITH cb AS (
+      SELECT m, code, cent FROM read_parquet('{_PQ_RES_SIDECAR}/*.parquet')
+    ),
+    cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    sub AS (
+      SELECT e.vec_id, ms.m,
+             v[ms.m * {_PQ_DSUB} + 1 : (ms.m + 1) * {_PQ_DSUB}] AS sv
+      FROM e CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+    ),
+    sub_res AS (
+      SELECT s.vec_id, s.m,
+             list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> s.sv[i] - c.cv[s.m * {_PQ_DSUB} + i]) AS sv
+      FROM sub s
+      JOIN corpus_assign ca USING (vec_id)
+      JOIN cent c USING (cell)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> CAST((s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i])
+                             AS DECIMAL(20,9)))) ASC,
+                 c.code
+               ) AS rn
+        FROM sub_res s JOIN cb c USING (m)
+      ) WHERE rn <= 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> CAST(s.sv[i] * c.cent[i] AS DECIMAL(20,9)))) AS part
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id % 97 = 0
+    ),
+    cterm AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             list_sum(list_transform(range(1, {_PQ_M * _PQ_DSUB} + 1),
+               i -> CAST(e.v[i] * c.cv[i] AS DECIMAL(20,9)))) AS ct
+      FROM e CROSS JOIN cent c
+      WHERE e.vec_id % 97 = 0
+    ),
+    query_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell
+               ) AS rn
+        FROM e CROSS JOIN cent c
+        WHERE e.vec_id % 97 = 0
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT qa.query_id, ca.vec_id, ca.cell
+      FROM query_assign qa JOIN corpus_assign ca USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(CAST(ct.ct + SUM(l.part) AS DOUBLE), 6) AS score
+      FROM cand
+      JOIN codes k ON k.vec_id = cand.vec_id
+      JOIN lut l ON l.query_id = cand.query_id
+               AND l.m = k.m AND l.code = k.code
+      JOIN cterm ct ON ct.query_id = cand.query_id AND ct.cell = cand.cell
+      GROUP BY cand.query_id, cand.vec_id, ct.ct
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= {_PQ_RERANK}
+    ),
+    refined AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+      FROM shortlist s
+      JOIN e qe ON qe.vec_id = s.query_id
+      JOIN e ce ON ce.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM refined
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (Jegou et al. 2011 §III): identical routing, LUT
+    and refine tail to ``similarity_ann_ivf_pq``, but PQ codes encode
+    the RESIDUAL x − its assigned coarse centroid, and the ADC score
+    adds the exact per-(query, cell) centroid inner product. At equal
+    storage the codebooks model within-cell displacements instead of
+    the whole space — on the clustered recall-grid regime (the one
+    where compression error, not routing, binds) pure-ADC recall@10
+    lifts 0.326 → 0.410 vs raw codebooks; on the loose near-isotropic
+    fixtures the two tie (tools/ann_recall.py, r11). Scale shape
+    unchanged: the extra centroid term is one metadata-sized
+    queries × nlist broadcast cross."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivfk_centroids(spark, sf_dir)
+    codebooks = _pq_res_codebooks(spark, sf_dir)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    return pq_adc_topk(
+        c,
+        q,
+        centroids,
+        codebooks,
+        k=10,
+        nprobe=4,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        rerank=_PQ_RERANK,
+        residual=True,
+    )
+
+
 # Margin below the cell's mean assignment-cosine at which a vector is
 # flagged: generous enough that only genuine stragglers flag, tight
 # enough that the fixture's planted structure produces both verdicts.

@@ -874,6 +874,7 @@ def pq_train_codebooks(
     ksub: int = 16,
     train_rows: int = 256,
     iters: int = 12,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(m, code, cent) product-quantizer codebooks: per subspace, a
     ``ksub``-centroid Lloyd's run over a BOUNDED deterministic
@@ -884,7 +885,15 @@ def pq_train_codebooks(
     ``ksub`` sample rows in hash order; an emptied cluster keeps its
     previous centroid. EAGER: trains on call — persist the result (the
     ``similarity_ann_ivf_pq`` sidecar) and reuse, exactly like the IVF
-    coarse quantizer."""
+    coarse quantizer.
+
+    ``centroids`` switches to RESIDUAL training (IVFADC, Jégou et al.
+    2011 §III): each sample row is replaced by x − its assigned coarse
+    centroid before the per-subspace Lloyd's run, so the codebooks spend
+    their 2^bits entries on the within-cell displacement — much lower
+    variance than raw vectors — at identical storage. Assignment of the
+    bounded sample happens driver-side with the exact ivf_assign
+    ordering (rounded-6dp cosine desc, cell asc)."""
     import numpy as np
 
     rows = (
@@ -897,6 +906,16 @@ def pq_train_codebooks(
         .collect()
     )
     x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    if centroids is not None and x.shape[0]:
+        crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+        cmat = np.asarray([r["__cent"] for r in crows], dtype=np.float64)
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0.0] = 1.0
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0.0] = 1.0
+        cos = np.round((x / xn[:, None]) @ (cmat / cn[:, None]).T, 6)
+        best = cos.argmax(axis=1)  # ties -> lowest index = lowest cell
+        x = x - cmat[best]
     if x.shape[0] < ksub:
         raise ValueError(f"PQ training needs >= {ksub} rows, got {x.shape[0]}")
     if x.shape[1] != m * dsub:
@@ -927,6 +946,7 @@ def pq_codes(
     id_col: str = "vec_id",
     m: int = 4,
     dsub: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m, code): each vector's nearest codebook entry per subspace
     by squared L2 — THE compressed index. Fixed-width output (m small
@@ -935,7 +955,21 @@ def pq_codes(
     embeddings. Distances are summed as exact DECIMAL(20,9) terms so the
     argmin (ordered by distance, then code) is engine-independent —
     scan x broadcast(codebooks) + a (vector, subspace)-partitioned
-    top-1 window; group size is exactly ``ksub``."""
+    top-1 window; group size is exactly ``ksub``.
+
+    ``centroids`` switches to RESIDUAL codes: the encoded vector is
+    x − its assigned coarse centroid (one more scan × broadcast + an
+    element-wise zip_with — no extra shuffle), matching codebooks
+    trained with the same ``centroids``."""
+    if centroids is not None:
+        vectors = (
+            ivf_assign(vectors, centroids, id_col=id_col, vec_col="__v")
+            .join(F.broadcast(centroids), on="cell")
+            .select(
+                F.col(id_col),
+                F.zip_with("__v", "__cent", lambda a, b: a - b).alias("__v"),
+            )
+        )
     sub = pq_subvectors(vectors, id_col, m=m, dsub=dsub)
     d2 = _dec_sum(
         F.zip_with(
@@ -965,6 +999,7 @@ def pq_adc_topk(
     m: int = 4,
     dsub: int = 16,
     rerank: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance computation (Jegou et al.
     2011): route queries to ``nprobe`` coarse cells, score candidates
@@ -987,8 +1022,24 @@ def pq_adc_topk(
     a broadcast LUT of nq x m x ksub parts; raw embeddings appear only
     in the two scan-side assignment stages (cell routing + code
     derivation), each scan x broadcast + a bounded-group window, and —
-    with ``rerank`` — in the nq*R-row refine fetch."""
-    codes = pq_codes(c, codebooks, id_col="vec_id", m=m, dsub=dsub)
+    with ``rerank`` — in the nq*R-row refine fetch.
+
+    ``residual=True`` is the IVFADC form: codes encode x − its coarse
+    centroid (pass codebooks trained with the same ``centroids``), and
+    the ADC score adds the exact per-(query, cell) centroid inner
+    product — dot(q, cent_cell + r̂) = dot(q, cent_cell) + Σ_m LUT —
+    computed once over the metadata-sized queries × centroids cross
+    (DECIMAL term-sums, so the ranking stays engine-independent). Same
+    candidate volume, strictly better reconstruction: the codebooks
+    spend their entries on within-cell displacements."""
+    codes = pq_codes(
+        c,
+        codebooks,
+        id_col="vec_id",
+        m=m,
+        dsub=dsub,
+        centroids=centroids if residual else None,
+    )
     qsub = pq_subvectors(q, "query_id", m=m, dsub=dsub)
     part = _dec_sum(
         F.zip_with(F.col("sv"), F.col("cent"), lambda a, b: (a * b).cast(_DEC))
@@ -1004,15 +1055,42 @@ def pq_adc_topk(
     ).select("query_id", "cell")
     cand = (
         corpus_cells.join(query_cells, on="cell")
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", "cell")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = (
-        cand.join(codes, on="vec_id")
-        .join(F.broadcast(lut), on=["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("__part").cast("double"), 6).alias("score"))
-    )
+    psum = F.sum("__part")
+    if residual:
+        # exact per-(query, cell) centroid term over a metadata-sized
+        # broadcast cross: nq × nlist rows, never corpus-scaled
+        cterm = _dec_sum(
+            F.zip_with(
+                F.col("__v"), F.col("__cent"), lambda a, b: (a * b).cast(_DEC)
+            )
+        )
+        qcent = q.join(F.broadcast(centroids)).select(
+            "query_id", "cell", cterm.alias("__cterm")
+        )
+        scored = (
+            cand.join(codes, on="vec_id")
+            .join(F.broadcast(lut), on=["query_id", "m", "code"])
+            .groupBy("query_id", "vec_id", "cell")
+            .agg(psum.alias("__psum"))
+            .join(F.broadcast(qcent), on=["query_id", "cell"])
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    (F.col("__cterm") + F.col("__psum")).cast("double"), 6
+                ).alias("score"),
+            )
+        )
+    else:
+        scored = (
+            cand.join(codes, on="vec_id")
+            .join(F.broadcast(lut), on=["query_id", "m", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(psum.cast("double"), 6).alias("score"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )

@@ -61,18 +61,32 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 9
+_CHANGED_AS_OF_ROUND = 11
 _CHANGED_THIS_ROUND = [
-    # r9 is minimal by design (VERDICT r8 #2): 38 ops' newest green row
-    # is r5 and the ~50-row budget must drain that tail. Semantics-
-    # neutral r9 changes are NOT listed: the sidecar relocation
-    # (sidecars.py — every affected op re-verified 7/7 against its
-    # oracle at sf0.01 this round) and the simhash oracle's 1024-cap
-    # CTE (mirrors a Spark-side guard unreachable at checked SFs).
-    #
-    # Gopher gained its seventh rule (≥80% alphabetic words) — new
-    # column + new verdict input on both engine and oracle sides.
-    "text_gopher_quality",
+    # The seven sidecar-relocated ops (ADVICE r9 medium / VERDICT r10
+    # #2): their latest driver rows (r8) predate the r9 uid-scoped
+    # sidecar path change they depend on — and r11 additionally keys
+    # every sidecar path on training params (sidecars.py), so all
+    # sidecar consumers rebuild from fresh directories this round.
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "similarity_ivf_kmeans",
+    "dedup_incremental_minhash",
+    "stream_incremental_minhash",
+    "similarity_knn_graph",
+    "dedup_semantic_kmeans",
+    # Connected components rewritten around per-partition union-find
+    # contraction + bridge fixpoint (ext/dedup.py, r11) — labels
+    # provably identical, plan entirely different.
+    "dedup_connected_components",
+    "dedup_semantic_clusters",
+    # ivf_assign restructured (max_by partial-agg for n_best=1; the
+    # two-level path is dormant at checked SFs' nlist=16 but the flat
+    # plan changed too) — re-attest every direct consumer not already
+    # listed above.
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_pq",
+    "similarity_quantizer_refresh",
 ]
 
 

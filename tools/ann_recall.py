@@ -120,10 +120,35 @@ def lsh_candidate_fraction(corpus, queries, planes, probes):
     return cb.join(qb, on="bucket").count() / (n_c * n_q)
 
 
+def clustered(df, n_clusters=40, noise=0.35):
+    """Genuine cluster structure — the regime where PQ COMPRESSION error
+    (not routing) binds, i.e. where residual encoding must show up:
+    vector i = center[i % n_clusters] + noise·(its own raw embedding).
+    Cells are tight, so x − centroid has far lower variance than x; raw
+    codebooks waste their 2^bits entries spanning the center spread."""
+    centers = (
+        df.where(F.col("vec_id") < n_clusters)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__c"))
+    )
+    return (
+        df.withColumn("__cid", F.col("vec_id") % n_clusters)
+        .join(F.broadcast(centers), on="__cid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "__c",
+                "embedding",
+                lambda c, e: c.cast("double") + F.lit(noise) * e.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+
+
 results = {}
 for regime, corpus in (
     ("neardup", perturbed_replicas(emb).cache()),
     ("isotropic", emb.cache()),
+    ("clustered", clustered(emb).cache()),
 ):
     n = corpus.count()
     queries = (
@@ -177,22 +202,26 @@ for regime, corpus in (
     nlist, nprobe = 64, 8
     cents = ivf_kmeans_centroids(corpus, nlist=nlist, train_fraction=0.5)
     cents = spark.createDataFrame(cents.collect(), cents.schema)
-    cbs = pq_train_codebooks(corpus, m=8, dsub=8, ksub=16, train_rows=256)
-    cbs = spark.createDataFrame(cbs.collect(), cbs.schema)
     c = corpus.select("vec_id", _to_double("embedding").alias("__v"))
     qv = queries.select("query_id", _to_double("embedding").alias("__v"))
-    for rerank in (None, 64):
-        t0 = time.perf_counter()
-        approx = pq_adc_topk(c, qv, cents, cbs, k=K, nprobe=nprobe,
-                             m=8, dsub=8, rerank=rerank)
-        r = recall_at_k(approx, exact)
-        wall = time.perf_counter() - t0
-        key = (f"{regime}/ivfpq nlist{nlist} nprobe{nprobe} "
-               f"rerank{rerank or 0}")
-        results[key] = {"recall": round(r, 3),
-                        "cand_frac": round(nprobe / nlist, 4),
-                        "wall_s": round(wall, 2)}
-        print(key, results[key], flush=True)
+    for residual in (False, True):
+        cbs = pq_train_codebooks(corpus, m=8, dsub=8, ksub=16,
+                                 train_rows=256,
+                                 centroids=cents if residual else None)
+        cbs = spark.createDataFrame(cbs.collect(), cbs.schema)
+        for rerank in (None, 64):
+            t0 = time.perf_counter()
+            approx = pq_adc_topk(c, qv, cents, cbs, k=K, nprobe=nprobe,
+                                 m=8, dsub=8, rerank=rerank,
+                                 residual=residual)
+            r = recall_at_k(approx, exact)
+            wall = time.perf_counter() - t0
+            key = (f"{regime}/ivfpq{'-res' if residual else ''} "
+                   f"nlist{nlist} nprobe{nprobe} rerank{rerank or 0}")
+            results[key] = {"recall": round(r, 3),
+                            "cand_frac": round(nprobe / nlist, 4),
+                            "wall_s": round(wall, 2)}
+            print(key, results[key], flush=True)
 
     exact.unpersist()
     queries.unpersist()
