@@ -156,14 +156,58 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.table("stream.daily_counts").read()
 
 
-@register("stream_sessionize_stateful", sql=None)  # stateful streaming op
+@register(
+    "stream_sessionize_stateful",
+    # Value-checked since r11 (VERDICT r9 #6): EMISSION TIMING is
+    # batch-dependent, but the FINAL MERGEd table after a full drain is
+    # not — every closed session's row was overwritten to its terminal
+    # shape and the one still-open session per user carries
+    # closed=false. That endpoint is exactly batch gaps-and-islands
+    # (the sessionize_events oracle) plus a last-session flag, so the
+    # oracle is pure SQL over events — no sidecar needed. The query
+    # feeds the drain ONE coalesced file, so the AvailableNow run is a
+    # single deterministic micro-batch at every checked SF.
+    sql="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id FROM events WHERE user_id < 5
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(ts AS TIMESTAMP) >
+                          CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           session_id < MAX(session_id) OVER (PARTITION BY user_id) AS closed
+    FROM sess
+    """,
+)
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     session state, emissions MERGEd into a managed sessions table keyed by
     (user_id, session_start) — the deployment sink (r7; the driver-list
-    drain remains for tests). Rows-only: emission timing is inherently
-    batch-dependent; the batch `sessionize_events` carries the oracle for
-    the session logic itself."""
+    drain remains for tests). The final table is value-checked against
+    batch gaps-and-islands SQL (see the oracle comment above): in-stream
+    emission timing varies by batching, the drained endpoint does not."""
     from etl_to_iceberg_spark.streaming.windows import sessionize_stateful_to_table
     from etl_to_iceberg_spark.tables import Catalog
 
