@@ -204,6 +204,28 @@ def main() -> None:
     # shrink the subtotal and fake an improvement.
     missing = [n for n in R01_COMPAT if n not in results]
     assert not missing, f"compat queries missing from results: {missing}"
+
+    # Environment fingerprint (VERDICT r10 §perf): r10 measured +28% on
+    # BYTE-IDENTICAL code across driver rounds — machine/load drift, not
+    # regression — so cross-round deltas need this context to be
+    # attributable. loadavg is read AFTER the timed runs (what competed
+    # with them), cpu model + count pin the hardware generation.
+    env: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            env["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    env["cpu"] = line.split(":", 1)[1].strip()
+                    break
+        env["cpus"] = os.cpu_count()
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
@@ -215,6 +237,7 @@ def main() -> None:
                     sum(results[n] for n in R01_COMPAT), 3
                 ),
                 "sf": sf,
+                "env": env,
             }
         )
     )

@@ -41,7 +41,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with a total zero-norm convention: any
+    zero-norm input scores -1.0 instead of raising DIVIDE_BY_ZERO under
+    ANSI mode (found by the r11 model sweep's planted zero centroid —
+    one degenerate embedding must not abort a 1000-executor job).
+    -1.0 is DuckDB ``list_cosine_similarity``'s convention for the same
+    case, so engine/oracle agreement stays total even on degenerate
+    vectors — and it means they rank LAST in every top-k, which is the
+    behavior a dedup/ANN pipeline wants from a zero embedding."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(-1.0))
 
 
 def cosine_topk(

@@ -87,6 +87,19 @@ _CHANGED_THIS_ROUND = [
     "similarity_ann_ivf",
     "similarity_ann_ivf_pq",
     "similarity_quantizer_refresh",
+    # Earned its first value oracle this round (was rows-only): the
+    # drained MERGE endpoint vs gaps-and-islands SQL.
+    "stream_sessionize_stateful",
+    # ext/similarity.cosine gained the zero-norm guard (-1.0, the
+    # DuckDB convention, instead of an ANSI DIVIDE_BY_ZERO abort) —
+    # values identical on all checked data (no zero-norm fixtures),
+    # plans changed for every cosine consumer; these are the ones not
+    # already listed above or sitting in this round's staleness front.
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ann_lsh_multiprobe",
+    "dedup_embedding_cosine",
+    "corpus_embedding_outlier_prune",
 ]
 
 

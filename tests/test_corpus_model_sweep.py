@@ -1210,3 +1210,207 @@ def test_eval_overlap_report_matches_model(spark, tmp_path, seed):
         assert got[200][2] == 1.0
         assert 0.0 < got[201][2] < 1.0
     assert got[202] == (0, 0, 0.0)
+
+
+# --- IVF-PQ residual (IVFADC) + two-level assignment (r11) -------------------
+
+
+def _model_pq_res_codes(vecs, cents, cbs, m, dsub):
+    """Residual codes: quantize v − its assigned coarse centroid (cell
+    by rounded-cosine desc, cell asc — the ivf_assign order), then the
+    same decimal-d2 argmin as _model_pq_codes."""
+    cell_of = {
+        vid: min((-_cos6(v, cv), cell) for cell, cv in cents)[1]
+        for vid, v in vecs
+    }
+    cmap = dict(cents)
+    res = [
+        (vid, [a - b for a, b in zip(v, cmap[cell_of[vid]])])
+        for vid, v in vecs
+    ]
+    return _model_pq_codes(res, cbs, m, dsub), cell_of
+
+
+def _model_pq_res_adc(vecs, queries, cents, cbs, *, m, dsub, nprobe, k):
+    """Full residual IVF-PQ search: ADC score = exact decimal centroid
+    term dot(q, cent_cell) + the per-subspace LUT parts, one double cast
+    + round at the end."""
+    codes, cell_of = _model_pq_res_codes(vecs, cents, cbs, m, dsub)
+    cmap = dict(cents)
+    out = {}
+    for qid, qv in queries:
+        probed = {
+            cell
+            for _, cell in sorted(
+                ((-_cos6(qv, cv), cell) for cell, cv in cents)
+            )[:nprobe]
+        }
+        scored = []
+        for vid, _ in vecs:
+            cell = cell_of[vid]
+            if cell not in probed:
+                continue
+            total = sum(
+                (_qdec(a * b) for a, b in zip(qv, cmap[cell])), Decimal(0)
+            )
+            for mi in range(m):
+                cent = dict(cbs[mi])[codes[(vid, mi)]]
+                qsv = qv[mi * dsub : (mi + 1) * dsub]
+                total += sum(
+                    (_qdec(a * b) for a, b in zip(qsv, cent)), Decimal(0)
+                )
+            scored.append((_q(float(total), "1e-6"), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (score, vid) in enumerate(scored[:k], start=1):
+            out[(qid, vid)] = (score, r)
+    return out
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_pq_residual_adc_matches_model(spark, seed):
+    """Engine residual IVF-PQ == the pure-Python IVFADC model, with the
+    planted pathologies the raw-PQ sweep can't produce: corpus vector 7
+    IS centroid 1 (residual exactly the zero vector — codes must pick
+    the entries nearest zero, deterministically), and vectors 20/21/22
+    are IDENTICAL (equal ADC scores — rank must break ties by vec_id,
+    and all three take identical codes)."""
+    from etl_to_iceberg_spark.ext.similarity import pq_adc_topk, pq_codes
+
+    rng = random.Random(seed)
+    m, dsub, ksub, nprobe, k = 2, 4, 4, 2, 6
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    vecs = [(i, unit(m * dsub)) for i in range(30)]
+    cents = [(c, unit(m * dsub)) for c in range(3)]
+    vecs[7] = (7, list(cents[1][1]))          # residual == 0 vector
+    dup = unit(m * dsub)
+    for vid in (20, 21, 22):                  # tie-heavy ADC scores
+        vecs[vid] = (vid, list(dup))
+    cbs = {mi: [(j, unit(dsub)) for j in range(ksub)] for mi in range(m)}
+    queries = [(0, list(vecs[0][1])), (99, list(dup))]
+
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    cbdf = spark.createDataFrame(
+        [(mi, j, cv) for mi, entries in cbs.items() for j, cv in entries],
+        "m int, code int, cent array<double>",
+    )
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("__v"))
+    q = qdf.select("query_id", F.col("embedding").alias("__v"))
+
+    model_codes, _ = _model_pq_res_codes(vecs, cents, cbs, m, dsub)
+    got_codes = {
+        (r.vec_id, r.m): r.code
+        for r in pq_codes(c, cbdf, m=m, dsub=dsub, centroids=cdf).collect()
+    }
+    assert got_codes == model_codes
+    assert all(
+        got_codes[(20, mi)] == got_codes[(21, mi)] == got_codes[(22, mi)]
+        for mi in range(m)
+    )
+
+    got = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in pq_adc_topk(
+            c, q, cdf, cbdf, k=k, nprobe=nprobe, m=m, dsub=dsub,
+            residual=True,
+        ).collect()
+    }
+    model = _model_pq_res_adc(
+        vecs, queries, cents, cbs, m=m, dsub=dsub, nprobe=nprobe, k=k
+    )
+    assert got == model
+    # identical vectors that survived routing rank contiguously by id
+    dup_ranks = sorted(
+        r for (qid, vid), (_, r) in got.items() if qid == 99 and vid in (20, 21, 22)
+    )
+    assert dup_ranks == list(
+        range(dup_ranks[0], dup_ranks[0] + len(dup_ranks))
+    )
+
+
+def _model_two_level_assign(vecs, cents, super_probes=4, iters=8):
+    """Pure re-derivation of _super_quantizer + two-level routing +
+    best-child selection. The Lloyd's arithmetic mirrors the engine's
+    numpy ops (matrix cosine argmax, per-cluster mean) so float results
+    are bit-identical; routing and the final pick use the rounded-6dp
+    cosine orderings the engine's window/max_by encode."""
+    import numpy as np
+
+    rows = sorted(cents, key=lambda t: t[0])
+    cellids = [c for c, _ in rows]
+    cmat = np.asarray([cv for _, cv in rows], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = cmat / norms[:, None]
+    nsuper = max(2, math.isqrt(len(rows) - 1) + 1)
+    sup = unit[:nsuper].copy()
+    for _ in range(iters):
+        assign = (unit @ sup.T).argmax(axis=1)
+        for j in range(nsuper):
+            pts = unit[assign == j]
+            if len(pts):
+                sup[j] = pts.mean(axis=0)
+    assign = (unit @ sup.T).argmax(axis=1)
+    children = {}
+    for i, cell in enumerate(cellids):
+        children.setdefault(int(assign[i]), []).append((cell, cmat[i]))
+    supers = [(j, [float(x) for x in sup[j]]) for j in range(nsuper)]
+    out = {}
+    for vid, v in vecs:
+        routed = sorted(
+            ((-_cos6(v, sv), j) for j, sv in supers)
+        )[:super_probes]
+        cands = []
+        for _, j in routed:
+            for cell, cv in children.get(j, []):
+                cands.append((-_cos6(v, list(cv)), cell))
+        out[vid] = min(cands)[1]
+    return out
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_two_level_assign_matches_model(spark, seed):
+    """ivf_assign's two-level path (nlist >= 64) == a pure re-derivation
+    of super-quantizer training + routing + best-child pick, with
+    planted structure: centroids 50 and 51 are IDENTICAL (the winner
+    must be cell 50 by the tie order) and one centroid is the zero
+    vector (the norm guard must not NaN the routing)."""
+    from etl_to_iceberg_spark.ext.similarity import ivf_assign
+
+    rng = random.Random(seed)
+    dim = 16
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    cents = [(c, unit(dim)) for c in range(70)]
+    cents[51] = (51, list(cents[50][1]))      # exact duplicate centroid
+    cents[60] = (60, [0.0] * dim)             # zero vector: norm guard
+    vecs = [(i, unit(dim)) for i in range(40)]
+    vecs[3] = (3, list(cents[50][1]))         # sits exactly on the dup
+
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+    c = emb.select("vec_id", F.col("embedding").alias("__v"))
+
+    got = {
+        r.vec_id: r.cell
+        for r in ivf_assign(c, cdf, id_col="vec_id").collect()
+    }
+    model = _model_two_level_assign(vecs, cents)
+    assert got == model
+    assert got[3] == 50  # duplicate-centroid tie broken to the lower cell
