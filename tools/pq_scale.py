@@ -143,6 +143,54 @@ for sf_name, (emb, nlist) in {
         f"shuffle_write={sw and round(sw / 1e6, 2)}MB"
     )
 
+    # Two-level assignment audit (r11, the n×nlist fix): scored
+    # cells/vector, plus recall@10 of the full search two-level vs
+    # FLAT assignment on a 50-query sample against exact bruteforce.
+    import functools
+    import math
+
+    import etl_to_iceberg_spark.ext.similarity as S
+    from etl_to_iceberg_spark.ext.similarity import cosine_topk
+
+    if nlist >= 64:
+        cellmap, supers = S._super_quantizer(cents)
+        from collections import Counter
+
+        sizes = Counter(s for _, s in cellmap)
+        nsuper = len(supers)
+        avg_children = sum(sizes.values()) / nsuper
+        per_vec = nsuper + 4 * avg_children
+        print(
+            f"{sf_name} assign work/vector: flat={nlist} cells, "
+            f"two-level={per_vec:.0f} (nsuper={nsuper} + 4 probes x "
+            f"{avg_children:.1f} avg children) = {nlist / per_vec:.1f}x less"
+        )
+    qs = q.limit(50).cache()
+    qs.count()
+    exact = cosine_topk(
+        emb, qs.withColumn("embedding", F.col("__v")), k=10
+    ).cache()
+    nq_s = exact.select("query_id").distinct().count()
+    orig_assign = S.ivf_assign
+    for label, fn in (
+        ("two-level", orig_assign),
+        ("flat", functools.partial(orig_assign, two_level_min_nlist=10**9)),
+    ):
+        S.ivf_assign = fn
+        t0 = time.perf_counter()
+        approx = pq_adc_topk(
+            c, qs, cents, cbs, k=10, nprobe=4, m=8, dsub=8, rerank=64
+        )
+        hits = approx.join(exact, on=["query_id", "vec_id"]).count()
+        wall_r = time.perf_counter() - t0
+        print(
+            f"{sf_name} recall@10 ({label} assign): "
+            f"{hits / (nq_s * 10):.3f} wall={wall_r:.2f}s"
+        )
+    S.ivf_assign = orig_assign
+    exact.unpersist()
+    qs.unpersist()
+
     def run_outlier():
         embedding_outlier_report(
             emb, cents, margin=0.1
