@@ -472,6 +472,7 @@ def quantizer_refresh_report(
             new.select("cell", F.col("nv").alias("__cent")),
             id_col="vec_id",
             n_best=1,
+            with_vector=False,
         )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -530,27 +531,56 @@ def _super_quantizer(
 
 
 def _best_cells(
-    scored: DataFrame, id_col: str, vec_col: str, n_best: int
+    scored: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_best: int,
+    with_vector: bool = True,
 ) -> DataFrame:
     """Per-id top-``n_best`` cells from (id, vec, cell, __cs) rows.
 
     n_best=1 — the corpus-side assignment, i.e. the dominant volume —
     avoids the row_number window entirely: all of an id's scored rows
     are TASK-LOCAL (they fan out of one scan row via a broadcast join),
-    so a ``max_by`` hash-aggregate collapses n·nlist rows to n map-side
-    and the shuffle carries one skinny row per vector instead of the
-    full fan-out (each row of which dragged the raw vector through the
-    exchange). Ordering matches the window exactly: rounded cosine
-    desc, then cell asc via the negated-cell struct field."""
+    so a hash-aggregate collapses n·nlist rows to n map-side and the
+    shuffle carries one skinny row per vector instead of the full
+    fan-out (each row of which dragged the raw vector through the
+    exchange).
+
+    The argmax is a plain ``max`` over ONE packed long — (rounded-cs
+    scaled to an integer) · 2³² + (2³²−1−cell) — monotone in the exact
+    window order (rounded cosine desc, cell asc; quantizer cells are
+    small non-negative ints by construction). Packing from the ALREADY
+    6dp-rounded ``__cs`` keeps the scale-to-integer exact (the product
+    is within ulps of an integer, so round-to-nearest recovers it).
+    This shape matters: a struct-valued/struct-ordered ``max_by``
+    degrades to SortAggregate (struct agg buffers aren't UnsafeRow-
+    mutable — measured 1.4× slower than the window it replaced), while
+    a fixed-width long buffer keeps whole-stage-codegen HashAggregate
+    with map-side combine. With ``with_vector`` the vector rides the
+    GROUPING key (variable-length grouping keys are fine; buffers
+    aren't), crossing the exchange once per vector; routing-only
+    consumers pass ``with_vector=False`` and the exchange carries two
+    fixed-width columns per vector, full stop — skinnier than even the
+    column-pruned window shape (nlist skinny rows/vector) it replaces."""
+    if not with_vector:
+        scored = scored.drop(vec_col)
     if n_best == 1:
-        best = F.max_by(
-            F.struct(F.col("cell"), F.col(vec_col)),
-            F.struct(F.col("__cs"), (-F.col("cell")).alias("__negc")),
+        m32 = F.lit((1 << 32) - 1).cast("long")
+        pack = (
+            F.round(F.col("__cs") * 1e6, 0).cast("long") * F.lit(1 << 32).cast("long")
+            + (m32 - F.col("cell").cast("long"))
         )
-        return scored.groupBy(id_col).agg(best.alias("__b")).select(
-            F.col(id_col),
-            F.col("__b").getField(vec_col).alias(vec_col),
-            F.col("__b").getField("cell").alias("cell"),
+        cell_t = dict(scored.dtypes)["cell"]
+        keys = [id_col] + ([vec_col] if with_vector else [])
+        return (
+            scored.select(*keys, pack.alias("__pk"))
+            .groupBy(*keys)
+            .agg(F.max("__pk").alias("__pk"))
+            .select(
+                *keys,
+                (m32 - F.col("__pk").bitwiseAND(m32)).cast(cell_t).alias("cell"),
+            )
         )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cell"))
     return (
@@ -569,6 +599,7 @@ def ivf_assign(
     n_best: int = 1,
     two_level_min_nlist: int = 64,
     super_probes: int = 4,
+    with_vector: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``n_best`` nearest centroids by cosine.
 
@@ -608,7 +639,7 @@ def ivf_assign(
             F.col("cell"),
             F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
         )
-        return _best_cells(scored, id_col, vec_col, n_best)
+        return _best_cells(scored, id_col, vec_col, n_best, with_vector)
 
     import math
 
@@ -666,7 +697,7 @@ def ivf_assign(
         F.col("cell"),
         F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
     )
-    return _best_cells(scored, id_col, vec_col, n_best)
+    return _best_cells(scored, id_col, vec_col, n_best, with_vector)
 
 
 def ivf_probe_topk(
@@ -1056,12 +1087,12 @@ def pq_adc_topk(
     lut = qsub.join(F.broadcast(codebooks), on="m").select(
         "query_id", "m", "code", part.alias("__part")
     )
-    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
-        "vec_id", "cell"
+    corpus_cells = ivf_assign(
+        c, centroids, id_col="vec_id", n_best=1, with_vector=False
     )
     query_cells = ivf_assign(
-        q, centroids, id_col="query_id", n_best=nprobe
-    ).select("query_id", "cell")
+        q, centroids, id_col="query_id", n_best=nprobe, with_vector=False
+    )
     cand = (
         corpus_cells.join(query_cells, on="cell")
         .select("query_id", "vec_id", "cell")
