@@ -1414,3 +1414,8 @@ def test_two_level_assign_matches_model(spark, seed):
     model = _model_two_level_assign(vecs, cents)
     assert got == model
     assert got[3] == 50  # duplicate-centroid tie broken to the lower cell
+    # the routing-only shape (no vector through the exchange) must pick
+    # identical cells
+    skinny = ivf_assign(c, cdf, id_col="vec_id", with_vector=False)
+    assert skinny.columns == ["vec_id", "cell"]
+    assert {r.vec_id: r.cell for r in skinny.collect()} == model
