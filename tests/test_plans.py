@@ -449,6 +449,10 @@ def test_pq_scoring_never_exchanges_vectors(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_ann_ivf_pq")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+    # r11 regression guard: the packed-long argmax must stay a codegen
+    # HashAggregate — a struct-buffered agg (max_by over structs) falls
+    # to SortAggregate, measured 1.4x slower than the window it replaced
+    assert "SortAggregate" not in plan, plan
     import re
 
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
