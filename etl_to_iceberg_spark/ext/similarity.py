@@ -262,6 +262,10 @@ def semantic_dedup_pairs(
             .where(F.col("__n") <= max_cluster_size)
             .drop("__n")
         )
+    # same double-consumption shape as knn_graph — see the note there
+    from etl_to_iceberg_spark.caching import tracked_cache
+
+    assigned = tracked_cache(assigned)
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cell"
     )
@@ -321,6 +325,16 @@ def knn_graph(
             .where(F.col("__n") <= max_cluster_size)
             .drop("__n")
         )
+    # Both self-join sides consume the capped assignment; without a
+    # cache the whole assignment pipeline (scan × broadcast fan-out +
+    # hash-agg + cap window) executes TWICE — measured 6.8s → 3.0s at
+    # sf0.1 with the cache (r11). tracked_cache so a long-running
+    # service reclaims it (caching.release_operator_caches); the cached
+    # relation is (id, vec, cell), MEMORY_AND_DISK and LRU-evictable at
+    # corpus scale.
+    from etl_to_iceberg_spark.caching import tracked_cache
+
+    assigned = tracked_cache(assigned)
     a = assigned.select("vec_id", F.col("__v").alias("__va"), "cell")
     b = assigned.select(
         F.col("vec_id").alias("nbr_id"), F.col("__v").alias("__vb"), "cell"
