@@ -146,9 +146,20 @@ def rp_lsh_buckets(
     planes: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """(id, bucket int): concatenated sign bits of `planes` hyperplanes."""
+    """(id, bucket int): concatenated sign bits of `planes` hyperplanes.
+
+    ensure_parallelism first (r11): the bucket expression is planes×dim
+    decimal work per row, and a single-file input serializes all of it
+    onto one task — measured 0.74s → 0.21s at sf0.1. (No-op on real
+    multi-split inputs, per the helper's contract. The codegen explode →
+    8-decimal-sum rewrite was measured AND REJECTED here: 0.58s — the
+    n×dim exploded exchange costs more than interpreted-fold evaluation
+    saves at dim=64; the r9 explode wins came from regex/entropy ops
+    whose per-element work dwarfs a multiply.)"""
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
     v = _to_double(vec_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col), lsh_bucket_expr(v, planes=planes, dim=dim).alias("bucket")
     )
 
