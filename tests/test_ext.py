@@ -304,15 +304,28 @@ def test_connected_components_cross_partition_bridges(spark):
     ]
     edges = spark.createDataFrame(edges_rows, "src long, dst long").repartition(16)
     nodes = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    # driver_bridge_max=0 forces the DISTRIBUTED fixpoint (a bridge this
+    # small would otherwise take the driver union-find shortcut)
     stats: dict = {}
     out = {
         r.doc_id: r.cluster_id
-        for r in connected_components(edges, nodes, stats=stats).collect()
+        for r in connected_components(
+            edges, nodes, stats=stats, driver_bridge_max=0
+        ).collect()
     }
     assert out == {i: i % 10 for i in range(500)}
     # the contraction alone cannot finish a 16-partition interleaved
     # chain — the bridge fixpoint must actually run
     assert stats["rounds"] >= 1
+    assert stats["bridge_strategy"] == "pointer-doubling"
+    # and the default driver shortcut must produce the identical labels
+    stats2: dict = {}
+    out2 = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes, stats=stats2).collect()
+    }
+    assert out2 == out
+    assert stats2["bridge_strategy"] == "driver" and stats2["rounds"] == 0
 
 
 def test_minhash_identical_flood_is_collapsed_not_quadratic(spark):
