@@ -61,46 +61,19 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 11
+_CHANGED_AS_OF_ROUND = 12
 _CHANGED_THIS_ROUND = [
-    # The seven sidecar-relocated ops (ADVICE r9 medium / VERDICT r10
-    # #2): their latest driver rows (r8) predate the r9 uid-scoped
-    # sidecar path change they depend on — and r11 additionally keys
-    # every sidecar path on training params (sidecars.py), so all
-    # sidecar consumers rebuild from fresh directories this round.
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "similarity_ivf_kmeans",
-    "dedup_incremental_minhash",
-    "stream_incremental_minhash",
-    "similarity_knn_graph",
-    "dedup_semantic_kmeans",
-    # Connected components rewritten around per-partition union-find
-    # contraction + bridge fixpoint (ext/dedup.py, r11) — labels
-    # provably identical, plan entirely different.
-    "dedup_connected_components",
-    "dedup_semantic_clusters",
-    # ivf_assign restructured (max_by partial-agg for n_best=1; the
-    # two-level path is dormant at checked SFs' nlist=16 but the flat
-    # plan changed too) — re-attest every direct consumer not already
-    # listed above.
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_pq",
-    "similarity_quantizer_refresh",
-    # Earned its first value oracle this round (was rows-only): the
-    # drained MERGE endpoint vs gaps-and-islands SQL.
-    "stream_sessionize_stateful",
-    # ext/similarity.cosine gained the zero-norm guard (-1.0, the
-    # DuckDB convention, instead of an ANSI DIVIDE_BY_ZERO abort) —
-    # values identical on all checked data (no zero-norm fixtures),
-    # plans changed for every cosine consumer; these are the ones not
-    # already listed above or sitting in this round's staleness front.
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_ann_lsh_multiprobe",
-    "dedup_embedding_cosine",
-    "corpus_embedding_outlier_prune",
+    # ADVICE r11 medium: the residual PQ codebook sidecar key now folds
+    # in the coarse-quantizer params (_IVFK_PARAMS) it was trained
+    # against, so a coarse-centroid change can never silently reuse
+    # stale residual codebooks — the key change relocates the sidecar
+    # path, so the op rebuilds and must be re-attested.
+    "similarity_ann_ivf_pq_residual",
 ]
+# Round-12 rotation budget (VERDICT r11 #1): 11 r7-stale ops hit the
+# 5-round staleness limit this round; with 1 changed + new never-checked
+# ops the front must stay ≤ 50 so the driver's rotation drains the r7
+# tail. Keep this list minimal and register new ops sparingly.
 
 
 @lru_cache(maxsize=1)
