@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_to_iceberg_spark import sidecars
+from etl_to_iceberg_spark.ext import similarity
 from etl_to_iceberg_spark.ext.text import WORD_RE, quality_score, words
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
@@ -168,6 +169,18 @@ _IVFK_PARAMS = {"nlist": 16, "train_fraction": 0.5}
 _IVFK_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids", _IVFK_PARAMS)
 # same contract as the dedup sketch sidecars (sidecars.py docstring)
 
+# Every static SQL oracle below re-derives IVF assignment as EXACT flat
+# argmax-over-all-centroids; ivf_assign silently switches to approximate
+# two-level routing at nlist >= TWO_LEVEL_MIN_NLIST, which those oracles
+# do not mirror (ADVICE r11). Pin the invariant where the fixture is
+# defined so a future nlist bump fails loudly here instead of as a
+# mysterious hash mismatch in the driver. nlist >= the threshold needs
+# the assignment-sidecar oracle pattern (similarity_ann_ivf_two_level).
+assert _IVFK_PARAMS["nlist"] < similarity.TWO_LEVEL_MIN_NLIST, (
+    "flat-SQL IVF oracles require exact flat assignment; raise "
+    "TWO_LEVEL_MIN_NLIST or move the op to an assignment-sidecar oracle"
+)
+
 
 def _ivfk_centroids(spark: SparkSession, sf_dir: str):
     """The fitted 16-cell quantizer, persisted once per (path, sf) and
@@ -259,6 +272,163 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
     )
     return ivf_probe_topk(c, q, centroids, k=10, nprobe=4)
+
+
+# --- two-level IVF (production-scale routing, driver-attested) --------------
+#
+# Every other IVF fixture pins nlist=16, below TWO_LEVEL_MIN_NLIST, so
+# the flat-assignment oracles stay exact — which left the two-level
+# (super-cell) routing branch, the path a production nlist (hundreds to
+# thousands) actually takes, dormant under the driver's value checks
+# (VERDICT r11 #3). This op trains an nlist=64 quantizer so ivf_assign
+# ROUTES THROUGH _super_quantizer, then earns a value oracle with the
+# assignment-sidecar pattern: approximate routing can't be re-derived by
+# static SQL, so the engine materializes the (side, id, cell) assignment
+# it computed — through the two-level branch — to a params-keyed sidecar,
+# and the oracle re-derives everything downstream (candidate generation,
+# exact cosine re-rank, top-k with tie-break) from those rows. Routing
+# QUALITY stays gated by the routing-identity sweep
+# (tests/test_corpus_model_sweep.py) and the tools/ann_recall.py grid.
+_IVF2L_Q_PARAMS = {"nlist": 64, "train_fraction": 0.5}
+_IVF2L_PARAMS = dict(_IVF2L_Q_PARAMS, k=10, nprobe=4)
+_IVF2L_CENT_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids", _IVF2L_Q_PARAMS)
+_IVF2L_ASSIGN_SIDECAR = sidecars.oracle_sidecar_path("ivf2l_assign", _IVF2L_PARAMS)
+assert _IVF2L_Q_PARAMS["nlist"] >= similarity.TWO_LEVEL_MIN_NLIST, (
+    "similarity_ann_ivf_two_level exists to exercise the two-level "
+    "assignment branch; its nlist must sit at or above the threshold"
+)
+
+
+def _ivf2l_centroids(spark: SparkSession, sf_dir: str):
+    """The nlist=64 quantizer, trained once per (sf, params) and read
+    back from its sidecar — same contract as :func:`_ivfk_centroids`
+    but a different params key, so the two quantizers never share a
+    directory."""
+    from etl_to_iceberg_spark.ext.similarity import ivf_kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = sidecars.sidecar_path("ivfk_centroids", sf_dir, _IVF2L_Q_PARAMS)
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: ivf_kmeans_centroids(emb, **_IVF2L_Q_PARAMS),
+    )
+    return spark.read.parquet(side).select("cell", "__cent")
+
+
+def _ivf2l_assignments(spark: SparkSession, sf_dir: str):
+    """(side, id, cell) rows: corpus n_best=1 + query n_best=nprobe
+    assignments computed through ivf_assign's TWO-LEVEL branch (nlist=64
+    ≥ TWO_LEVEL_MIN_NLIST routes via _super_quantizer), persisted to the
+    assignment sidecar both engines consume. The sidecar is skinny —
+    two fixed-width columns plus a tag per vector; vectors stay in the
+    embeddings table and are joined back at re-rank time."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build():
+        cents = _ivf2l_centroids(spark, sf_dir)
+        c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+        q = emb.where(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+        )
+        ca = ivf_assign(
+            c, cents, id_col="vec_id", n_best=1, with_vector=False
+        ).select(F.lit("c").alias("side"), F.col("vec_id").alias("id"), "cell")
+        qa = ivf_assign(
+            q,
+            cents,
+            id_col="query_id",
+            n_best=_IVF2L_PARAMS["nprobe"],
+            with_vector=False,
+        ).select(F.lit("q").alias("side"), F.col("query_id").alias("id"), "cell")
+        return ca.unionByName(qa)
+
+    side = sidecars.sidecar_path("ivf2l_assign", sf_dir, _IVF2L_PARAMS)
+    sidecars.ensure_sidecar(side, sf_dir, build)
+    return spark.read.parquet(side).select("side", "id", "cell")
+
+
+@register(
+    "similarity_ann_ivf_two_level",
+    # The oracle resumes from the materialized two-level assignment and
+    # re-derives the relational half: probed-cell candidate generation,
+    # exact cosine re-rank (list_cosine_similarity rounded to 6dp — the
+    # house Spark/DuckDB agreement surface), deterministic top-k.
+    sql=f"""
+    WITH a AS (
+      SELECT side, id, cell FROM read_parquet('{_IVF2L_ASSIGN_SIDECAR}/*.parquet')
+    ),
+    cand AS (
+      SELECT DISTINCT qa.id AS query_id, ca.id AS vec_id
+      FROM a qa JOIN a ca ON qa.cell = ca.cell
+      WHERE qa.side = 'q' AND ca.side = 'c'
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[]), 6) AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {_IVF2L_PARAMS["k"]}
+    """,
+)
+def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at a production-scale quantizer size: nlist=64 puts
+    ivf_assign on its two-level (super-cell) routing branch — the
+    n·√nlist assignment path a 100 TB corpus would run — instead of the
+    flat n·nlist scoring the small fixtures use. Assignment is
+    materialized once (sidecar; the stored-index posture of a real
+    deployment) and the search half runs from the stored rows: probed
+    cells → candidates → exact cosine re-rank → top-k.
+
+    Scale shape: the assignment sidecar is two fixed-width columns per
+    vector; the cell join broadcasts the query side (nq·nprobe rows);
+    the only corpus-sized work is the re-rank join back to the
+    embeddings table on vec_id, carrying candidates/query ≈
+    corpus·nprobe/nlist rows — the standard IVF candidate bound."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine
+
+    a = _ivf2l_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    qa = a.where(F.col("side") == "q").select(
+        F.col("id").alias("query_id"), "cell"
+    )
+    ca = a.where(F.col("side") == "c").select(F.col("id").alias("vec_id"), "cell")
+    cand = (
+        ca.join(F.broadcast(qa), on="cell")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                e.select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+                .join(F.broadcast(qa.select("query_id").distinct()), on="query_id")
+            ),
+            on="query_id",
+        )
+        .join(e.select("vec_id", F.col("__v").alias("__cv")), on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF2L_PARAMS["k"])
+        .select("query_id", "vec_id", "score", "rank")
+    )
 
 
 @register(
@@ -1850,7 +2020,14 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_RES_PARAMS = dict(_PQ_PARAMS, residual=True)
+# The residual codebooks are trained against the _IVFK_PARAMS coarse
+# centroids, so the coarse-quantizer params are folded into the sidecar
+# key (ADVICE r11): changing _IVFK_PARAMS relocates BOTH sidecars, and a
+# centroid retrain can never silently pair with residual codebooks that
+# were fit to the previous centroids.
+_PQ_RES_PARAMS = dict(
+    _PQ_PARAMS, residual=True, **{f"ivfk_{k}": v for k, v in _IVFK_PARAMS.items()}
+)
 _PQ_RES_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks", _PQ_RES_PARAMS)
 
 

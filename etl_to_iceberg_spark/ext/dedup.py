@@ -902,11 +902,15 @@ def connected_components(
     set (16s of round overhead even at sf0.01), the bridge fixpoint runs
     0–4 rounds over the contracted graph.
 
-    Each round is RELIABLY checkpointed (``df.checkpoint()`` to the
-    session's checkpoint dir) so (a) the plan doesn't grow exponentially
-    and (b) a lost executor mid-fixpoint recomputes from durable storage
-    instead of killing the whole job — ``localCheckpoint`` would pin
-    blocks in executor memory, not survivable on a real cluster. The
+    Each round is RELIABLY materialized via a parquet write + explicit-
+    schema read-back (``_reliable_checkpoint`` — on a real cluster the
+    scratch dir must live on shared storage, see that helper's
+    docstring) so (a) the plan doesn't grow exponentially and (b) a lost
+    executor mid-fixpoint recomputes from durable storage instead of
+    killing the whole job. ``df.checkpoint(eager)`` was measured to
+    compute the lineage TWICE through the RDD path (4.5s vs 1.0s at
+    sf0.1), and ``localCheckpoint`` would pin blocks in executor
+    memory, not survivable on a real cluster. The
     round's OLD label rides the checkpointed frame as ``__old``, so
     termination detection is a trivial scan of the checkpoint. The
     driver-side loop is inherent to iterative fixpoints (same as

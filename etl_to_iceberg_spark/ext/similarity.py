@@ -519,6 +519,15 @@ def quantizer_refresh_report(
 
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
+# nlist at or above which ivf_assign switches from exact flat assignment
+# to approximate two-level (super-cell) routing. Static SQL oracles that
+# value-check IVF ops hardcode FLAT assignment, so any oracle-checked
+# fixture must keep nlist BELOW this threshold (asserted where the
+# fixtures are defined, e.g. ext/corpus_queries._IVFK_PARAMS) — above
+# it, engine/oracle parity requires an assignment-sidecar oracle (the
+# similarity_ann_ivf_two_level pattern) instead of re-derived flat SQL.
+TWO_LEVEL_MIN_NLIST = 64
+
 
 def _super_quantizer(
     centroids: DataFrame, *, nsuper: int | None = None, iters: int = 8
@@ -551,7 +560,15 @@ def _super_quantizer(
                 sup[j] = pts.mean(axis=0)
     assign = (unit @ sup.T).argmax(axis=1)
     cellmap = [(rows[i]["cell"], int(assign[i])) for i in range(len(rows))]
-    supers = [(j, [float(v) for v in sup[j]]) for j in range(nsuper)]
+    # Drop childless supers (an emptied Lloyd cluster keeps its init
+    # centroid, which is a real centroid direction and can outrank
+    # nonempty supers in routing): they can never contribute candidate
+    # cells, so keeping them both wastes probe slots and — if every
+    # probed super were childless — would leave a vector with zero
+    # scored rows, silently dropping it from the assignment. Filtering
+    # here guarantees every routed super has ≥1 child cell.
+    live = {j for _, j in cellmap}
+    supers = [(j, [float(v) for v in sup[j]]) for j in range(nsuper) if j in live]
     return cellmap, supers
 
 
@@ -622,7 +639,7 @@ def ivf_assign(
     id_col: str,
     vec_col: str = "__v",
     n_best: int = 1,
-    two_level_min_nlist: int = 64,
+    two_level_min_nlist: int = TWO_LEVEL_MIN_NLIST,
     super_probes: int = 4,
     with_vector: bool = True,
 ) -> DataFrame:

@@ -1364,7 +1364,12 @@ def _model_two_level_assign(vecs, cents, super_probes=4, iters=8):
     children = {}
     for i, cell in enumerate(cellids):
         children.setdefault(int(assign[i]), []).append((cell, cmat[i]))
-    supers = [(j, [float(x) for x in sup[j]]) for j in range(nsuper)]
+    # mirror the engine's childless-super filter (ADVICE r11): an
+    # emptied Lloyd cluster keeps its init centroid but can never
+    # contribute candidate cells, so it is dropped before routing
+    supers = [
+        (j, [float(x) for x in sup[j]]) for j in range(nsuper) if j in children
+    ]
     out = {}
     for vid, v in vecs:
         routed = sorted(
@@ -1419,3 +1424,38 @@ def test_two_level_assign_matches_model(spark, seed):
     skinny = ivf_assign(c, cdf, id_col="vec_id", with_vector=False)
     assert skinny.columns == ["vec_id", "cell"]
     assert {r.vec_id: r.cell for r in skinny.collect()} == model
+
+
+def test_super_quantizer_drops_childless_supers(spark):
+    """Planted emptied Lloyd cluster (ADVICE r11): two tight centroid
+    bundles A(×2)/B(×3) with nsuper=3 make init super 1 (a second copy
+    of A) lose every argmax tie to super 0, so it ends childless while
+    keeping a REAL centroid direction. The filter must drop it from the
+    super list, and two-level routing — even probing a single super —
+    must still assign every vector exactly once (pre-fix, a vector whose
+    probed supers were all childless silently vanished)."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.similarity import _super_quantizer, ivf_assign
+
+    dim = 8
+    A = [1.0] + [0.0] * (dim - 1)
+    B = [0.0, 1.0] + [0.0] * (dim - 2)
+    cents = [(0, A), (1, A), (2, B), (3, B), (4, B)]
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+
+    cellmap, supers = _super_quantizer(cdf)
+    live = {j for _, j in cellmap}
+    assert {j for j, _ in supers} <= live, "childless super survived the filter"
+    assert len(supers) < 3, "expected the duplicate-init super to empty"
+
+    vecs = [(0, A), (1, B), (2, [0.9, 0.1] + [0.0] * (dim - 2))]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    c = emb.select("vec_id", F.col("embedding").alias("__v"))
+    out = ivf_assign(
+        c, cdf, id_col="vec_id", two_level_min_nlist=5, super_probes=1,
+        with_vector=False,
+    ).collect()
+    assert len(out) == len(vecs), "a vector disappeared from the assignment"
+    got = {r.vec_id: r.cell for r in out}
+    assert got[0] == 0 and got[1] == 2  # ties break to the lower cell id

@@ -28,6 +28,8 @@ _BANNED = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
 # it's absent. Paths come from sidecars.oracle_sidecar_path — the same
 # call the oracle SQL f-strings embed at import.
 from etl_to_iceberg_spark.ext.corpus_queries import (
+    _IVF2L_PARAMS,
+    _IVF2L_Q_PARAMS,
     _IVFK_PARAMS,
     _IVFK_V2_PARAMS,
     _PQ_PARAMS,
@@ -58,6 +60,13 @@ _SIDECAR_SEEDS = {
     oracle_sidecar_path("pq_codebooks", _PQ_RES_PARAMS): (
         "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS code, "
         "CAST([0.0] AS DOUBLE[]) AS cent"
+    ),
+    oracle_sidecar_path("ivfk_centroids", _IVF2L_Q_PARAMS): (
+        'SELECT CAST(0 AS INT) AS cell, CAST([0.0] AS DOUBLE[]) AS "__cent"'
+    ),
+    oracle_sidecar_path("ivf2l_assign", _IVF2L_PARAMS): (
+        "SELECT CAST('c' AS VARCHAR) AS side, CAST(0 AS BIGINT) AS id, "
+        "CAST(0 AS INT) AS cell"
     ),
     oracle_sidecar_path("mh_tick_sigs", _MH_TICK_PARAMS): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
