@@ -499,3 +499,33 @@ def test_eval_overlap_broadcasts_bench_side(spark, sf_dir):
 
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in args, args
+
+
+def test_connected_components_output_plan_is_checkpoint_truncated(spark):
+    """The r11 CC rewrite (contraction seed + bridge merge, parquet
+    checkpoints): the RETURNED labels plan must hang off the durable
+    checkpoint, not the edge pipeline. Concretely: (a) the per-partition
+    union-find contraction runs via mapInPandas, so a plan that still
+    contains MapInPandas is recomputing the contraction (and, upstream
+    of real callers, the whole minhash/kNN candidate pipeline) on every
+    downstream action — the exact double-compute _reliable_checkpoint
+    exists to kill; (b) the seed labels must be read back from parquet
+    (the durable truncation point); (c) label composition joins are
+    equi-joins, never cartesian."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    edges = (
+        spark.range(12)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .repartition(6)
+    )
+    nodes = spark.range(20).select(F.col("id").alias("doc_id"))
+    out = connected_components(edges, nodes)
+    plan = explain_str(out, "formatted")
+    assert "MapInPandas" not in plan, (
+        "CC output recomputes the contraction — checkpoint not truncating"
+    )
+    assert "Scan parquet" in plan, "seed labels not read from the checkpoint"
+    assert "CartesianProduct" not in plan

@@ -242,6 +242,64 @@ def test_connected_components_matches_union_find_oracle(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_connected_components_random_graphs_through_pointer_doubling(spark):
+    """The same random-graph-vs-union-find sweep, but forced through the
+    DISTRIBUTED bridge path (VERDICT r11): ``driver_bridge_max=0``
+    disables the driver merge and the edge list is spread over more
+    partitions than any component spans, so the local contraction
+    genuinely disagrees across partitions and pointer doubling must
+    reconcile it. The deterministic chain test (test_ext.py) plants one
+    such graph; random graphs are what historically surface the cases a
+    planted one misses."""
+    from etl_to_iceberg_spark.ext.dedup import connected_components
+
+    rng = random.Random(23)
+    saw_doubling = False
+    for trial in range(3):
+        n = rng.randrange(20, 60)
+        nodes = list(range(n))
+        # a planted chain guarantees a multi-partition component; random
+        # extra edges vary the bridge-graph shape per trial
+        chain_len = rng.randrange(8, 16)
+        edges = [(i, i + 1) for i in range(chain_len)]
+        edges += [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(0, n))
+        ]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in nodes:
+            comp.setdefault(find(x), []).append(x)
+        want = {x: min(comp[find(x)]) for x in nodes}
+
+        edges_df = spark.createDataFrame(
+            edges, "src long, dst long"
+        ).repartition(len(edges))  # one edge per task: maximal disagreement
+        nodes_df = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        stats: dict = {}
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                edges_df, nodes_df, stats=stats, driver_bridge_max=0
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+        saw_doubling = saw_doubling or stats["bridge_strategy"] == "pointer-doubling"
+    assert saw_doubling, "no trial exercised the distributed bridge fixpoint"
+
+
 def test_minhash_collapse_preserves_pair_closure(spark):
     """Random corpora with planted duplicate groups: the collapsed pipeline
     (identical docs -> one representative + rep->member edges) must yield
