@@ -1997,7 +1997,18 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment stages (code derivation, cell routing — 16-row quantizer
     / 128-row codebooks, bounded-group top-1 windows) and the
     shortlist-sized refine fetch. Both stored tables come from
-    sidecars, the deployment shape."""
+    sidecars, the deployment shape.
+
+    DEFAULT-CODEBOOK POLICY (VERDICT r11 #5, decided r12): RAW
+    codebooks stay the default here. With the refine tail this op
+    always pays, raw and residual both hit the routing ceiling
+    (recall 1.000 on the clustered regime, SCALING.md grid), so
+    flipping the default would re-attest every consumer for zero
+    measured gain. Residual (IVFADC) codebooks are for REFINE-LESS
+    deployments — where the exact-cosine fetch of the shortlist is
+    unaffordable and pure-ADC recall binds (+26% relative on the
+    clustered regime at identical storage) — and are exposed as the
+    separate similarity_ann_ivf_pq_residual op."""
     from etl_to_iceberg_spark.ext.similarity import _to_double, pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -193,6 +193,8 @@ def _cos6(a, b):
         na = na + x * x
     for y in b:
         nb = nb + y * y
+    if na == 0.0 or nb == 0.0:
+        return -1.0  # the engine's zero-norm convention (DuckDB's)
     return _q(dot / (math.sqrt(na) * math.sqrt(nb)), "1e-6")
 
 
@@ -1459,3 +1461,131 @@ def test_super_quantizer_drops_childless_supers(spark):
     assert len(out) == len(vecs), "a vector disappeared from the assignment"
     got = {r.vec_id: r.cell for r in out}
     assert got[0] == 0 and got[1] == 2  # ties break to the lower cell id
+
+
+def _model_pq_res_rerank(
+    vecs, queries, cents, cbs, *, m, dsub, nprobe, k, rerank
+):
+    """The registered residual op's full shape: IVFADC shortlist of
+    ``rerank`` (via _model_pq_res_adc), then exact-cosine re-rank of the
+    shortlist to top-``k`` (score desc, vec_id). Also returns the raw
+    per-query candidate counts so the caller can assert the shortlist
+    genuinely truncated (i.e. ADC decided membership, not just order)."""
+    adc = _model_pq_res_adc(
+        vecs, queries, cents, cbs, m=m, dsub=dsub, nprobe=nprobe, k=rerank
+    )
+    _, cell_of = _model_pq_res_codes(vecs, cents, cbs, m, dsub)
+    vmap = dict(vecs)
+    shortlist = {}
+    for (qid, vid), _sr in adc.items():
+        shortlist.setdefault(qid, []).append(vid)
+    cand_counts = {}
+    for qid, qv in queries:
+        probed = {
+            cell
+            for _, cell in sorted(
+                ((-_cos6(qv, cv), cell) for cell, cv in cents)
+            )[:nprobe]
+        }
+        cand_counts[qid] = sum(1 for vid, _ in vecs if cell_of[vid] in probed)
+    out = {}
+    for qid, qv in queries:
+        exact = sorted(
+            ((-_cos6(qv, vmap[vid]), vid) for vid in shortlist.get(qid, []))
+        )
+        for r, (negs, vid) in enumerate(exact[:k], start=1):
+            out[(qid, vid)] = (-negs if negs != 0 else 0.0, r)
+    return out, cand_counts
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_registered_residual_op_matches_model_from_its_sidecars(
+    spark, tmp_path, seed
+):
+    """End-to-end sweep of the REGISTERED similarity_ann_ivf_pq_residual
+    op's sidecar plumbing (VERDICT r11 #8): the op trains and persists
+    its own quantizer + residual codebooks on a planted corpus; the
+    model is rebuilt from THE ARTIFACTS THE OP PERSISTED (sidecar
+    parquet read-back), so any drift between what was stored and what
+    the search consumed — the stale-model class the params keying
+    exists for — breaks the sweep. Planted pathologies: a zero-norm
+    vector (assignment must use the -1.0 cosine convention, not crash
+    or NaN), and an identical trio including query 97 (tie-heavy exact
+    rerank must break by vec_id). The corpus is sized so candidate
+    lists EXCEED the rerank shortlist — ADC decides membership, so
+    wrong/stale codebooks change the result."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = cq._PQ_M * cq._PQ_DSUB
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 300
+    vecs = [(i, unit(dim)) for i in range(n)]
+    vecs[7] = (7, [0.0] * dim)                # zero-norm corpus vector
+    dup = unit(dim)
+    for vid in (97, 120, 121):                # 97 is also a query
+        vecs[vid] = (vid, list(dup))
+
+    sf = str(tmp_path / "sfres")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    got = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in cq.similarity_ann_ivf_pq_residual(spark, sf).collect()
+    }
+
+    # rebuild the model from the artifacts the op itself persisted
+    cents = [
+        (r["cell"], list(r["__cent"]))
+        for r in spark.read.parquet(
+            sidecars.sidecar_path("ivfk_centroids", sf, cq._IVFK_PARAMS)
+        ).collect()
+    ]
+    cbs: dict = {}
+    for r in spark.read.parquet(
+        sidecars.sidecar_path("pq_codebooks", sf, cq._PQ_RES_PARAMS)
+    ).collect():
+        cbs.setdefault(r["m"], []).append((r["code"], list(r["cent"])))
+    queries = [(vid, v) for vid, v in vecs if vid % 97 == 0]
+    model, cand_counts = _model_pq_res_rerank(
+        vecs, queries, cents, cbs,
+        m=cq._PQ_M, dsub=cq._PQ_DSUB, nprobe=4, k=10, rerank=cq._PQ_RERANK,
+    )
+    assert max(cand_counts.values()) > cq._PQ_RERANK, (
+        f"shortlist never truncated ({cand_counts}) — the sweep would "
+        "degrade to an exact-cosine test that can't see stale codebooks"
+    )
+    assert got == model
+    # tie-heavy rerank: the identical trio ranks contiguously by id for
+    # the duplicate query
+    trio = sorted(r for (qid, vid), (_, r) in got.items()
+                  if qid == 97 and vid in (97, 120, 121))
+    assert trio == list(range(trio[0], trio[0] + len(trio)))
+
+    # params-keying guards (ADVICE r11 medium): raw and residual
+    # codebooks never share a directory, and the residual key folds in
+    # the coarse-quantizer params it was trained against
+    raw_p = sidecars.sidecar_path("pq_codebooks", sf, cq._PQ_PARAMS)
+    res_p = sidecars.sidecar_path("pq_codebooks", sf, cq._PQ_RES_PARAMS)
+    assert raw_p != res_p
+    other_ivfk = dict(
+        cq._PQ_PARAMS, residual=True,
+        **{f"ivfk_{k}": v for k, v in dict(cq._IVFK_PARAMS, nlist=999).items()},
+    )
+    assert sidecars.sidecar_path("pq_codebooks", sf, other_ivfk) != res_p, (
+        "a coarse-quantizer param change must relocate the residual "
+        "codebook sidecar"
+    )

@@ -114,6 +114,26 @@ for sf_name, (emb, nlist) in {
     cents = ivf_kmeans_centroids(emb, nlist=nlist, train_fraction=0.5)
     cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin rows
 
+    # Scored-pair volume (VERDICT r11 #6): every consumer below scores
+    # all within-cell pairs of the CAPPED assignment — Σ C(n_cell, 2) is
+    # the work denominator that separates pair-volume growth (the
+    # quantizer fitting real structure as nlist scales — desirable) from
+    # per-pair runtime cost (a regression). Report wall ÷ Mpairs so the
+    # next 10× factor is attributable to one or the other.
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+
+    _assigned = ivf_assign(
+        emb.select("vec_id", _to_double("embedding").alias("__v")),
+        cents, id_col="vec_id", with_vector=False,
+    )
+    _hist = _assigned.groupBy("cell").count().where(F.col("count") <= 256)
+    scored_pairs = int(
+        _hist.selectExpr("sum(count * (count - 1) / 2) AS p").collect()[0]["p"]
+    )
+
+    def per_mpair(wall):
+        return round(wall / (scored_pairs / 1e6), 2)
+
     def run():
         semantic_dedup_pairs(
             emb, cents, threshold=0.3, max_cluster_size=256
@@ -137,7 +157,8 @@ for sf_name, (emb, nlist) in {
     ).count()
     print(
         f"{sf_name}: n={n} nlist={nlist} wall={best:.2f}s "
-        f"shuffle_write={sw and round(sw / 1e6, 1)}MB pairs={pairs}"
+        f"shuffle_write={sw and round(sw / 1e6, 1)}MB pairs={pairs} "
+        f"scored_pairs={scored_pairs} s_per_Mpair={per_mpair(best)}"
     )
 
     # kNN graph over the same corpus + quantizer (the third consumer of
@@ -163,7 +184,8 @@ for sf_name, (emb, nlist) in {
     edges = knn_graph(emb, cents, k=3, max_cluster_size=256).count()
     print(
         f"{sf_name} knn_graph: n={n} nlist={nlist} wall={best:.2f}s "
-        f"shuffle_write={sw and round(sw / 1e6, 1)}MB edges={edges}"
+        f"shuffle_write={sw and round(sw / 1e6, 1)}MB edges={edges} "
+        f"s_per_Mpair={per_mpair(best)}"
     )
 
     # r9: the full composite — mutual-kNN edges + connected components.
@@ -202,5 +224,5 @@ for sf_name, (emb, nlist) in {
         f"{sf_name} semantic_clusters: n={n} nlist={nlist} wall={best:.2f}s "
         f"shuffle_write={sw and round(sw / 1e6, 1)}MB "
         f"clusters={agg.clusters} dropped={agg.dropped} "
-        f"cc_rounds={st.get('rounds')}"
+        f"cc_rounds={st.get('rounds')} s_per_Mpair={per_mpair(best)}"
     )
