@@ -2213,6 +2213,169 @@ def similarity_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# The refine-less production composition: residual codebooks trained
+# against the PRODUCTION-SIZED (nlist=64) quantizer — the key folds in
+# the coarse params per the r12 keying rule, so these codebooks, the
+# nlist=16 residual ones, and the raw ones all live in distinct
+# directories and a coarse retrain relocates its dependents.
+_PQ_RES2L_PARAMS = dict(
+    _PQ_PARAMS, residual=True,
+    **{f"ivfk_{k}": v for k, v in _IVF2L_Q_PARAMS.items()},
+)
+_PQ_RES2L_SIDECAR = sidecars.oracle_sidecar_path("pq_codebooks", _PQ_RES2L_PARAMS)
+
+
+def _pq_res2l_codebooks(spark: SparkSession, sf_dir: str):
+    """Residual codebooks fitted to the nlist=64 two-level quantizer —
+    same contract as :func:`_pq_res_codebooks` with the coarse model
+    swapped; the params-keyed path keeps the two trainings apart."""
+    from etl_to_iceberg_spark.ext.similarity import pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = sidecars.sidecar_path("pq_codebooks", sf_dir, _PQ_RES2L_PARAMS)
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: pq_train_codebooks(
+            emb, **_PQ_PARAMS, centroids=_ivf2l_centroids(spark, sf_dir)
+        ),
+    )
+    return spark.read.parquet(side).select("m", "code", "cent")
+
+
+@register(
+    "similarity_ann_ivf_pq_residual_two_level",
+    # The oracle composes the two sidecar patterns this op unifies:
+    # routing resumes from the materialized two-level ASSIGNMENT (flat
+    # SQL cannot re-derive approximate routing), residual codes and the
+    # ADC score are re-derived relationally from the stored centroids +
+    # codebooks — the similarity_ann_ivf_pq_residual oracle with its
+    # flat assignment CTEs swapped for the sidecar read and the refine
+    # tail removed (pure ADC is the point of the residual path).
+    sql=f"""
+    WITH cb AS (
+      SELECT m, code, cent FROM read_parquet('{_PQ_RES2L_SIDECAR}/*.parquet')
+    ),
+    cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVF2L_CENT_SIDECAR}/*.parquet')
+    ),
+    a AS (
+      SELECT side, id, cell FROM read_parquet('{_IVF2L_ASSIGN_SIDECAR}/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus_assign AS (
+      SELECT id AS vec_id, cell FROM a WHERE side = 'c'
+    ),
+    query_assign AS (
+      SELECT id AS query_id, cell FROM a WHERE side = 'q'
+    ),
+    sub AS (
+      SELECT e.vec_id, ms.m,
+             v[ms.m * {_PQ_DSUB} + 1 : (ms.m + 1) * {_PQ_DSUB}] AS sv
+      FROM e CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+    ),
+    sub_res AS (
+      SELECT s.vec_id, s.m,
+             list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> s.sv[i] - c.cv[s.m * {_PQ_DSUB} + i]) AS sv
+      FROM sub s
+      JOIN corpus_assign ca USING (vec_id)
+      JOIN cent c USING (cell)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> CAST((s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i])
+                             AS DECIMAL(20,9)))) ASC,
+                 c.code
+               ) AS rn
+        FROM sub_res s JOIN cb c USING (m)
+      ) WHERE rn <= 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> CAST(s.sv[i] * c.cent[i] AS DECIMAL(20,9)))) AS part
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id % 97 = 0
+    ),
+    cterm AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             list_sum(list_transform(range(1, {_PQ_M * _PQ_DSUB} + 1),
+               i -> CAST(e.v[i] * c.cv[i] AS DECIMAL(20,9)))) AS ct
+      FROM e CROSS JOIN cent c
+      WHERE e.vec_id % 97 = 0
+    ),
+    cand AS (
+      SELECT DISTINCT qa.query_id, ca.vec_id, ca.cell
+      FROM query_assign qa JOIN corpus_assign ca USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(CAST(ct.ct + SUM(l.part) AS DOUBLE), 6) AS score
+      FROM cand
+      JOIN codes k ON k.vec_id = cand.vec_id
+      JOIN lut l ON l.query_id = cand.query_id
+               AND l.m = k.m AND l.code = k.code
+      JOIN cterm ct ON ct.query_id = cand.query_id AND ct.cell = cand.cell
+      GROUP BY cand.query_id, cand.vec_id, ct.ct
+    )
+    SELECT query_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ann_ivf_pq_residual_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full production IVFADC serving shape, end-to-end: nlist=64
+    puts every assignment (cell routing, residual-code derivation,
+    query probing) on ivf_assign's TWO-LEVEL branch; codes encode the
+    residual against that quantizer; scoring is PURE ADC — no refine
+    tail, the deployment the residual codebooks exist for (see the
+    default-codebook policy on similarity_ann_ivf_pq). Completes the
+    driver-attested matrix: two_level op = routing × exact re-rank,
+    residual op = flat routing × IVFADC, this op = two-level routing ×
+    IVFADC.
+
+    Scale shape: identical to similarity_ann_ivf_pq_residual — the
+    corpus crosses exchanges only as fixed-width (id, m, code) /
+    (id, cell) rows, the LUT and centroid term are broadcast-sized,
+    and the two-level assignment cuts the routing term from n·nlist to
+    ~5√nlist per vector."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf2l_centroids(spark, sf_dir)
+    codebooks = _pq_res2l_codebooks(spark, sf_dir)
+    # materialize the assignment sidecar the oracle resumes from (the
+    # engine recomputes the same deterministic assignment live inside
+    # pq_adc_topk; a future routing change shows up as a LOUD driver
+    # mismatch against the stored rows, never a silent drift)
+    _ivf2l_assignments(spark, sf_dir)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    return pq_adc_topk(
+        c,
+        q,
+        centroids,
+        codebooks,
+        k=10,
+        nprobe=4,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        residual=True,
+    )
+
+
 # Margin below the cell's mean assignment-cosine at which a vector is
 # flagged: generous enough that only genuine stragglers flag, tight
 # enough that the fixture's planted structure produces both verdicts.

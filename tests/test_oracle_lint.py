@@ -33,6 +33,7 @@ from etl_to_iceberg_spark.ext.corpus_queries import (
     _IVFK_PARAMS,
     _IVFK_V2_PARAMS,
     _PQ_PARAMS,
+    _PQ_RES2L_PARAMS,
     _PQ_RES_PARAMS,
 )
 from etl_to_iceberg_spark.ext.incremental_queries import _MH_TICK_PARAMS
@@ -58,6 +59,10 @@ _SIDECAR_SEEDS = {
         "CAST([0.0] AS DOUBLE[]) AS cent"
     ),
     oracle_sidecar_path("pq_codebooks", _PQ_RES_PARAMS): (
+        "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS code, "
+        "CAST([0.0] AS DOUBLE[]) AS cent"
+    ),
+    oracle_sidecar_path("pq_codebooks", _PQ_RES2L_PARAMS): (
         "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS code, "
         "CAST([0.0] AS DOUBLE[]) AS cent"
     ),
