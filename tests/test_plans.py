@@ -529,3 +529,17 @@ def test_connected_components_output_plan_is_checkpoint_truncated(spark):
     )
     assert "Scan parquet" in plan, "seed labels not read from the checkpoint"
     assert "CartesianProduct" not in plan
+
+
+def test_residual_two_level_routing_plan_shape(spark, sf_dir):
+    """similarity_ann_ivf_pq_residual_two_level routes every assignment
+    through the two-level branch LIVE (nlist=64): the super routing is
+    scan x broadcast(sup_df) + a partial-aggregated collect_list slice —
+    so the plan must show broadcast exchanges (supers, children, LUT),
+    two-phase hash aggregation, and no un-broadcast cartesian; and no
+    hash exchange may carry the raw text (vectors ride exchanges only
+    as grouping keys of the routing agg, by design)."""
+    plan = _plan(spark, sf_dir, "similarity_ann_ivf_pq_residual_two_level")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("HashAggregate") >= 2, plan
