@@ -143,6 +143,29 @@ for sf_name, (emb, nlist) in {
         f"shuffle_write={sw and round(sw / 1e6, 2)}MB"
     )
 
+    # r12: the refine-less production composition
+    # (similarity_ann_ivf_pq_residual_two_level) — residual codebooks
+    # against THIS corpus's scaled quantizer, pure ADC, routing
+    # two-level at nlist>=64. Same constant-training posture.
+    t0 = time.perf_counter()
+    cbs_res = pq_train_codebooks(
+        emb, m=8, dsub=8, ksub=16, train_rows=256, centroids=cents
+    )
+    cbs_res = spark.createDataFrame(cbs_res.collect(), cbs_res.schema)
+    train_res_s = time.perf_counter() - t0
+
+    def run_res2l():
+        pq_adc_topk(
+            c, q, cents, cbs_res, k=10, nprobe=4, m=8, dsub=8, residual=True
+        ).write.format("noop").mode("overwrite").save()
+
+    best, sw = timed(run_res2l)
+    print(
+        f"{sf_name} ann_ivfadc (residual, pure ADC): n={n} nq={nq} "
+        f"nlist={nlist} train={train_res_s:.2f}s wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 2)}MB"
+    )
+
     # Two-level assignment audit (r11, the n×nlist fix): scored
     # cells/vector, plus recall@10 of the full search two-level vs
     # FLAT assignment on a 50-query sample against exact bruteforce.
