@@ -1589,3 +1589,45 @@ def test_registered_residual_op_matches_model_from_its_sidecars(
         "a coarse-quantizer param change must relocate the residual "
         "codebook sidecar"
     )
+
+
+def test_ivf2l_assignment_sidecar_matches_live_routing(spark, sf_dir):
+    """The two-level ops' shared assignment sidecar must equal a FRESH
+    ivf_assign computation from the stored quantizer: the two_level op's
+    engine consumes the sidecar while pq_residual_two_level routes live
+    inside pq_adc_topk, so any routing change that isn't reflected in a
+    rebuilt sidecar would split the two (and fail the driver loudly
+    mid-round). This pins the equality as a test failure instead."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.corpus_queries import (
+        _IVF2L_PARAMS,
+        _ivf2l_assignments,
+        _ivf2l_centroids,
+    )
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    stored = {
+        (r.side, r.id, r.cell)
+        for r in _ivf2l_assignments(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf2l_centroids(spark, sf_dir)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    live = {
+        ("c", r.vec_id, r.cell)
+        for r in ivf_assign(
+            c, cents, id_col="vec_id", n_best=1, with_vector=False
+        ).collect()
+    } | {
+        ("q", r.query_id, r.cell)
+        for r in ivf_assign(
+            q, cents, id_col="query_id",
+            n_best=_IVF2L_PARAMS["nprobe"], with_vector=False,
+        ).collect()
+    }
+    assert stored == live
