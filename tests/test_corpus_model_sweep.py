@@ -1631,3 +1631,78 @@ def test_ivf2l_assignment_sidecar_matches_live_routing(spark, sf_dir):
         ).collect()
     }
     assert stored == live
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_registered_two_level_op_matches_model_from_its_sidecar(
+    spark, tmp_path, seed
+):
+    """End-to-end sweep of the REGISTERED similarity_ann_ivf_two_level
+    op on a planted corpus: the op trains its nlist=64 quantizer,
+    routes through the two-level branch, persists the assignment, and
+    searches from the stored rows; the model re-derives the search half
+    (shared-cell candidates → exact cosine → top-k) from THE SIDECAR
+    THE OP WROTE. Planted: a zero-norm vector (must assign via the
+    -1.0 convention and never crash the rerank) and an identical trio
+    including query 97 (tie ranks break by vec_id)."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = 64
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 300
+    vecs = [(i, unit(dim)) for i in range(n)]
+    vecs[7] = (7, [0.0] * dim)
+    dup = unit(dim)
+    for vid in (97, 130, 131):
+        vecs[vid] = (vid, list(dup))
+
+    sf = str(tmp_path / "sf2l")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    got = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in cq.similarity_ann_ivf_two_level(spark, sf).collect()
+    }
+
+    rows = spark.read.parquet(
+        sidecars.sidecar_path("ivf2l_assign", sf, cq._IVF2L_PARAMS)
+    ).collect()
+    ccell = {r.id: r.cell for r in rows if r.side == "c"}
+    qcells: dict = {}
+    for r in rows:
+        if r.side == "q":
+            qcells.setdefault(r.id, set()).add(r.cell)
+    vmap = dict(vecs)
+    model = {}
+    for qid, cells in qcells.items():
+        cand = sorted(
+            (-_cos6(vmap[qid], vmap[vid]), vid)
+            for vid, cell in ccell.items()
+            if cell in cells
+        )
+        for r, (negs, vid) in enumerate(cand[: cq._IVF2L_PARAMS["k"]], start=1):
+            model[(qid, vid)] = (-negs, r)
+    assert got == model
+    # the identical trio (when candidates) ranks contiguously for the
+    # duplicate query, broken by id
+    trio = sorted(
+        r for (qid, vid), (_, r) in got.items()
+        if qid == 97 and vid in (97, 130, 131)
+    )
+    assert trio and trio == list(range(trio[0], trio[0] + len(trio)))
+    # the zero vector was assigned (did not vanish from the corpus side)
+    assert 7 in ccell
