@@ -1114,23 +1114,36 @@ def pq_adc_topk(
     (DECIMAL term-sums, so the ranking stays engine-independent). Same
     candidate volume, strictly better reconstruction: the codebooks
     spend their entries on within-cell displacements."""
-    codes = pq_codes(
-        c,
-        codebooks,
-        id_col="vec_id",
-        m=m,
-        dsub=dsub,
-        centroids=centroids if residual else None,
-    )
+    if residual:
+        # ONE corpus assignment feeds both consumers — residual-code
+        # derivation AND cell routing. Before r12 pq_codes(centroids=…)
+        # ran its own ivf_assign while corpus_cells ran another: the
+        # dominant corpus-wide term (n·√nlist routing work at two-level
+        # nlist) executed twice, the same differently-shaped
+        # double-consumption r11 fixed in kNN/SemDeDup — exchange reuse
+        # does not cover the two branches, a tracked cache does.
+        from etl_to_iceberg_spark.caching import tracked_cache
+
+        assigned = tracked_cache(
+            ivf_assign(c, centroids, id_col="vec_id", n_best=1)
+        )
+        res_vec = assigned.join(F.broadcast(centroids), on="cell").select(
+            "vec_id",
+            F.zip_with("__v", "__cent", lambda a, b: a - b).alias("__v"),
+        )
+        codes = pq_codes(res_vec, codebooks, id_col="vec_id", m=m, dsub=dsub)
+        corpus_cells = assigned.select("vec_id", "cell")
+    else:
+        codes = pq_codes(c, codebooks, id_col="vec_id", m=m, dsub=dsub)
+        corpus_cells = ivf_assign(
+            c, centroids, id_col="vec_id", n_best=1, with_vector=False
+        )
     qsub = pq_subvectors(q, "query_id", m=m, dsub=dsub)
     part = _dec_sum(
         F.zip_with(F.col("sv"), F.col("cent"), lambda a, b: (a * b).cast(_DEC))
     )
     lut = qsub.join(F.broadcast(codebooks), on="m").select(
         "query_id", "m", "code", part.alias("__part")
-    )
-    corpus_cells = ivf_assign(
-        c, centroids, id_col="vec_id", n_best=1, with_vector=False
     )
     query_cells = ivf_assign(
         q, centroids, id_col="query_id", n_best=nprobe, with_vector=False
