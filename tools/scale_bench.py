@@ -54,7 +54,19 @@ QUERIES = [
     # like their quantizer siblings.
     "text_bigram_logprob",
     "corpus_eval_overlap_report",
+    # r12: the multimodal family — the one headline family without a 10x
+    # row. features = Arrow-batched mapInPandas over binary payloads
+    # (the Python-worker path's scaling is the claim under test);
+    # byte_segments / frame_sample = pure Catalyst explode shapes.
+    "multimodal_features",
+    "multimodal_byte_segments",
+    "multimodal_frame_sample",
 ]
+# SCALE_ONLY=a,b,c restricts the run (e.g. re-measuring one new tranche
+# without re-paying the whole table)
+_only = os.environ.get("SCALE_ONLY")
+if _only:
+    QUERIES = [q for q in QUERIES if q in _only.split(",")]
 SFS = {"sf0.1": os.environ.get("SCALE_SRC", "/root/testdata/sf0.1"),
        "sf1": os.environ.get("SCALE_DST", os.path.join(__import__("tempfile").gettempdir(), f"e2is-{os.getuid()}", "sf1"))}
 
