@@ -1706,3 +1706,111 @@ def test_registered_two_level_op_matches_model_from_its_sidecar(
     assert trio and trio == list(range(trio[0], trio[0] + len(trio)))
     # the zero vector was assigned (did not vanish from the corpus side)
     assert 7 in ccell
+
+
+def _model_assign_nbest(vecs, cents, *, n_best, two_level_min_nlist=64,
+                        super_probes=4, iters=8):
+    """n_best-general assignment model: flat (all cells scored) below
+    the threshold, two-level (route to the widened super_probes best
+    supers, score only their children) at or above it — including the
+    engine's probe-widening formula, which the n_best=1 sweep never
+    exercises. Returns {(id, cell)} — the with_vector=False surface."""
+    import math
+
+    import numpy as np
+
+    nlist = len(cents)
+    if nlist < two_level_min_nlist:
+        out = set()
+        for vid, v in vecs:
+            ranked = sorted((-_cos6(v, cv), cell) for cell, cv in cents)
+            out.update((vid, cell) for _, cell in ranked[:n_best])
+        return out
+    rows = sorted(cents, key=lambda t: t[0])
+    cellids = [c for c, _ in rows]
+    cmat = np.asarray([cv for _, cv in rows], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = cmat / norms[:, None]
+    nsuper0 = max(2, math.isqrt(len(rows) - 1) + 1)
+    sup = unit[:nsuper0].copy()
+    for _ in range(iters):
+        assign = (unit @ sup.T).argmax(axis=1)
+        for j in range(nsuper0):
+            pts = unit[assign == j]
+            if len(pts):
+                sup[j] = pts.mean(axis=0)
+    assign = (unit @ sup.T).argmax(axis=1)
+    children: dict = {}
+    for i, cell in enumerate(cellids):
+        children.setdefault(int(assign[i]), []).append((cell, cmat[i]))
+    supers = [
+        (j, [float(x) for x in sup[j]]) for j in range(nsuper0) if j in children
+    ]
+    nsuper = len(supers)
+    # the engine's multiprobe widening (ivf_assign): enough supers that
+    # the probed cells comfortably exceed n_best, never past all
+    probes = min(nsuper, max(super_probes, math.ceil(n_best * nsuper / nlist) + 1))
+    out = set()
+    for vid, v in vecs:
+        routed = sorted(((-_cos6(v, sv), j) for j, sv in supers))[:probes]
+        cands = []
+        for _, j in routed:
+            for cell, cv in children[j]:
+                cands.append((-_cos6(v, list(cv)), cell))
+        cands.sort()
+        out.update((vid, cell) for _, cell in cands[:n_best])
+    return out
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_assign_nbest_random_params_matches_model(spark, seed):
+    """Randomized-params assignment sweep: nlist drawn to land on BOTH
+    sides of the two-level threshold and n_best in 1..4 — covering the
+    query-routing side (n_best=nprobe) of the two-level branch and its
+    probe-widening formula, which the n_best=1 sweep and the flat
+    fixtures never exercise together. Planted per trial: a duplicate
+    centroid pair (tie cells must rank lowest-first into the top-n) and
+    one vector equal to a centroid."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.similarity import ivf_assign
+
+    rng = random.Random(seed)
+    dim = 12
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    for trial in range(3):
+        nlist = rng.choice([20, 40, 64, 80, 96])
+        n_best = rng.randrange(1, 5)
+        cents = [(c, unit(dim)) for c in range(nlist)]
+        dup = rng.randrange(0, nlist - 1)
+        cents[dup + 1] = (dup + 1, list(cents[dup][1]))  # duplicate pair
+        vecs = [(i, unit(dim)) for i in range(30)]
+        vecs[5] = (5, list(cents[dup][1]))  # sits exactly on the dup
+
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+        c = emb.select("vec_id", F.col("embedding").alias("__v"))
+        got = {
+            (r.vec_id, r.cell)
+            for r in ivf_assign(
+                c, cdf, id_col="vec_id", n_best=n_best, with_vector=False
+            ).collect()
+        }
+        model = _model_assign_nbest(vecs, cents, n_best=n_best)
+        assert got == model, (
+            f"seed={seed} trial={trial} nlist={nlist} n_best={n_best}: "
+            f"engine^model={sorted(got ^ model)[:6]}"
+        )
+        if n_best >= 2:
+            # the duplicate-centroid tie: both cells score identically,
+            # so whenever one is picked for vector 5 the other must be
+            # the adjacent pick (cell-ascending tie order)
+            picked = sorted(cell for vid, cell in got if vid == 5)
+            if dup in picked or dup + 1 in picked:
+                assert dup in picked and dup + 1 in picked
