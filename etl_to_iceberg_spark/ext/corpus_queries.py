@@ -290,7 +290,14 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUALITY stays gated by the routing-identity sweep
 # (tests/test_corpus_model_sweep.py) and the tools/ann_recall.py grid.
 _IVF2L_Q_PARAMS = {"nlist": 64, "train_fraction": 0.5}
-_IVF2L_PARAMS = dict(_IVF2L_Q_PARAMS, k=10, nprobe=4)
+# routing_v: the assignment rows are produced by ivf_assign's APPROXIMATE
+# two-level branch, so the algorithm version is a key ingredient like any
+# data param — a routing change relocates (and thus rebuilds) the sidecar
+# instead of both engines silently resuming from stale assignments
+# (ADVICE r12; see similarity.ROUTING_VERSION for the bump contract).
+_IVF2L_PARAMS = dict(
+    _IVF2L_Q_PARAMS, k=10, nprobe=4, routing_v=similarity.ROUTING_VERSION
+)
 _IVF2L_CENT_SIDECAR = sidecars.oracle_sidecar_path("ivfk_centroids", _IVF2L_Q_PARAMS)
 _IVF2L_ASSIGN_SIDECAR = sidecars.oracle_sidecar_path("ivf2l_assign", _IVF2L_PARAMS)
 assert _IVF2L_Q_PARAMS["nlist"] >= similarity.TWO_LEVEL_MIN_NLIST, (

@@ -528,6 +528,23 @@ def quantizer_refresh_report(
 # similarity_ann_ivf_two_level pattern) instead of re-derived flat SQL.
 TWO_LEVEL_MIN_NLIST = 64
 
+# Version token for the APPROXIMATE routing algorithm (ivf_assign's
+# two-level branch + _super_quantizer). Assignment-sidecar oracles
+# (ext/corpus_queries._IVF2L_PARAMS) fold this into their params key, so
+# the engine-written (side, id, cell) sidecar RELOCATES — and therefore
+# rebuilds under the new algorithm — whenever routing semantics change,
+# exactly like a data-param change would. Without it, a routing change
+# would leave a stale sidecar in place and both engines would silently
+# agree on outdated assignments (the assignment-sidecar pattern's one
+# blind spot; see ADVICE r12). Bump this when anything that can alter
+# the (id, cell) output for FIXED params changes: _super_quantizer's
+# Lloyd seeding/iters/tie-breaks, the childless-super filter, the
+# probe-widening formula, super_probes' default, or the routing
+# score/order itself. Pure refactors that keep assignments bit-identical
+# don't need a bump (the live-vs-sidecar routing-equality pin catches an
+# unbumped behavioral change loudly).
+ROUTING_VERSION = 1
+
 
 def _super_quantizer(
     centroids: DataFrame, *, nsuper: int | None = None, iters: int = 8

@@ -61,19 +61,22 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 12
+_CHANGED_AS_OF_ROUND = 13
 _CHANGED_THIS_ROUND = [
-    # ADVICE r11 medium: the residual PQ codebook sidecar key now folds
-    # in the coarse-quantizer params (_IVFK_PARAMS) it was trained
-    # against, so a coarse-centroid change can never silently reuse
-    # stale residual codebooks — the key change relocates the sidecar
-    # path, so the op rebuilds and must be re-attested.
-    "similarity_ann_ivf_pq_residual",
+    # ADVICE r12 low: _IVF2L_PARAMS now folds in
+    # similarity.ROUTING_VERSION, so a future two-level-routing change
+    # relocates the engine-written assignment sidecar (rebuild under the
+    # new algorithm) instead of both engines silently resuming from
+    # stale assignments. The key change relocates the sidecar path, so
+    # both consumers rebuild and must be re-attested.
+    "similarity_ann_ivf_two_level",
+    "similarity_ann_ivf_pq_residual_two_level",
 ]
-# Round-12 rotation budget (VERDICT r11 #1): 11 r7-stale ops hit the
-# 5-round staleness limit this round; with 1 changed + new never-checked
-# ops the front must stay ≤ 50 so the driver's rotation drains the r7
-# tail. Keep this list minimal and register new ops sparingly.
+# Round-13 rotation budget (VERDICT r12 #1): 5 r8 ops hit the 5-round
+# staleness limit this round and the 44-op r9 cohort is at age 4. Front
+# = 2 changed + 5 r8 + 43 r9 = 50; exactly one r9 op slips to r14, where
+# it must lead the front (r14 budget: 1 r9 + churn ≤ 50, with the 47-op
+# r10 cohort due at r15). Register nothing new this round.
 
 
 @lru_cache(maxsize=1)
