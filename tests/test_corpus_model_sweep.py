@@ -1433,9 +1433,15 @@ def test_super_quantizer_drops_childless_supers(spark):
     bundles A(×2)/B(×3) with nsuper=3 make init super 1 (a second copy
     of A) lose every argmax tie to super 0, so it ends childless while
     keeping a REAL centroid direction. The filter must drop it from the
-    super list, and two-level routing — even probing a single super —
-    must still assign every vector exactly once (pre-fix, a vector whose
-    probed supers were all childless silently vanished)."""
+    super list (the subset assertion), and routing must assign every
+    vector exactly once. NOTE (ADVICE r12): the literal pre-fix "vector
+    silently vanished" state is NOT reachable in this geometry — the
+    probe-widening formula raises super_probes 1 → 2, and a childless
+    super is always an exact duplicate of a LOWER-indexed live super
+    (its init cell ties to the lowest cos-1 super), so the live twin
+    outranks it in every vector's probe list. The real pre-fix harm is
+    the WASTED PROBE SLOT, which test_childless_super_wastes_probe_slot
+    below exercises as an actual assignment difference."""
     from pyspark.sql import functions as F
 
     from etl_to_iceberg_spark.ext.similarity import _super_quantizer, ivf_assign
@@ -1461,6 +1467,93 @@ def test_super_quantizer_drops_childless_supers(spark):
     assert len(out) == len(vecs), "a vector disappeared from the assignment"
     got = {r.vec_id: r.cell for r in out}
     assert got[0] == 0 and got[1] == 2  # ties break to the lower cell id
+
+
+def test_childless_super_wastes_probe_slot(spark):
+    """The pre-fix regression the childless filter actually prevents,
+    planted so keeping the childless super would CHANGE an assignment
+    (ADVICE r12 asked for a geometry where the regression itself is
+    exercised, not just the filter's subset invariant).
+
+    Geometry: cells [A, A, B, B, M] with M = (0.6, 0.8)·e12 clustering
+    to the B super (cos(M,B)=0.8 > cos(M,A)=0.6). Lloyd ends with live
+    supers {0: A, 2: mean(B,B,M)} and super 1 a childless twin of A.
+    The probe vector v = (0.9, 0.6)·e12 ranks A-direction supers above
+    the B-mean super (cos 0.832 vs 0.717) but its true nearest CELL is
+    M (cos 0.943, inside the B super's children). With the widened 2
+    probe slots, a kept childless super would fill the second slot with
+    a duplicate of A's children and v would assign to cell 0; the filter
+    makes slot 2 the B-mean super, finding M. The pure-Python model
+    (which mirrors the filter) agrees, and an explicit pre-fix
+    re-derivation (childless super kept) confirms the answers differ —
+    i.e. this test FAILS if the filter regresses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.similarity import _super_quantizer, ivf_assign
+
+    dim = 8
+
+    def e12(x, y):
+        return [x, y] + [0.0] * (dim - 2)
+
+    A, B, M = e12(1.0, 0.0), e12(0.0, 1.0), e12(0.6, 0.8)
+    cents = [(0, A), (1, A), (2, B), (3, B), (4, M)]
+    cdf = spark.createDataFrame(cents, "cell int, __cent array<double>")
+
+    cellmap, supers = _super_quantizer(cdf)
+    live = {j for _, j in cellmap}
+    assert live == {0, 2} and {j for j, _ in supers} == {0, 2}
+    assert dict(cellmap) == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2}
+
+    v = e12(0.9, 0.6)
+    emb = spark.createDataFrame(
+        [(0, v)], "vec_id long, embedding array<double>"
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("__v"))
+    got = {
+        r.vec_id: r.cell
+        for r in ivf_assign(
+            c, cdf, id_col="vec_id", two_level_min_nlist=5, super_probes=1,
+            with_vector=False,
+        ).collect()
+    }
+    # post-fix: slot 2 probes the live B-mean super -> finds M (cell 4);
+    # the model (filter mirrored, widened probes = 2) agrees
+    assert got == {0: 4}
+    assert _model_two_level_assign([(0, v)], cents, super_probes=2) == {0: 4}
+
+    # pre-fix re-derivation: same routing with the childless super KEPT
+    # (init direction retained, exactly what _super_quantizer used to
+    # emit). v's top-2 supers are then the A twins {0, 1}, its candidate
+    # cells only {0, 1}, and the assignment lands on cell 0, not M —
+    # the filter is what changes the answer.
+    rows = sorted(cents, key=lambda t: t[0])
+    unit = np.asarray([cv for _, cv in rows], dtype=np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1)[:, None]
+    sup = unit[:3].copy()
+    for _ in range(8):
+        assign = (unit @ sup.T).argmax(axis=1)
+        for j in range(3):
+            pts = unit[assign == j]
+            if len(pts):
+                sup[j] = pts.mean(axis=0)
+    assign = (unit @ sup.T).argmax(axis=1)
+    prefix_supers = [(j, sup[j]) for j in range(3)]  # childless KEPT
+    routed = sorted((-_cos6(v, list(sv)), j) for j, sv in prefix_supers)[:2]
+    assert [j for _, j in routed] == [0, 1], (
+        "geometry drifted: v no longer ranks the A twins as its top-2"
+    )
+    children = {}
+    for i, (cell, cv) in enumerate(rows):
+        children.setdefault(int(assign[i]), []).append((cell, cv))
+    cands = [
+        (-_cos6(v, list(cv)), cell)
+        for _, j in routed
+        for cell, cv in children.get(j, [])
+    ]
+    assert min(cands)[1] == 0, "pre-fix path should have missed M"
+    assert min(cands)[1] != got[0]
 
 
 def _model_pq_res_rerank(

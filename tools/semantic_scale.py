@@ -127,11 +127,19 @@ for sf_name, (emb, nlist) in {
         cents, id_col="vec_id", with_vector=False,
     )
     _hist = _assigned.groupBy("cell").count().where(F.col("count") <= 256)
+    # coalesce: sum() is NULL when no cell passes the cap filter (a
+    # degenerate quantizer fit shouldn't abort the sweep), and the
+    # denominator is 0 when every kept cell is a singleton — report
+    # 'n/a' for the ratio instead of dividing by zero.
     scored_pairs = int(
-        _hist.selectExpr("sum(count * (count - 1) / 2) AS p").collect()[0]["p"]
+        _hist.selectExpr(
+            "coalesce(sum(count * (count - 1) / 2), 0) AS p"
+        ).collect()[0]["p"]
     )
 
     def per_mpair(wall):
+        if scored_pairs == 0:
+            return "n/a"
         return round(wall / (scored_pairs / 1e6), 2)
 
     def run():
