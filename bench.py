@@ -103,6 +103,50 @@ def main() -> None:
     spark.range(0, CPUS * 10, 1, CPUS).toDF("id").mapInPandas(
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # Calibration micro-benchmark (VERDICT r12 #4): a fixed CPU-bound
+    # task, timed min-of-3 on the warmed session, so round-over-round
+    # deltas can be attributed to machine/load drift by RATIO instead of
+    # loadavg archaeology (three of the last four rounds' bench deltas
+    # were adjudicated as drift that way). Two probes, both constant
+    # work by construction:
+    #   - spark_cpu_sec: sum(xxhash64(id)) over a fixed range on all
+    #     CPUS cores — the execution substrate the queries run on
+    #     (JVM codegen + scheduler + cross-core contention).
+    #   - python_hash_sec: single-core blake2b over a constant buffer —
+    #     isolates per-core speed from scheduler effects.
+    # Interpretation: compat moving WITH spark_cpu_sec = drift; compat
+    # moving while calibration holds = a real code-path change.
+    import hashlib
+
+    def _calibrate() -> dict[str, float]:
+        best_spark = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # bit_xor: overflow-free under ANSI mode (sum of hashes
+            # overflows long), same fixed per-row hash work
+            spark.range(0, 600_000_000, 1, CPUS).selectExpr(
+                "bit_xor(xxhash64(id)) AS h"
+            ).collect()
+            el = time.perf_counter() - t0
+            best_spark = el if best_spark is None else min(best_spark, el)
+        buf = b"\xa5" * (1 << 20)
+        best_py = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            h = hashlib.blake2b()
+            for _i in range(64):
+                h.update(buf)
+            h.digest()
+            el = time.perf_counter() - t0
+            best_py = el if best_py is None else min(best_py, el)
+        return {
+            "spark_cpu_sec": round(best_spark, 4),
+            "python_hash_sec": round(best_py, 4),
+        }
+
+    calibration = _calibrate()
+    print(f"  calibration: {calibration}", file=sys.stderr)
     def warm(names: list[str], sf: str) -> None:
         # JIT-warm the code paths (scan/agg/window/join/codegen for the
         # sketches/writes) — run at the smallest SF so the timed runs
@@ -236,6 +280,15 @@ def main() -> None:
                 "r01_compat_total": round(
                     sum(results[n] for n in R01_COMPAT), 3
                 ),
+                # drift-normalized subtotal: divide by the fixed CPU
+                # task's wall to factor out machine/load drift (see
+                # _calibrate above) — compare THIS across rounds first
+                "r01_compat_per_calib": round(
+                    sum(results[n] for n in R01_COMPAT)
+                    / calibration["spark_cpu_sec"],
+                    3,
+                ),
+                "calibration": calibration,
                 "sf": sf,
                 "env": env,
             }
