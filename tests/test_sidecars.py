@@ -61,3 +61,121 @@ def test_ensure_sidecar_builds_once_and_self_heals(spark, tmp_path):
         f.write("/somewhere/else")
     ensure_sidecar(path, sf, build)
     assert len(calls) == 2, "stale-keyed directory must rebuild"
+
+
+def _ivf2l_live_routing(spark, sf_dir):
+    """Fresh two-level routing from the stored quantizer — the ground
+    truth the assignment sidecar must carry (the same derivation the
+    live-vs-sidecar pin in test_corpus_model_sweep.py uses)."""
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.corpus_queries import (
+        _IVF2L_PARAMS,
+        _ivf2l_centroids,
+    )
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf2l_centroids(spark, sf_dir)
+    c = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
+    )
+    return {
+        ("c", r.vec_id, r.cell)
+        for r in ivf_assign(
+            c, cents, id_col="vec_id", n_best=1, with_vector=False
+        ).collect()
+    } | {
+        ("q", r.query_id, r.cell)
+        for r in ivf_assign(
+            q, cents, id_col="query_id",
+            n_best=_IVF2L_PARAMS["nprobe"], with_vector=False,
+        ).collect()
+    }
+
+
+def test_poisoned_assignment_sidecar_defense_stack(spark, sf_dir):
+    """Planted pathology for the assignment-sidecar oracle pattern's
+    one structural blind spot (VERDICT r12 #6): the ivf2l_assign
+    sidecar is ENGINE-WRITTEN and consumed by engine AND oracle, so if
+    wrong rows sit at the right path, driver parity stays green. This
+    pins exactly which layer catches each poisoning:
+
+    1. wrong rows + missing/stale ``_sfkey`` marker — the FRESHNESS
+       machinery rebuilds (foreign content is never trusted);
+    2. wrong rows + a forged valid marker — ensure_sidecar trusts the
+       directory BY DESIGN (the stored-index posture: re-runs must read,
+       not re-seed), and the live-vs-sidecar routing-equality tripwire
+       (test_ivf2l_assignment_sidecar_matches_live_routing) is what
+       detects it — asserted here as stored != live on the poisoned
+       rows, i.e. that pin genuinely fails loudly rather than both
+       engines silently agreeing.
+    """
+    import shutil
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext.corpus_queries import (
+        _IVF2L_PARAMS,
+        _ivf2l_assignments,
+    )
+
+    path = sidecars.sidecar_path("ivf2l_assign", sf_dir, _IVF2L_PARAMS)
+    truth = {
+        (r.side, r.id, r.cell)
+        for r in _ivf2l_assignments(spark, sf_dir).collect()
+    }
+    live = _ivf2l_live_routing(spark, sf_dir)
+    assert truth == live  # healthy baseline
+
+    def plant_poison():
+        # same schema, systematically wrong cells (every assignment
+        # shifted to a different cell) — the silent-wrongness shape.
+        # Materialize the good rows BEFORE overwriting: a lazy read of
+        # `path` would see its own overwrite delete the files mid-scan.
+        good = spark.read.parquet(path).select("side", "id", "cell")
+        schema = good.schema
+        rows = [
+            (r.side, r.id, (r.cell + 1) % _IVF2L_PARAMS["nlist"])
+            for r in good.collect()
+        ]
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(path)  # marker nuked too
+
+    # --- 1. poison without a valid marker: freshness rebuilds ---------
+    plant_poison()
+    assert not os.path.exists(os.path.join(path, "_sfkey"))
+    healed = {
+        (r.side, r.id, r.cell)
+        for r in _ivf2l_assignments(spark, sf_dir).collect()
+    }
+    assert healed == truth, "marker-less foreign content must be rebuilt"
+
+    # --- 2. poison with a FORGED valid marker: trusted by design, -----
+    # caught by the live-vs-sidecar equality tripwire
+    plant_poison()
+    with open(os.path.join(path, "_sfkey"), "w") as f:
+        f.write(os.path.abspath(sf_dir))
+    stored = {
+        (r.side, r.id, r.cell)
+        for r in _ivf2l_assignments(spark, sf_dir).collect()
+    }
+    assert stored != truth, (
+        "a forged-marker sidecar must be READ, not rebuilt (the stored-"
+        "index posture) — if this rebuilds, the freshness contract grew "
+        "a content check and this test should be rewritten"
+    )
+    assert stored != live, (
+        "the routing-equality tripwire failed to distinguish poisoned "
+        "rows from live routing — the blind spot is uncovered"
+    )
+
+    # --- restore: drop the poisoned directory and rebuild truth -------
+    shutil.rmtree(path)
+    rebuilt = {
+        (r.side, r.id, r.cell)
+        for r in _ivf2l_assignments(spark, sf_dir).collect()
+    }
+    assert rebuilt == truth == _ivf2l_live_routing(spark, sf_dir)
