@@ -81,3 +81,76 @@ def test_never_checked_backlog_fits_one_round_budget():
         "more than one round's check budget; stop registering and let the "
         f"rotation catch up: {never[:10]}..."
     )
+
+
+# The driver's per-round check budget (~50 ops, staleness-ordered) — the
+# constant every round's by-hand budget math has been computed against
+# since r8. If the real driver budget changes, update this and the
+# simulation below inherits the new bound.
+DRIVER_BUDGET = 50
+
+
+@pytest.mark.skipif(
+    not _have_artifacts(), reason="no CORRECTNESS artifacts (fresh clone)"
+)
+def test_rotation_drains_under_current_churn():
+    """Simulate the driver's budget-limited rotation forward from the
+    CURRENT artifacts + _CHANGED_THIS_ROUND and assert no op's driver
+    row ever ages past MAX_STALE_ROUNDS within the lookahead horizon.
+
+    This automates the per-round budget math that has been done by hand
+    in every round's notes ("N changed + M never + K stale ≤ 50"): a
+    too-long changed list or a burst of new registrations shows up HERE,
+    at commit time, instead of as a test_checked_tail_never_ages_past
+    failure two driver rounds later. Future rounds are simulated with
+    ZERO further churn (the most optimistic assumption — real churn only
+    tightens it), failed ops are modeled worst-case as staying failed
+    (they lead the front and burn budget every round), and the front
+    mirrors registry.all_specs' exact rank ordering: changed → failed →
+    never-checked (registration order) → greens oldest-row-first."""
+    from etl_to_iceberg_spark import registry
+
+    registry.all_specs()  # trigger the module imports that register ops
+    names = list(registry._REGISTRY)
+    green, failed, latest, seen0 = registry._checked_history()
+    last_seen = dict(seen0)
+    changed_active = (
+        set(registry._CHANGED_THIS_ROUND)
+        if latest < registry._CHANGED_AS_OF_ROUND
+        else set()
+    )
+    reg_pos = {n: i for i, n in enumerate(names)}
+
+    horizon = MAX_STALE_ROUNDS + 2
+    for step in range(1, horizon + 1):
+        rnd = latest + step
+
+        def rank(n, *, _step=step):
+            if _step == 1 and n in changed_active:
+                return (0, 0, reg_pos[n])
+            if n in failed:
+                return (1, 0, reg_pos[n])
+            if n not in last_seen:
+                return (2, 0, reg_pos[n])
+            return (3, last_seen[n], reg_pos[n])
+
+        front = sorted(names, key=rank)[:DRIVER_BUDGET]
+        for n in front:
+            if n not in failed:  # worst case: fails stay red, burn budget
+                last_seen[n] = rnd
+        over = sorted(
+            (n, rnd - last_seen[n])
+            for n in names
+            if n in last_seen and rnd - last_seen[n] > MAX_STALE_ROUNDS
+        )
+        assert not over, (
+            f"simulated round r{rnd} (+{step} from r{latest}, zero future "
+            f"churn): {len(over)} ops age past {MAX_STALE_ROUNDS} rounds "
+            f"under the {DRIVER_BUDGET}-op budget — shrink "
+            f"_CHANGED_THIS_ROUND or stop registering: {over[:8]}"
+        )
+    never_left = [n for n in names if n not in last_seen]
+    assert not never_left, (
+        f"{len(never_left)} ops never earn a driver row within {horizon} "
+        f"simulated rounds: {never_left[:8]}"
+    )
