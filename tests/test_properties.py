@@ -1118,3 +1118,66 @@ def test_simhash_pairs_matches_python_oracle(spark):
             f"seed {seed}: missing={sorted(expected - got)[:5]} "
             f"extra={sorted(got - expected)[:5]}"
         )
+
+
+@pytest.mark.parametrize("seed", [301, 302, 303])
+def test_best_cells_packed_argmax_matches_window(spark, seed):
+    """_best_cells' n_best=1 fast path packs (rounded-6dp cosine, cell)
+    into ONE long — score scaled to an integer in the high bits,
+    (2^32−1−cell) in the low bits — so a codegen HashAggregate `max`
+    reproduces the window order (score desc, cell asc) without a
+    SortAggregate (similarity.py:_best_cells). The packing is monotone
+    only if the scale-to-integer is exact and the cell complement never
+    borrows into the score bits; this sweep drives the packed path and
+    the window path it replaced over adversarial scores — exact ties
+    across many cells, the −1.0 zero-norm convention, ±1.0 extremes,
+    and 6dp boundary neighbors (±0.9999995, ±0.000001) — and requires
+    bit-identical winners. Raw scores (including 7dp values the packing
+    canNOT represent) pass through the same F.round(…, 6) every caller
+    applies, which is the contract that makes the scale-to-integer
+    exact: feeding 0.9999995 UNrounded would collide with 1.0 in the
+    packed representation — by design, since no caller produces it."""
+    import random as _random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_to_iceberg_spark.ext.similarity import _best_cells
+
+    rng = _random.Random(seed)
+    boundary = [
+        -1.0, 1.0, 0.0, -0.000001, 0.000001, 0.9999995, -0.9999995,
+        0.999999, -0.999999, 0.5, -0.5,
+    ]
+    rows = []
+    n_ids, n_cells = 40, 25
+    for i in range(n_ids):
+        # a few ids get EXACT tie scores across all cells (winner must
+        # be the lowest cell id), the rest mix boundary + random 6dp
+        tie_score = round(rng.uniform(-1, 1), 6) if i % 7 == 0 else None
+        for cell in range(n_cells):
+            if tie_score is not None:
+                s = tie_score
+            elif rng.random() < 0.3:
+                s = rng.choice(boundary)
+            else:
+                s = round(rng.uniform(-1, 1), 6)
+            rows.append((i, [float(i)], cell, s))
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, cell int, __cs double"
+    ).withColumn("__cs", F.round("__cs", 6))  # the callers' contract
+
+    packed = {
+        (r.id, r.cell)
+        for r in _best_cells(df, "id", "vec", 1, with_vector=False).collect()
+    }
+    w = Window.partitionBy("id").orderBy(F.col("__cs").desc(), F.col("cell"))
+    windowed = {
+        (r.id, r.cell)
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "cell")
+        .collect()
+    }
+    assert packed == windowed
+    assert len(packed) == n_ids, "an id vanished from the packed argmax"
