@@ -600,10 +600,16 @@ def corpus_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to decontaminate's — eval shingles collapse
     to a DISTINCT broadcast-sized set (or the Bloom bitset of
     `corpus_bloom_decontaminate` at suite scale); the training side
-    explodes to (doc_id, shingle) rows whose dedup + per-doc counts ride
-    ONE doc_id-keyed exchange (the matched and total counts are two aggs
-    over the same exploded relation); text itself never shuffles. The
-    final assembly joins doc_id-only relations."""
+    explodes to (doc_id, shingle) rows; text itself never shuffles. The
+    matched and total counts are two aggs over the same exploded
+    relation — the planner does NOT fuse them (r13 audit: 0
+    ReusedExchange in the final adaptive plan, the explode+distinct map
+    work runs once per consumer), and that is the MEASURED right call:
+    tracked_cache'ing the distinct train relation benched 2.27 s vs
+    1.5 s recomputed at sf0.1 — materialization costs more than the
+    regex re-run here, unlike the self-join cases (kNN/SemDeDup) where
+    the cache pattern pays. The final assembly joins doc_id-only
+    relations."""
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
