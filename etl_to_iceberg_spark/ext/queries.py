@@ -869,10 +869,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched Pandas-UDF feature extraction over binary payloads
     (mapInPandas). The oracle checks the UDF's byte-level output; the
     deterministic fake embedding is unit-tested (real codecs are stubbed —
-    see ext/multimodal.py)."""
+    see ext/multimodal.py).
+
+    No _load_balanced here: extract_features applies ensure_parallelism
+    itself, and stacking both repartitioned the payload through TWO
+    back-to-back round-robin exchanges (r13 plan audit) — the guard
+    decides from the scan's file list, so it cannot see that an earlier
+    call already rebalanced the lineage."""
     from etl_to_iceberg_spark.ext.multimodal import extract_features
 
-    docs = _load_balanced(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),

@@ -71,6 +71,11 @@ _CHANGED_THIS_ROUND = [
     # both consumers rebuild and must be re-attested.
     "similarity_ann_ivf_two_level",
     "similarity_ann_ivf_pq_residual_two_level",
+    # r13 plan audit: dropped the op-level _load_balanced — extract_
+    # features applies ensure_parallelism itself, and stacking both
+    # shipped the binary payload through two back-to-back round-robin
+    # exchanges on single-file fixtures.
+    "multimodal_features",
 ]
 # Round-13 rotation budget (VERDICT r12 #1): 5 r8 ops hit the 5-round
 # staleness limit this round and the 44-op r9 cohort is at age 4. Front

@@ -543,3 +543,33 @@ def test_residual_two_level_routing_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_multimodal_plans_single_rebalance_no_payload_hash_shuffle(
+    spark, sf_dir
+):
+    """The multimodal family's scale shape (SCALING.md): payloads are
+    never HASH-shuffled — the only exchange in each plan is the single
+    ensure_parallelism round-robin rebalance of the single-file dev
+    fixture (a no-op on real multi-split inputs), and the post-UDF /
+    post-explode output is fixed-width. Pins the r13 audit fix: the
+    features op used to stack _load_balanced on top of
+    extract_features' own guard, shipping the binary payload through
+    TWO back-to-back round-robin exchanges."""
+    import re
+
+    for q, marker in (
+        ("multimodal_features", "MapInPandas"),
+        ("multimodal_byte_segments", "Generate"),
+        ("multimodal_frame_sample", "Generate"),
+    ):
+        plan = _plan(spark, sf_dir, q)
+        assert marker in plan, (q, plan)
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+        # no hash exchange at all — the rebalance is round-robin
+        assert "hashpartitioning" not in plan, (q, plan)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= 1, (
+            f"{q}: {n_ex} exchanges — the payload should cross at most "
+            f"the one ensure_parallelism rebalance\n{plan}"
+        )
