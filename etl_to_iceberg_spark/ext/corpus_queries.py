@@ -274,6 +274,289 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(c, q, centroids, k=10, nprobe=4)
 
 
+# --- embedding-classifier scoring (kNN label vote + cluster purity) ---------
+#
+# The fixture's labeled embeddings stand in for a quality/domain
+# classifier's training set — the FineWeb-Edu / DCLM pattern where a
+# small labeled set scores the whole corpus. Spark-first shape: the
+# stored IVF quantizer blocks candidates (never all-pairs), the labeled
+# index is assigned once, and every exchange is fixed-width (id, cell,
+# label, packed-vote) rows.
+_KNN_VOTE = {"k": 10, "nprobe": 2}
+
+
+@register(
+    "similarity_knn_label_vote",
+    # Oracle resumes from the stored quantizer sidecar: flat assignment
+    # of the labeled index (n_best=1) and the scoring side (rn <=
+    # nprobe), shared-cell candidates, exact-cosine top-k with the house
+    # (score desc, vec_id) tie-break, then majority label with the
+    # (votes desc, label asc) tie-break.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    idx_assign AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT e.vec_id, e.label, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 5 != 0
+      ) WHERE rn <= 1
+    ),
+    q_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 5 = 0
+      ) WHERE rn <= {_KNN_VOTE["nprobe"]}
+    ),
+    topk AS (
+      SELECT query_id, vec_id, label FROM (
+        SELECT s.query_id, s.vec_id, s.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY s.score DESC, s.vec_id
+               ) AS rn
+        FROM (
+          SELECT DISTINCT qa.query_id, ia.vec_id, ia.label,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              ce.embedding::DOUBLE[]), 6)
+                     AS score
+          FROM q_assign qa
+          JOIN idx_assign ia USING (cell)
+          JOIN embeddings q ON q.vec_id = qa.query_id
+          JOIN embeddings ce ON ce.vec_id = ia.vec_id
+        ) s
+      ) WHERE rn <= {_KNN_VOTE["k"]}
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM topk GROUP BY query_id, label
+    ),
+    used AS (
+      SELECT query_id, COUNT(*) AS n_used FROM topk GROUP BY query_id
+    )
+    SELECT v.query_id,
+           CAST(v.label AS INT) AS pred_label,
+           CAST(v.votes AS BIGINT) AS votes,
+           CAST(u.n_used AS BIGINT) AS n_used,
+           round(CAST(v.votes AS DOUBLE) / u.n_used, 6) AS vote_frac
+    FROM (
+      SELECT query_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM votes
+    ) v
+    JOIN used u USING (query_id)
+    WHERE v.rn <= 1
+    ORDER BY v.query_id
+    """,
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based corpus scoring by kNN label vote (the
+    FineWeb-Edu / DCLM quality-classifier pattern, expressed as a
+    Spark-first kNN over the stored quantizer): every 5th vector plays
+    the unscored corpus; the labeled rest is the classifier's training
+    set. Each query takes its k nearest labeled neighbors from its
+    nprobe probed cells (exact cosine re-rank, (score desc, vec_id)
+    tie-break) and predicts the majority label ((votes desc, label asc)
+    tie-break), with the vote fraction as the scorer's confidence — the
+    number a 100 TB pipeline thresholds on.
+
+    Scale shape: the labeled index is assigned once (fixed-width
+    routing rows, n·nlist scan×broadcast work — two-level above the
+    threshold); labels ride a vec_id-keyed join, never a broadcast of
+    the corpus; candidates are cell-blocked (≈ n·nprobe/nlist per
+    query, the IVF bound — never all-pairs); the majority vote is ONE
+    packed-long HashAggregate per (query, label) group (the _best_cells
+    shape: votes·2³² + (2³²−1−label) keeps whole-stage codegen, no
+    SortAggregate)."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+
+    k, nprobe = _KNN_VOTE["k"], _KNN_VOTE["nprobe"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivfk_centroids(spark, sf_dir)
+    idx = emb.where(F.col("vec_id") % 5 != 0)
+    qry = emb.where(F.col("vec_id") % 5 == 0)
+    ia = ivf_assign(
+        idx.select("vec_id", _to_double("embedding").alias("__v")),
+        cents, id_col="vec_id", n_best=1, with_vector=False,
+    )
+    qa = ivf_assign(
+        qry.select(
+            F.col("vec_id").alias("query_id"),
+            _to_double("embedding").alias("__v"),
+        ),
+        cents, id_col="query_id", n_best=nprobe, with_vector=False,
+    )
+    cand = (
+        ia.join(F.broadcast(qa), on="cell")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(
+            idx.select(
+                "vec_id", "label", _to_double("embedding").alias("__cv")
+            ),
+            on="vec_id",
+        )
+        .join(
+            F.broadcast(
+                qry.select(
+                    F.col("vec_id").alias("query_id"),
+                    _to_double("embedding").alias("__qv"),
+                )
+            ),
+            on="query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    m32 = F.lit((1 << 32) - 1).cast("long")
+    pack = (
+        F.col("votes").cast("long") * F.lit(1 << 32).cast("long")
+        + (m32 - F.col("label").cast("long"))
+    )
+    best = (
+        votes.select("query_id", pack.alias("__pk"), "votes")
+        .groupBy("query_id")
+        .agg(F.max("__pk").alias("__pk"), F.sum("votes").alias("n_used"))
+        .select(
+            "query_id",
+            (m32 - F.col("__pk").bitwiseAND(m32)).cast("int").alias("pred_label"),
+            F.shiftright("__pk", 32).alias("votes"),
+            F.col("n_used").cast("long").alias("n_used"),
+        )
+    )
+    return best.select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "n_used",
+        F.round(F.col("votes") / F.col("n_used"), 6).alias("vote_frac"),
+    ).orderBy("query_id")
+
+
+@register(
+    "corpus_label_purity",
+    # Same stored-quantizer resume; per-cell label histogram, majority
+    # label with the (count desc, label asc) tie-break, purity fraction.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    assigned AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT e.vec_id, e.label, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn <= 1
+    ),
+    hist AS (
+      SELECT cell, label, COUNT(*) AS n
+      FROM assigned GROUP BY cell, label
+    ),
+    tot AS (SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell)
+    SELECT h.cell,
+           CAST(t.n_vectors AS BIGINT) AS n_vectors,
+           CAST(h.label AS INT) AS majority_label,
+           CAST(h.n AS BIGINT) AS majority_n,
+           round(CAST(h.n AS DOUBLE) / t.n_vectors, 6) AS purity
+    FROM (
+      SELECT cell, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY n DESC, label) AS rn
+      FROM hist
+    ) h
+    JOIN tot t USING (cell)
+    WHERE h.rn <= 1
+    ORDER BY h.cell
+    """,
+)
+def corpus_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster label-purity audit over the stored quantizer: per IVF
+    cell, how label-homogeneous is the neighborhood — the health check
+    run before trusting cluster-blocked ops (SemDeDup pruning,
+    cell-level sampling, the kNN label scorer above) on a labeled
+    corpus: a cell whose purity is near 1/n_labels is unstructured and
+    blocking inside it is no better than random.
+
+    Scale shape: assignment is the standard scan×broadcast (fixed-width
+    out); the label joins back on the vec_id key; the histogram and the
+    majority pick are two partial-agg HashAggregates over (cell, label)
+    rows — nothing corpus-wide crosses an exchange except one skinny
+    row per vector."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivfk_centroids(spark, sf_dir)
+    assigned = ivf_assign(
+        emb.select("vec_id", _to_double("embedding").alias("__v")),
+        cents, id_col="vec_id", n_best=1, with_vector=False,
+    ).join(emb.select("vec_id", "label"), on="vec_id")
+    hist = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m32 = F.lit((1 << 32) - 1).cast("long")
+    pack = (
+        F.col("n").cast("long") * F.lit(1 << 32).cast("long")
+        + (m32 - F.col("label").cast("long"))
+    )
+    return (
+        hist.select("cell", pack.alias("__pk"), "n")
+        .groupBy("cell")
+        .agg(F.max("__pk").alias("__pk"), F.sum("n").alias("n_vectors"))
+        .select(
+            "cell",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (m32 - F.col("__pk").bitwiseAND(m32)).cast("int").alias(
+                "majority_label"
+            ),
+            F.shiftright("__pk", 32).alias("majority_n"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "majority_label",
+            "majority_n",
+            F.round(F.col("majority_n") / F.col("n_vectors"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
 # --- two-level IVF (production-scale routing, driver-attested) --------------
 #
 # Every other IVF fixture pins nlist=16, below TWO_LEVEL_MIN_NLIST, so

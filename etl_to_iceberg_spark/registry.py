@@ -79,9 +79,12 @@ _CHANGED_THIS_ROUND = [
 ]
 # Round-13 rotation budget (VERDICT r12 #1): 5 r8 ops hit the 5-round
 # staleness limit this round and the 44-op r9 cohort is at age 4. Front
-# = 2 changed + 5 r8 + 43 r9 = 50; exactly one r9 op slips to r14, where
-# it must lead the front (r14 budget: 1 r9 + churn ≤ 50, with the 47-op
-# r10 cohort due at r15). Register nothing new this round.
+# = 3 changed + 2 never (the labeled-embedding scorers) + 5 r8 + 40 r9;
+# the slipped r9 ops lead r14's front. The budget arithmetic is no
+# longer hand-maintained: tests/test_staleness.py::
+# test_rotation_drains_under_current_churn simulates the front forward
+# from the artifacts and fails at commit time if churn or registrations
+# outrun the drain (the true bound: ~300 registered ops at budget 50).
 
 
 @lru_cache(maxsize=1)

@@ -2051,3 +2051,159 @@ def test_quantizer_rotation_retrains_residual_codebooks(
     )
     again = generation({"nlist": 16, "train_fraction": 0.5})
     assert again[2] == 0 and again[3] == rows_b and again[0] == cent_path
+
+
+def _model_knn_label_vote(vecs, labels, *, k, nprobe, cents):
+    """Pure re-derivation of similarity_knn_label_vote: flat assignment
+    (rounded-6dp cosine desc, cell asc), shared-cell candidates, exact
+    top-k (score desc, vec_id), majority (votes desc, label asc)."""
+    def assign(v, n):
+        return [
+            c for _, c in sorted(
+                ((-_cos6(v, cv), c) for c, cv in cents)
+            )[:n]
+        ]
+
+    idx = [(vid, v) for vid, v in vecs if vid % 5 != 0]
+    qry = [(vid, v) for vid, v in vecs if vid % 5 == 0]
+    cell_of = {vid: assign(v, 1)[0] for vid, v in idx}
+    out = {}
+    for qid, qv in qry:
+        probed = set(assign(qv, nprobe))
+        cands = [(vid, v) for vid, v in idx if cell_of[vid] in probed]
+        top = sorted(
+            ((-_cos6(qv, v), vid) for vid, v in cands)
+        )[:k]
+        got = [vid for _, vid in top]
+        votes: dict = {}
+        for vid in got:
+            votes[labels[vid]] = votes.get(labels[vid], 0) + 1
+        pred, nv = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+        n_used = len(got)
+        out[qid] = (pred, nv, n_used, round(nv / n_used, 6))
+    return out
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_knn_label_vote_matches_model(spark, tmp_path, seed):
+    """End-to-end sweep of the REGISTERED similarity_knn_label_vote op
+    on a planted corpus, model rebuilt from THE QUANTIZER THE OP
+    PERSISTED (sidecar read-back — the stale-model guard every
+    quantizer consumer carries). Planted pathologies: an identical
+    labeled trio straddling two labels next to a query duplicate (score
+    ties break by vec_id, then the vote can TIE between labels and must
+    break to the lower label id), and a zero-norm query (cosine −1.0
+    convention everywhere — still collects k neighbors, never NaNs)."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = 16
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 200
+    vecs = [(i, unit(dim)) for i in range(n)]
+    labels = {i: rng.randrange(4) for i in range(n)}
+    # query 100 sits exactly on labeled duplicates 101/102/103 with
+    # labels 1,1,2 — the trio ties pairwise at score 1.0
+    dup = unit(dim)
+    for vid, lab in ((100, 0), (101, 1), (102, 1), (103, 2)):
+        vecs[vid] = (vid, list(dup))
+        labels[vid] = lab
+    vecs[55] = (55, [0.0] * dim)  # zero-norm query (55 % 5 == 0)
+
+    sf = str(tmp_path / "sfknn")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v, labels[vid]) for vid, v in vecs],
+        "vec_id long, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    got = {
+        r.query_id: (r.pred_label, r.votes, r.n_used, r.vote_frac)
+        for r in cq.similarity_knn_label_vote(spark, sf).collect()
+    }
+    cents = [
+        (r["cell"], list(r["__cent"]))
+        for r in spark.read.parquet(
+            sidecars.sidecar_path("ivfk_centroids", sf, cq._IVFK_PARAMS)
+        ).collect()
+    ]
+    model = _model_knn_label_vote(
+        vecs, labels, k=cq._KNN_VOTE["k"], nprobe=cq._KNN_VOTE["nprobe"],
+        cents=cents,
+    )
+    assert got == model
+    assert set(got) == {vid for vid, _ in vecs if vid % 5 == 0}
+    assert 55 in got, "the zero-norm query must still be scored"
+
+
+@pytest.mark.parametrize("seed", [43, 44])
+def test_label_purity_matches_model(spark, tmp_path, seed):
+    """corpus_label_purity vs a pure re-derivation from the op's own
+    persisted quantizer: per-cell histogram, majority with the
+    (count desc, label asc) tie-break, exact purity fraction. Planted:
+    a forced label tie inside one cell (identical counts must pick the
+    lower label)."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = 16
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 200
+    vecs = [(i, unit(dim)) for i in range(n)]
+    labels = {i: rng.randrange(3) for i in range(n)}
+    # a tight planted bundle with an exact 2-2 label split
+    anchor = unit(dim)
+    for vid, lab in ((10, 2), (11, 2), (12, 1), (13, 1)):
+        vecs[vid] = (vid, [x + rng.gauss(0, 0.01) for x in anchor])
+        labels[vid] = lab
+
+    sf = str(tmp_path / "sfpur")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v, labels[vid]) for vid, v in vecs],
+        "vec_id long, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    got = {
+        r.cell: (r.n_vectors, r.majority_label, r.majority_n, r.purity)
+        for r in cq.corpus_label_purity(spark, sf).collect()
+    }
+    cents = [
+        (r["cell"], list(r["__cent"]))
+        for r in spark.read.parquet(
+            sidecars.sidecar_path("ivfk_centroids", sf, cq._IVFK_PARAMS)
+        ).collect()
+    ]
+    cell_of = {}
+    for vid, v in vecs:
+        cell_of[vid] = sorted(((-_cos6(v, cv), c) for c, cv in cents))[0][1]
+    model = {}
+    for cell in sorted(set(cell_of.values())):
+        members = [vid for vid in cell_of if cell_of[vid] == cell]
+        hist: dict = {}
+        for vid in members:
+            hist[labels[vid]] = hist.get(labels[vid], 0) + 1
+        lab, cnt = sorted(hist.items(), key=lambda t: (-t[1], t[0]))[0]
+        model[cell] = (len(members), lab, cnt, round(cnt / len(members), 6))
+    assert got == model
+    assert sum(nv for nv, *_ in got.values()) == n

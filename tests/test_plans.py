@@ -573,3 +573,21 @@ def test_multimodal_plans_single_rebalance_no_payload_hash_shuffle(
             f"{q}: {n_ex} exchanges — the payload should cross at most "
             f"the one ensure_parallelism rebalance\n{plan}"
         )
+
+
+def test_label_vote_and_purity_hash_agg_and_broadcast_quantizer(
+    spark, sf_dir
+):
+    """The labeled-embedding scorers: the quantizer fan-out is the
+    standard scan x broadcast (BroadcastNestedLoopJoin over the
+    metadata-sized centroid set), labels ride keyed joins (no
+    SortMergeJoin at fixture scale, never a cartesian), and the
+    majority-vote packed-long argmax must stay a codegen HashAggregate —
+    zero SortAggregate (the struct-ordered max_by regression,
+    similarity.py:_best_cells)."""
+    for q in ("similarity_knn_label_vote", "corpus_label_purity"):
+        plan = _plan(spark, sf_dir, q)
+        assert "SortAggregate" not in plan, (q, plan)
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "HashAggregate" in plan, (q, plan)
+        assert "BroadcastHashJoin" in plan, (q, plan)
