@@ -374,6 +374,14 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break), with the vote fraction as the scorer's confidence — the
     number a 100 TB pipeline thresholds on.
 
+    Quality note: the driver fixture's labels are synthetic and
+    uncorrelated with embedding geometry (measured r13: exact-kNN
+    true-label accuracy 0.07-0.08 ≈ the 1/10 chance floor), so fixture
+    runs exercise the machinery, not classifier quality; the blocked
+    search's fidelity is guarded by the planted-clustered model sweeps
+    (tests/test_corpus_model_sweep.py::test_knn_label_vote_matches_model)
+    where geometry and labels agree by construction.
+
     Scale shape: the labeled index is assigned once (fixed-width
     routing rows, n·nlist scan×broadcast work — two-level above the
     threshold); labels ride a vec_id-keyed join, never a broadcast of
