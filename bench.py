@@ -68,6 +68,9 @@ HEADLINE = [
     # r9: the end-to-end semantic dedup composite — kNN graph on the
     # stored quantizer → mutual-kNN edges → connected components
     "dedup_semantic_clusters",
+    # r13: classifier-based corpus scoring (kNN label vote over the
+    # stored quantizer — the FineWeb-Edu/DCLM quality-classifier shape)
+    "similarity_knn_label_vote",
 ]
 
 
