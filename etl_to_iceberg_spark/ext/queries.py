@@ -1063,6 +1063,66 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_safe",
+    # The dedup_connected_components recursive-CTE oracle extended one
+    # step: every doc inherits its CLUSTER's split, derived from the
+    # representative (min-id) member's content fingerprint — `text`
+    # inside _SQL_SPLIT resolves to the joined representative row.
+    sql=f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a
+      JOIN documents b
+        ON a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 2
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.root
+      FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(root) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT c.doc_id, c.cluster_id, {_SQL_SPLIT} AS split
+    FROM clusters c JOIN documents rep ON rep.doc_id = c.cluster_id
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: near-duplicate documents
+    must never straddle a split boundary (the C4/GPT-3 contamination
+    lesson — a test doc whose near-dup sits in train is a leaked
+    answer), so the split is assigned per dedup CLUSTER, not per doc:
+    connected components over the near-dup candidate edges, then every
+    member inherits the split of the cluster's representative (min-id)
+    document via the same content-hash bucketing as
+    split_train_valid_test. Singleton docs degrade to exactly the
+    per-doc content-hash split.
+
+    Scale shape: the component step is the contraction-seeded CC
+    (ext/dedup.py — fixpoint rounds 0 at sf0.1 and 10×); the
+    representative fingerprint is ONE keyed join from the cluster id
+    (which IS the representative's doc_id) back to the documents table
+    — cluster-count rows against a pruned (doc_id, text) projection;
+    no text ever shuffles (md5 is computed scan-side, the join carries
+    the id and the one-char bucket)."""
+    from etl_to_iceberg_spark.ext.sampling import assign_split
+
+    clusters = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.select(
+        F.col("doc_id").alias("cluster_id"),
+        assign_split("text").alias("split"),
+    )
+    return clusters.join(reps, on="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+@register(
     "corpus_pack_sequences",
     sql=f"""
     WITH toks AS (

@@ -68,3 +68,74 @@ def test_hash_bucket_is_hex_digit(spark, sf_dir):
         ~F.col("b").rlike("^[0-9a-f]$")
     )
     assert bad.count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
+    """split_leakage_safe's one invariant: near-duplicate documents
+    never straddle a split boundary. Planted corpus: a near-dup pair
+    (same source, |n_chars| <= 2 — the op's blocking proxy) whose
+    PER-DOC content-hash splits DIFFER, so a per-doc split would leak
+    one into train and the other into test; the cluster split must put
+    them together, on the representative (min doc_id) member's split.
+    Singletons must degrade to exactly the per-doc split."""
+    import hashlib
+    import os
+    import re
+
+    from etl_to_iceberg_spark.ext.queries import split_leakage_safe
+
+    def bucket(text: str) -> str:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        return hashlib.md5(norm.encode()).hexdigest()[0]
+
+    def py_split(text: str) -> str:
+        b = bucket(text)
+        if b in "0123456789ab":
+            return "train"
+        if b in "cd":
+            return "valid"
+        return "test"
+
+    # brute-force a pair with equal length (blocking proxy satisfied)
+    # and different per-doc splits
+    t1 = None
+    for i in range(10000):
+        cand = f"duplicate payload number {i:05d} with shared phrasing"
+        if py_split(cand) == "train":
+            t1 = cand
+            break
+    t2 = None
+    for i in range(10000):
+        cand = f"duplicate payload number {i:05d} with shared phrasing"
+        if py_split(cand) == "test":
+            t2 = cand
+            break
+    assert t1 and t2 and len(t1) == len(t2)
+
+    rows = [
+        (1, t1, "en", "web", len(t1)),
+        (2, t2, "en", "web", len(t2)),   # near-dup of doc 1 (same len)
+        (3, "a lone document about gardens", "en", "web", 400),
+        (4, "another singleton, far away", "en", "books", 50),
+    ]
+    sf = str(tmp_path / "sfleak")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in split_leakage_safe(spark, sf).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # the planted near-dup pair clusters together and shares ONE split —
+    # the representative's (doc 1, 'train') — even though doc 2's own
+    # content hash says 'test' (the leak a per-doc split would commit)
+    assert got[1] == (1, "train") and got[2] == (1, "train")
+    assert py_split(t2) == "test"  # the leak the op prevented
+    # singletons: own cluster, exactly the per-doc split
+    assert got[3] == (3, py_split(rows[2][1]))
+    assert got[4] == (4, py_split(rows[3][1]))
