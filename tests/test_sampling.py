@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import random
+
+import pytest
 from pyspark.sql import functions as F
 
 from etl_to_iceberg_spark.ext.sampling import (
@@ -139,3 +142,77 @@ def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
     # singletons: own cluster, exactly the per-doc split
     assert got[3] == (3, py_split(rows[2][1]))
     assert got[4] == (4, py_split(rows[3][1]))
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_leakage_safe_split_matches_union_find_model(spark, tmp_path, seed):
+    """Randomized sweep of split_leakage_safe against a pure-Python
+    re-derivation: edges by the op's blocking rule (same source,
+    |n_chars| <= 2), union-find components, min-id representative,
+    content-hash split of the representative's text. Random corpora
+    with skewed sources and clustered lengths produce chains (a-b,
+    b-c where |a-c| > 2 — transitivity must hold), cross-source
+    near-lengths (must NOT edge), and plenty of singletons."""
+    import hashlib
+    import os
+    import re
+
+    from etl_to_iceberg_spark.ext.queries import split_leakage_safe
+
+    rng = random.Random(seed)
+    n = 120
+    sources = ["web", "books", "code"]
+    rows = []
+    for i in range(n):
+        src = sources[rng.randrange(3)] if rng.random() < 0.7 else "web"
+        # clustered lengths force chains and multi-doc components
+        length = rng.choice([50, 51, 52, 53, 200, 201, 400 + i])
+        rows.append(
+            (i, f"document body {i} {'x' * rng.randrange(5)}", "en", src, length)
+        )
+
+    sf = str(tmp_path / f"sfsweep{seed}")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    # model: union-find over the blocking rule
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rows[i][3] == rows[j][3] and abs(rows[i][4] - rows[j][4]) <= 2:
+                union(i, j)
+
+    def py_split(text: str) -> str:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        b = hashlib.md5(norm.encode()).hexdigest()[0]
+        return "train" if b in "0123456789ab" else ("valid" if b in "cd" else "test")
+
+    model = {}
+    for i in range(n):
+        root = find(i)
+        model[i] = (root, py_split(rows[root][1]))
+
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in split_leakage_safe(spark, sf).collect()
+    }
+    assert got == model
+    # sanity: the sweep produced real structure, not all singletons
+    n_clusters = len({c for c, _ in model.values()})
+    assert n_clusters < n, "corpus degenerated to singletons only"
