@@ -430,8 +430,17 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cents, id_col="query_id", n_best=nprobe, with_vector=False,
     )
+    # No broadcast hints on the query side: unlike the two-level ANN
+    # ops (whose query set is a bounded batch, ~1% by fixture design),
+    # the scored side HERE is the unscored corpus (20% by split) — it
+    # grows with the data, so forcing it into a broadcast table is the
+    # exact corpus-broadcast the op's contract forbids. Plain keyed
+    # joins: AQE auto-broadcasts the genuinely-small side at fixture
+    # scale, and at deployment scale the cell join distributes (nlist
+    # scales with the corpus, so the key is not low-cardinality there
+    # — the quantizer-family posture).
     cand = (
-        ia.join(F.broadcast(qa), on="cell")
+        ia.join(qa, on="cell")
         .select("query_id", "vec_id", "label")
         .dropDuplicates(["query_id", "vec_id"])
     )
@@ -441,11 +450,9 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="vec_id",
         )
         .join(
-            F.broadcast(
-                qry.select(
-                    F.col("vec_id").alias("query_id"),
-                    _to_double("embedding").alias("__qv"),
-                )
+            qry.select(
+                F.col("vec_id").alias("query_id"),
+                _to_double("embedding").alias("__qv"),
             ),
             on="query_id",
         )

@@ -144,36 +144,42 @@ def test_poisoned_assignment_sidecar_defense_stack(spark, sf_dir):
             "overwrite"
         ).parquet(path)  # marker nuked too
 
-    # --- 1. poison without a valid marker: freshness rebuilds ---------
-    plant_poison()
-    assert not os.path.exists(os.path.join(path, "_sfkey"))
-    healed = {
-        (r.side, r.id, r.cell)
-        for r in _ivf2l_assignments(spark, sf_dir).collect()
-    }
-    assert healed == truth, "marker-less foreign content must be rebuilt"
+    try:
+        # --- 1. poison without a valid marker: freshness rebuilds -----
+        plant_poison()
+        assert not os.path.exists(os.path.join(path, "_sfkey"))
+        healed = {
+            (r.side, r.id, r.cell)
+            for r in _ivf2l_assignments(spark, sf_dir).collect()
+        }
+        assert healed == truth, "marker-less foreign content must be rebuilt"
 
-    # --- 2. poison with a FORGED valid marker: trusted by design, -----
-    # caught by the live-vs-sidecar equality tripwire
-    plant_poison()
-    with open(os.path.join(path, "_sfkey"), "w") as f:
-        f.write(os.path.abspath(sf_dir))
-    stored = {
-        (r.side, r.id, r.cell)
-        for r in _ivf2l_assignments(spark, sf_dir).collect()
-    }
-    assert stored != truth, (
-        "a forged-marker sidecar must be READ, not rebuilt (the stored-"
-        "index posture) — if this rebuilds, the freshness contract grew "
-        "a content check and this test should be rewritten"
-    )
-    assert stored != live, (
-        "the routing-equality tripwire failed to distinguish poisoned "
-        "rows from live routing — the blind spot is uncovered"
-    )
+        # --- 2. poison with a FORGED valid marker: trusted by design, -
+        # caught by the live-vs-sidecar equality tripwire
+        plant_poison()
+        with open(os.path.join(path, "_sfkey"), "w") as f:
+            f.write(os.path.abspath(sf_dir))
+        stored = {
+            (r.side, r.id, r.cell)
+            for r in _ivf2l_assignments(spark, sf_dir).collect()
+        }
+        assert stored != truth, (
+            "a forged-marker sidecar must be READ, not rebuilt (the stored-"
+            "index posture) — if this rebuilds, the freshness contract grew "
+            "a content check and this test should be rewritten"
+        )
+        assert stored != live, (
+            "the routing-equality tripwire failed to distinguish poisoned "
+            "rows from live routing — the blind spot is uncovered"
+        )
+    finally:
+        # Drop the (possibly still-poisoned) directory even when an
+        # assertion above fails — with the forged marker in place every
+        # later consumer in this process would trust the wrong rows and
+        # bury the root cause under cascading failures.
+        shutil.rmtree(path, ignore_errors=True)
 
-    # --- restore: drop the poisoned directory and rebuild truth -------
-    shutil.rmtree(path)
+    # --- restore: rebuild truth from scratch ---------------------------
     rebuilt = {
         (r.side, r.id, r.cell)
         for r in _ivf2l_assignments(spark, sf_dir).collect()

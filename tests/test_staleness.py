@@ -136,8 +136,13 @@ def test_rotation_drains_under_current_churn():
 
         front = sorted(names, key=rank)[:DRIVER_BUDGET]
         for n in front:
-            if n not in failed:  # worst case: fails stay red, burn budget
-                last_seen[n] = rnd
+            # Every checked op receives a fresh driver ROW — including a
+            # red one (the artifact records the failure, so its row age
+            # resets; test_checked_tail_never_ages_past measures age
+            # from the latest row regardless of status). Only the
+            # FAILED status persists worst-case, keeping the op rank-1
+            # and burning a budget slot every simulated round.
+            last_seen[n] = rnd
         over = sorted(
             (n, rnd - last_seen[n])
             for n in names
