@@ -1,0 +1,79 @@
+"""Shared helpers for the tools/*_scale.py measurement scripts.
+
+The scale scripts run at import (they ARE the measurement), so they
+historically repeated these helpers instead of importing each other —
+four copies of the shuffle-metric read and the sign-flip replication
+had drifted into existence by r13. This module holds the single copy;
+it defines functions only and is safe to import from any script.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+
+def shuffle_write_bytes(spark):
+    """Total shuffle write across executors from the UI REST API —
+    None when the UI is unreachable (callers report 'n/a')."""
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/executors"
+        ) as r:
+            return sum(e.get("totalShuffleWrite", 0) for e in json.load(r))
+    except Exception:
+        return None
+
+
+def timed(spark, run, runs: int = 3):
+    """One warm pass, then min-of-``runs`` wall with the shuffle-write
+    delta of the fastest run. Returns (best_seconds, bytes_or_None)."""
+    run()  # warm
+    best, sw = None, None
+    for _ in range(runs):
+        s0 = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        run()
+        el = time.perf_counter() - t0
+        s1 = shuffle_write_bytes(spark)
+        if best is None or el < best:
+            best = el
+            sw = None if (s0 is None or s1 is None) else s1 - s0
+    return best, sw
+
+
+def replicate_embeddings(emb, r: int, keep: tuple[str, ...] = (), d: int = 64):
+    """Seeded orthogonal sign-flip replication of an embedding table:
+    per-replica sign patterns keep within-replica cosines invariant and
+    cancel cross-replica ones, so pair structure scales linearly — the
+    honest 10× shape. ``keep`` columns (e.g. ``("label",)``) ride along
+    unchanged: a replica is the same labeled point in a rotated basis."""
+    import random
+
+    parts = []
+    for i in range(r):
+        rng = random.Random(9000 + i)
+        signs = F.array(
+            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
+              for _ in range(d)]
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    signs,
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+                *keep,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

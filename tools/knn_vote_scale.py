@@ -5,11 +5,8 @@ Replication reuses pq_scale's sign-flip scheme; labels replicate with
 their vector (a replica is the same labeled point in a rotated basis).
 Results row -> SCALING.md.
 """
-import json
 import os
 import sys
-import time
-import urllib.request
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -24,7 +21,8 @@ from etl_to_iceberg_spark.ext.similarity import (
     ivf_kmeans_centroids,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
-from etl_to_iceberg_spark.sidecars import sidecar_base
+from etl_to_iceberg_spark.sidecars import sidecar_path
+from tools._scale_common import replicate_embeddings, timed
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
@@ -39,70 +37,14 @@ spark = get_spark(
     )
 )
 spark.sparkContext.setLogLevel("ERROR")
-app_id = spark.sparkContext.applicationId
-ui = spark.sparkContext.uiWebUrl
-
-
-def shuffle_write_bytes():
-    try:
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/executors"
-        ) as r:
-            return sum(e.get("totalShuffleWrite", 0) for e in json.load(r))
-    except Exception:
-        return None
-
-
-def timed(run):
-    run()
-    best, sw = None, None
-    for _ in range(3):
-        s0 = shuffle_write_bytes()
-        t0 = time.perf_counter()
-        run()
-        el = time.perf_counter() - t0
-        s1 = shuffle_write_bytes()
-        if best is None or el < best:
-            best = el
-            sw = None if (s0 is None or s1 is None) else s1 - s0
-    return best, sw
-
-
-def replicate_labeled(emb, r):
-    """pq_scale's orthogonal sign-flip replication, keeping label."""
-    import random
-
-    d = 64
-    parts = []
-    for i in range(r):
-        rng = random.Random(9000 + i)
-        signs = F.array(
-            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
-              for _ in range(d)]
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    signs,
-                    lambda x, s: x * s,
-                ).alias("embedding"),
-                "label",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
 spark.range(1000).selectExpr("sum(id)").collect()
 
 base = load_table(spark, SRC, "embeddings")
-_lab10_path = os.path.join(sidecar_base(), "sf1_embeddings_labeled")
+# Keyed by SRC (the sidecar_path scheme): a replica built from one
+# scale factor must never be silently reused for another.
+_lab10_path = sidecar_path("sf1_embeddings_labeled", SRC)
 if not os.path.isdir(_lab10_path):
-    replicate_labeled(base, 10).write.mode("overwrite").parquet(_lab10_path)
+    replicate_embeddings(base, 10, keep=("label",)).write.mode("overwrite").parquet(_lab10_path)
 
 for sf_name, (emb, nlist) in {
     "sf0.1": (base.select("vec_id", "embedding", "label"), 16),
@@ -127,8 +69,10 @@ for sf_name, (emb, nlist) in {
             ),
             cents, id_col="query_id", n_best=NPROBE, with_vector=False,
         )
+        # Mirrors the op: no forced broadcast of the query (scored)
+        # side — it is corpus-proportional (20% by split).
         cand = (
-            ia.join(F.broadcast(qa), on="cell")
+            ia.join(qa, on="cell")
             .select("query_id", "vec_id")
             .dropDuplicates(["query_id", "vec_id"])
         )
@@ -140,11 +84,9 @@ for sf_name, (emb, nlist) in {
                 on="vec_id",
             )
             .join(
-                F.broadcast(
-                    qry.select(
-                        F.col("vec_id").alias("query_id"),
-                        _to_double("embedding").alias("__qv"),
-                    )
+                qry.select(
+                    F.col("vec_id").alias("query_id"),
+                    _to_double("embedding").alias("__qv"),
                 ),
                 on="query_id",
             )
@@ -171,7 +113,7 @@ for sf_name, (emb, nlist) in {
             "query_id"
         ).agg(F.max("__pk")).write.format("noop").mode("overwrite").save()
 
-    best, sw = timed(run_vote)
+    best, sw = timed(spark, run_vote)
     per_q = best / nq * 1000
     print(
         f"{sf_name} knn_label_vote: n={n} nq={nq} nlist={nlist} "

@@ -11,11 +11,9 @@ Reuses semantic_scale's replicate_embeddings sign-flip replication
 (orthogonal: within-replica cosines invariant, cross-replica ~0).
 Results rows -> SCALING.md.
 """
-import json
 import os
 import sys
 import time
-import urllib.request
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -31,6 +29,7 @@ from etl_to_iceberg_spark.ext.similarity import (
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
 from etl_to_iceberg_spark.sidecars import sidecar_base
+from tools._scale_common import replicate_embeddings, timed
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
@@ -44,35 +43,6 @@ spark = get_spark(
     )
 )
 spark.sparkContext.setLogLevel("ERROR")
-app_id = spark.sparkContext.applicationId
-ui = spark.sparkContext.uiWebUrl
-
-
-def shuffle_write_bytes():
-    try:
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/executors"
-        ) as r:
-            return sum(e.get("totalShuffleWrite", 0) for e in json.load(r))
-    except Exception:
-        return None
-
-
-def timed(run):
-    run()  # warm
-    best, sw = None, None
-    for _ in range(3):
-        s0 = shuffle_write_bytes()
-        t0 = time.perf_counter()
-        run()
-        el = time.perf_counter() - t0
-        s1 = shuffle_write_bytes()
-        if best is None or el < best:
-            best = el
-            sw = None if (s0 is None or s1 is None) else s1 - s0
-    return best, sw
-
-
 spark.range(1000).selectExpr("sum(id)").collect()
 
 def replicate_embeddings(emb, r):
@@ -136,7 +106,7 @@ for sf_name, (emb, nlist) in {
             c, q, cents, cbs, k=10, nprobe=4, m=8, dsub=8, rerank=64
         ).write.format("noop").mode("overwrite").save()
 
-    best, sw = timed(run_pq)
+    best, sw = timed(spark, run_pq)
     print(
         f"{sf_name} ann_ivf_pq: n={n} nq={nq} nlist={nlist} "
         f"train={train_s:.2f}s wall={best:.2f}s "
@@ -159,7 +129,7 @@ for sf_name, (emb, nlist) in {
             c, q, cents, cbs_res, k=10, nprobe=4, m=8, dsub=8, residual=True
         ).write.format("noop").mode("overwrite").save()
 
-    best, sw = timed(run_res2l)
+    best, sw = timed(spark, run_res2l)
     print(
         f"{sf_name} ann_ivfadc (residual, pure ADC): n={n} nq={nq} "
         f"nlist={nlist} train={train_res_s:.2f}s wall={best:.2f}s "
@@ -219,7 +189,7 @@ for sf_name, (emb, nlist) in {
             emb, cents, margin=0.1
         ).write.format("noop").mode("overwrite").save()
 
-    best, sw = timed(run_outlier)
+    best, sw = timed(spark, run_outlier)
     flagged = (
         embedding_outlier_report(emb, cents, margin=0.1)
         .where("is_outlier")

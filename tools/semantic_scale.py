@@ -7,11 +7,9 @@ measures the shape a deployment actually runs.
 
 Run tools/gen_scale_slice.py first; results row -> SCALING.md.
 """
-import json
 import os
 import sys
 import time
-import urllib.request
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -26,45 +24,11 @@ from etl_to_iceberg_spark.ext.similarity import (
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
 from etl_to_iceberg_spark.sidecars import sidecar_base
+from tools import _scale_common
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
 
-
-def replicate_embeddings(emb, r):
-    """10x the embedding table in the gen_scale_slice spirit: replica i
-    shifts vec_id and applies a seeded per-replica SIGN PATTERN to the
-    coordinates. Sign flips are an orthogonal transform, so
-    within-replica cosines (the near-dup structure) are invariant, while
-    cross-replica cosines become sign-balanced sums that cancel (~0)
-    even for the fixture's STRUCTURED label clusters — a plain rotation
-    left replicas correlated and inflated the pair count superlinearly.
-    The slice generator keeps embeddings dimension-fixed for the ANN
-    rows, so this stays script-local."""
-    import random
-
-    d = 64
-    parts = []
-    for i in range(r):
-        rng = random.Random(9000 + i)
-        signs = F.array(
-            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
-              for _ in range(d)]
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    signs,
-                    lambda x, s: x * s,
-                ).alias("embedding"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 spark = get_spark(
     SessionConfig(
@@ -77,19 +41,18 @@ spark = get_spark(
     )
 )
 spark.sparkContext.setLogLevel("ERROR")
-app_id = spark.sparkContext.applicationId
-ui = spark.sparkContext.uiWebUrl
-
 
 def shuffle_write_bytes():
-    try:
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/executors"
-        ) as r:
-            execs = json.load(r)
-        return sum(e.get("totalShuffleWrite", 0) for e in execs)
-    except Exception:
-        return None
+    return _scale_common.shuffle_write_bytes(spark)
+
+
+def replicate_embeddings(emb, r):
+    # Sign-flip scheme shared with the other scale scripts; see
+    # tools/_scale_common.replicate_embeddings for why sign patterns
+    # (an orthogonal transform) rather than a plain rotation: they keep
+    # within-replica cosines invariant while cross-replica cosines
+    # cancel even for the fixture's STRUCTURED label clusters.
+    return _scale_common.replicate_embeddings(emb, r)
 
 
 spark.range(1000).selectExpr("sum(id)").collect()
