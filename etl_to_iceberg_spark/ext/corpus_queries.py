@@ -204,6 +204,7 @@ def _ivfk_centroids(spark: SparkSession, sf_dir: str):
 
 @register(
     "similarity_ivf_kmeans",
+    sidecars=("ivfk_centroids",),
     # Lloyd's iterations aren't single-statement SQL, but the FITTED
     # quantizer is just 16 rows — materialized to a parquet sidecar, so
     # the oracle re-derives everything downstream of training (corpus
@@ -294,6 +295,7 @@ _KNN_IDX_PARAMS = dict(_IVFK_PARAMS, split=5)
 
 @register(
     "similarity_knn_label_vote",
+    sidecars=("ivfk_centroids", "knn_vote_index"),
     # Oracle resumes from the stored quantizer sidecar: flat assignment
     # of the labeled index (n_best=1) and the scoring side (rn <=
     # nprobe), shared-cell candidates, exact-cosine top-k with the house
@@ -499,6 +501,7 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_label_purity",
+    sidecars=("ivfk_centroids",),
     # Same stored-quantizer resume; per-cell label histogram, majority
     # label with the (count desc, label asc) tie-break, purity fraction.
     sql=f"""
@@ -592,6 +595,152 @@ def corpus_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space decontamination (VERDICT r13 #4): the curation
+# family's other decontaminators (corpus_decontaminate,
+# corpus_bloom_decontaminate, corpus_eval_overlap_report) are
+# n-gram/shingle-based — a PARAPHRASED benchmark item shares no 8-token
+# shingle and sails through, the contamination mode modern pipelines
+# actually worry about. This op closes that hole in embedding space on
+# the stored quantizer. thresh is the cosine floor for "same item,
+# reworded"; the fixture value is tuned to the synthetic embeddings
+# (near-random geometry, max eval-train cosine ~0.47 — a production
+# 0.85+ floor would make every fixture run an empty report, attesting
+# nothing), so driver runs attest the machinery; paraphrase-detection
+# fidelity is guarded by the planted-paraphrase model sweep
+# (tests/test_corpus_model_sweep.py::test_semantic_decontaminate_flags_planted_paraphrases).
+_SEMDECON = {"thresh": 0.30, "nprobe": 4}
+
+
+@register(
+    "corpus_semantic_decontaminate",
+    sidecars=("ivfk_centroids",),
+    # Oracle resumes from the stored quantizer sidecar (the
+    # similarity_knn_label_vote pattern): flat assignment re-derived
+    # INDEPENDENTLY — training corpus n_best=1, eval slice rn <=
+    # nprobe — shared-cell candidates, exact cosine >= thresh, best
+    # match per contaminated training vector with the (score desc,
+    # eval_id) tie-break.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    tr_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 97 != 0
+      ) WHERE rn <= 1
+    ),
+    ev_assign AS (
+      SELECT vec_id AS eval_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 97 = 0
+      ) WHERE rn <= {_SEMDECON["nprobe"]}
+    ),
+    scored AS (
+      SELECT DISTINCT ta.vec_id, ea.eval_id,
+             round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6) AS score
+      FROM tr_assign ta
+      JOIN ev_assign ea USING (cell)
+      JOIN embeddings t ON t.vec_id = ta.vec_id
+      JOIN embeddings ev ON ev.vec_id = ea.eval_id
+    )
+    SELECT vec_id, eval_id AS matched_eval_id, score
+    FROM (
+      SELECT vec_id, eval_id, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, eval_id) AS rn
+      FROM scored WHERE score >= {_SEMDECON["thresh"]}
+    ) WHERE rn <= 1
+    ORDER BY vec_id
+    """,
+)
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination over the stored
+    quantizer: the ``vec_id % 97 == 0`` slice plays the eval/benchmark
+    suite; every training vector whose cosine to any probed eval item
+    clears ``thresh`` is reported with its best-matching eval item and
+    score — the contamination report a pipeline either audits or
+    anti-joins against the corpus to drop (the drop variant is
+    ``corpus.join(report, "vec_id", "left_anti")``, one broadcast
+    anti-join on the hit-sized report; the report shape is registered
+    because it is the half that needs value-level attestation).
+
+    Scale shape (the corpus-linear direction matters): the TRAINING
+    side — the side that grows with data — is flat-assigned once
+    (n_best=1, fixed-width rows, the scan×broadcast-quantizer shape);
+    the EVAL side is the small one, so IT pays the nprobe fan-out.
+    Candidates are cell-blocked (never all-pairs): vectors cross only
+    the final vec_id-keyed joins for the exact re-rank, the threshold
+    filter runs before the per-vector best pick, and the best pick is
+    one row_number window over hit-sized rows. Cell-blocking makes the
+    report approximate in the usual IVF sense (a paraphrase routed to
+    an unprobed cell is missed); recall on geometry where it matters is
+    pinned by the planted-paraphrase sweep, and the oracle re-derives
+    the SAME blocking from the centroid sidecar so driver parity checks
+    every verdict, near-misses included."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+
+    thresh, nprobe = _SEMDECON["thresh"], _SEMDECON["nprobe"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivfk_centroids(spark, sf_dir)
+    tr = emb.where(F.col("vec_id") % 97 != 0)
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    ta = ivf_assign(
+        tr.select("vec_id", _to_double("embedding").alias("__v")),
+        cents, id_col="vec_id", n_best=1, with_vector=False,
+    )
+    ea = ivf_assign(
+        ev.select(F.col("vec_id").alias("eval_id"),
+                  _to_double("embedding").alias("__v")),
+        cents, id_col="eval_id", n_best=nprobe, with_vector=False,
+    )
+    cand = (
+        ta.join(ea, on="cell")
+        .select("vec_id", "eval_id")
+        .dropDuplicates(["vec_id", "eval_id"])
+    )
+    scored = (
+        cand.join(
+            tr.select("vec_id", _to_double("embedding").alias("__tv")),
+            on="vec_id",
+        )
+        .join(
+            ev.select(F.col("vec_id").alias("eval_id"),
+                      _to_double("embedding").alias("__ev")),
+            on="eval_id",
+        )
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(cosine(F.col("__tv"), F.col("__ev")), 6).alias("score"),
+        )
+        .where(F.col("score") >= thresh)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 1)
+        .select("vec_id", F.col("eval_id").alias("matched_eval_id"), "score")
+        .orderBy("vec_id")
+    )
+
+
 # --- two-level IVF (production-scale routing, driver-attested) --------------
 #
 # Every other IVF fixture pins nlist=16, below TWO_LEVEL_MIN_NLIST, so
@@ -677,6 +826,7 @@ def _ivf2l_assignments(spark: SparkSession, sf_dir: str):
 
 @register(
     "similarity_ann_ivf_two_level",
+    sidecars=("ivfk_centroids", "ivf2l_assign"),
     # The oracle resumes from the materialized two-level assignment and
     # re-derives the relational half: probed-cell candidate generation,
     # exact cosine re-rank (list_cosine_similarity rounded to 6dp — the
@@ -758,6 +908,7 @@ def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_kmeans",
+    sidecars=("ivfk_centroids",),
     # Oracle resumes from the same stored quantizer as
     # similarity_ivf_kmeans: nearest-cell assignment (identical
     # round/tie-break to the ivf oracles), cluster-size cap, and the
@@ -811,6 +962,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_knn_graph",
+    sidecars=("ivfk_centroids",),
     # Same stored-quantizer resume as dedup_semantic_kmeans (assignment
     # CTE identical, same cap), then the graph is a within-cell self-join
     # topped per vector instead of a thresholded pair list.
@@ -871,6 +1023,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_clusters",
+    sidecars=("ivfk_centroids",),
     # End-to-end composite (VERDICT r8 #5): the knn-graph oracle's CTE
     # chain (stored-quantizer assignment → cap → within-cell pairs →
     # per-vector top-3) feeds mutual-kNN edge selection and then the
@@ -978,6 +1131,7 @@ _IVFK_V2_SIDECAR = sidecars.oracle_sidecar_path(
 
 @register(
     "similarity_quantizer_refresh",
+    sidecars=("ivfk_centroids", "ivfk_centroids_v2"),
     # Both quantizers are sidecar tables, so the oracle re-derives the
     # whole refresh audit: nearest-old-cell matching (rounded cosine,
     # old-cell tiebreak) and corpus occupancy under the NEW quantizer
@@ -2202,6 +2356,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
 
 @register(
     "similarity_ann_ivf_pq",
+    sidecars=("ivfk_centroids", "pq_codebooks"),
     # Oracle resumes from TWO sidecars — the coarse IVF quantizer and the
     # PQ codebooks — and re-derives codes, the per-query ADC lookup
     # table, routing, and the top-k rank entirely in SQL. Code argmin
@@ -2389,6 +2544,7 @@ def _pq_res_codebooks(spark: SparkSession, sf_dir: str):
 
 @register(
     "similarity_ann_ivf_pq_residual",
+    sidecars=("ivfk_centroids", "pq_codebooks"),
     # Same two-sidecar resume as similarity_ann_ivf_pq, with the IVFADC
     # differences mirrored exactly: codes quantize the RESIDUAL
     # (v − assigned coarse centroid, elementwise double subtraction —
@@ -2570,6 +2726,7 @@ def _pq_res2l_codebooks(spark: SparkSession, sf_dir: str):
 
 @register(
     "similarity_ann_ivf_pq_residual_two_level",
+    sidecars=("ivfk_centroids", "ivf2l_assign", "pq_codebooks"),
     # The oracle composes the two sidecar patterns this op unifies:
     # routing resumes from the materialized two-level ASSIGNMENT (flat
     # SQL cannot re-derive approximate routing), residual codes and the
@@ -2709,6 +2866,7 @@ _OUTLIER_MARGIN = 0.1
 
 @register(
     "corpus_embedding_outlier_prune",
+    sidecars=("ivfk_centroids",),
     sql=f"""
     WITH cent AS (
       SELECT cell, __cent AS cv

@@ -270,6 +270,7 @@ def _sid_work(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "stream_incremental_minhash",
+    sidecars=("mh_tick_sigs",),
     # Single AvailableNow drain of one file = one deterministic tick of
     # the doc_id<300 corpus against an initially EMPTY index (same
     # argument as stream_incremental_dedup's oracle): the mirror is the
@@ -321,6 +322,7 @@ _mh_prev_caches: list = []
 
 @register(
     "dedup_incremental_minhash",
+    sidecars=("mh_tick_sigs",),
     # The seeded-xxhash64 signatures have no DuckDB mirror; the query
     # materializes the corpus's index rows to the sidecar and the oracle
     # re-runs the tick's relational half — index rows = doc_id % 5 <> 4,

@@ -300,6 +300,7 @@ _MINHASH_SIDECAR = oracle_sidecar_path("minhash_sidecar", _MINHASH_PARAMS)
 
 @register(
     "dedup_minhash_lsh",
+    sidecars=("minhash_sidecar",),
     # The seeded-xxhash64 sketch has no DuckDB mirror; the query
     # materializes (doc_id, fp, band_hashes) to a parquet sidecar and
     # the oracle re-derives the relational half — identical-fingerprint
@@ -409,6 +410,7 @@ _SIMHASH_SIDECAR = oracle_sidecar_path("simhash_sigs", _SIMHASH_PARAMS)
 
 @register(
     "dedup_simhash",
+    sidecars=("simhash_sigs",),
     # The xxhash64 sign-sum sketch has no DuckDB mirror; the query
     # materializes it to a parquet sidecar and the oracle re-derives the
     # relational half (identical-signature collapse, byte-band pigeonhole

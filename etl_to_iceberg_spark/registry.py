@@ -39,18 +39,39 @@ class QuerySpec:
     fn: QueryFn
     sql: str | None  # DuckDB oracle; None -> rows-only check
     doc: str = ""
+    # Sidecar FAMILIES this op touches (engine or oracle side) — the
+    # first argument of every sidecars.sidecar_path()/oracle_sidecar_path()
+    # call its execution can reach. Declared at registration so
+    # sidecar-coverage tooling (tools/cold_sweep.py, the oracle-lint
+    # seeds) is registry-driven instead of grepping oracle SQL for path
+    # substrings — the grep misses ENGINE-ONLY sidecars whose oracle
+    # re-derives independently and reads nothing (ADVICE/VERDICT r13).
+    # tests/test_sidecars.py pins the manifest against the package's
+    # actual sidecar_path call sites so a declaration can't go stale.
+    sidecars: tuple[str, ...] = ()
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, sql: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    sql: str | None = None,
+    doc: str = "",
+    sidecars: tuple[str, ...] = (),
+):
     """Decorator: register a query implementation under a SURVEY §2 ID."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            sql=sql,
+            doc=doc or (fn.__doc__ or ""),
+            sidecars=tuple(sidecars),
+        )
         return fn
 
     return deco

@@ -2207,3 +2207,123 @@ def test_label_purity_matches_model(spark, tmp_path, seed):
         model[cell] = (len(members), lab, cnt, round(cnt / len(members), 6))
     assert got == model
     assert sum(nv for nv, *_ in got.values()) == n
+
+
+def _model_semantic_decontaminate(vecs, *, thresh, nprobe, cents):
+    """Pure re-derivation of corpus_semantic_decontaminate: flat
+    assignment from the op's persisted quantizer (rounded-6dp cosine
+    desc, cell asc), training n_best=1 / eval n_best=nprobe,
+    shared-cell candidates, exact cosine >= thresh, best match per
+    training vector with the (score desc, eval_id) tie-break."""
+    def assign(v, n):
+        return [
+            c for _, c in sorted(
+                ((-_cos6(v, cv), c) for c, cv in cents)
+            )[:n]
+        ]
+
+    tr = [(vid, v) for vid, v in vecs if vid % 97 != 0]
+    ev = [(vid, v) for vid, v in vecs if vid % 97 == 0]
+    cell_of = {vid: assign(v, 1)[0] for vid, v in tr}
+    probed: dict = {}
+    for eid, evv in ev:
+        for c in assign(evv, nprobe):
+            probed.setdefault(c, []).append((eid, evv))
+    out = {}
+    for vid, v in tr:
+        hits = sorted(
+            (-_cos6(v, evv), eid)
+            for eid, evv in probed.get(cell_of[vid], [])
+            if _cos6(v, evv) >= thresh
+        )
+        if hits:
+            out[vid] = (hits[0][1], -hits[0][0])
+    return out
+
+
+@pytest.mark.parametrize("seed", [45, 46])
+def test_semantic_decontaminate_flags_planted_paraphrases(spark, tmp_path, seed):
+    """End-to-end sweep of the REGISTERED corpus_semantic_decontaminate
+    op on a planted corpus, model rebuilt from THE QUANTIZER THE OP
+    PERSISTED (the stale-model guard every quantizer consumer carries).
+    Planted: three training vectors that are noise-perturbed copies of
+    eval items (the paraphrase the n-gram decontaminators miss —
+    cosine ~0.99, must be flagged with the right eval match), one decoy
+    built just BELOW the threshold against its eval item (must not be
+    flagged by that pair), and a zero-norm training vector (cosine -1.0
+    convention — never flagged, never NaN)."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = 16
+    thresh, nprobe = cq._SEMDECON["thresh"], cq._SEMDECON["nprobe"]
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 300
+    vecs = [(i, unit(dim)) for i in range(n)]
+    eval_ids = [i for i in range(n) if i % 97 == 0]
+    assert len(eval_ids) >= 3
+
+    def mix(base, target_cos):
+        # v = a*base + b*orth, unit by construction -> cos(v, base) = a
+        orth = unit(dim)
+        d = sum(x * y for x, y in zip(orth, base))
+        o = [x - d * y for x, y in zip(orth, base)]
+        s = math.sqrt(sum(x * x for x in o))
+        o = [x / s for x in o]
+        b = math.sqrt(1 - target_cos * target_cos)
+        return [target_cos * x + b * y for x, y in zip(base, o)]
+
+    planted = {}
+    for off, eid in zip((1, 2, 3), eval_ids[:3]):
+        vid = eid + off  # adjacent ids are training ids (not % 97 == 0)
+        assert vid % 97 != 0
+        vecs[vid] = (vid, mix(vecs[eid][1], 0.99))
+        planted[vid] = eid
+    # decoy: just under the threshold vs eval_ids[0]
+    decoy = eval_ids[0] + 10
+    assert decoy % 97 != 0
+    vecs[decoy] = (decoy, mix(vecs[eval_ids[0]][1], thresh - 0.02))
+    zero = eval_ids[0] + 11
+    vecs[zero] = (zero, [0.0] * dim)
+
+    sf = str(tmp_path / "sfdecon")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v) for vid, v in vecs], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    got = {
+        r.vec_id: (r.matched_eval_id, r.score)
+        for r in cq.corpus_semantic_decontaminate(spark, sf).collect()
+    }
+    cents = [
+        (r["cell"], list(r["__cent"]))
+        for r in spark.read.parquet(
+            sidecars.sidecar_path("ivfk_centroids", sf, cq._IVFK_PARAMS)
+        ).collect()
+    ]
+    model = _model_semantic_decontaminate(
+        vecs, thresh=thresh, nprobe=nprobe, cents=cents
+    )
+    assert got == model
+    # every planted paraphrase is flagged with its own eval item (the
+    # ~0.99 twin shares the eval item's cell, which eval always probes
+    # at rank 1) — the capability the n-gram decontaminators lack
+    for vid, eid in planted.items():
+        assert vid in got and got[vid][0] == eid, (vid, got.get(vid))
+        assert got[vid][1] >= 0.98
+    # the decoy's planted pair sits under the threshold: it may only be
+    # flagged via some other (genuinely above-threshold) eval item
+    if decoy in got:
+        assert got[decoy][0] != eval_ids[0] or got[decoy][1] >= thresh
+    assert zero not in got, "zero-norm vector must never be flagged"

@@ -591,3 +591,17 @@ def test_label_vote_and_purity_hash_agg_and_broadcast_quantizer(
         assert "CartesianProduct" not in plan, (q, plan)
         assert "HashAggregate" in plan, (q, plan)
         assert "BroadcastHashJoin" in plan, (q, plan)
+
+
+def test_semantic_decontaminate_plan_shape(spark, sf_dir):
+    """corpus_semantic_decontaminate: quantizer fan-out is the standard
+    scan x broadcast; the candidate cell join and the two vector
+    re-rank joins stay keyed hash joins at fixture scale (never a
+    cartesian); the threshold filter plus per-vector best pick keep the
+    aggregation in codegen HashAggregate / window — no SortAggregate,
+    no corpus-sized broadcast hint anywhere (the training side grows
+    with data)."""
+    plan = _plan(spark, sf_dir, "corpus_semantic_decontaminate")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

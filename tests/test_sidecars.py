@@ -185,3 +185,57 @@ def test_poisoned_assignment_sidecar_defense_stack(spark, sf_dir):
         for r in _ivf2l_assignments(spark, sf_dir).collect()
     }
     assert rebuilt == truth == _ivf2l_live_routing(spark, sf_dir)
+
+
+def _source_sidecar_families() -> set[str]:
+    """Family names at every literal ``sidecar_path(``/
+    ``oracle_sidecar_path(`` call site in the package source."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "etl_to_iceberg_spark"
+    pat = re.compile(r'(?:oracle_)?sidecar_path\(\s*"([^"]+)"')
+    fams: set[str] = set()
+    for p in pkg.rglob("*.py"):
+        fams |= set(pat.findall(p.read_text()))
+    return fams
+
+
+def test_sidecar_manifest_covers_every_call_site():
+    """The registry's ``sidecars=`` manifest (VERDICT r13 #5) and the
+    package's actual sidecar_path call sites must agree in BOTH
+    directions: a family used in source but declared by no op would
+    silently drop its consumers out of tools/cold_sweep.py (the
+    engine-only-sidecar hole the old oracle-SQL substring discovery
+    had); a declared family absent from source is a stale manifest
+    entry."""
+    from etl_to_iceberg_spark.registry import all_specs
+
+    specs = all_specs()
+    declared = {f for s in specs.values() for f in s.sidecars}
+    in_source = _source_sidecar_families()
+    assert in_source - declared == set(), (
+        f"sidecar families used in source but declared by no QuerySpec: "
+        f"{sorted(in_source - declared)} — add sidecars=(...) at the "
+        "consuming ops' register() sites"
+    )
+    assert declared - in_source == set(), (
+        f"declared sidecar families with no sidecar_path call site: "
+        f"{sorted(declared - in_source)} — stale manifest entries"
+    )
+
+
+def test_sidecar_manifest_superset_of_oracle_substring_scan():
+    """Every op whose ORACLE SQL embeds the sidecar base path must also
+    declare its families — the manifest may only ever widen the old
+    substring-derived cold-sweep set, never lose part of it."""
+    from etl_to_iceberg_spark.registry import all_specs
+    from etl_to_iceberg_spark.sidecars import sidecar_base
+
+    base = sidecar_base()
+    for n, s in all_specs().items():
+        if s.sql and base in s.sql:
+            assert s.sidecars, (
+                f"{n} reads {base} in its oracle but declares no "
+                "sidecars= families"
+            )

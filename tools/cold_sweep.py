@@ -8,7 +8,26 @@ ONLY the sidecar-dependent ops from a verified-empty base is the
 targeted check VERDICT r12 #3 asked for: a missing ``ensure_sidecar``
 call or an engine/oracle params-key mismatch fails here with an empty
 ``<tmpdir>/e2is-<uid>`` instead of riding a warm dir from an earlier op
-in the same process. Usage:
+in the same process.
+
+Op discovery is REGISTRY-DRIVEN (VERDICT r13 #5): each QuerySpec
+declares the sidecar families it touches (``sidecars=`` at
+registration), so engine-only sidecars whose oracle reads nothing —
+e.g. the label-vote ``knn_vote_index`` — are covered without the old
+oracle-SQL substring trick. tests/test_sidecars.py pins the manifest
+against the package's actual ``sidecar_path`` call sites.
+
+Within one sweep process ops run sequentially against ONE base, so only
+the FIRST op per shared family is truly cold (ADVICE r13): op #1 builds
+e.g. the shared ivfk_centroids dir and later ops ride it warm. The
+sweep makes that visible instead of silent — it snapshots the base's
+top-level dirs around each op, records which op CREATED each dir, and
+prints per op which of its declared families were warm and who built
+them. A later op missing its own ensure_sidecar call for a family no
+earlier op builds still fails cold here; one sharing an earlier op's
+family is reported as warm-riding so the limitation is auditable.
+
+Usage:
 
     PYTHONPATH=/root/repo python tools/cold_sweep.py [sf_dir]
 
@@ -26,6 +45,16 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 os.environ["E2IS_ORACLE_SF_DIR"] = SF_DIR
+
+
+def _families(entry: str, fams: set[str]) -> set[str]:
+    """Declared families a base-dir entry belongs to (dirs are named
+    ``<family>_<sfkey>[_<paramskey>]``; family names can be prefixes of
+    one another — ivfk_centroids / ivfk_centroids_v2 — so match the
+    longest declared prefix only)."""
+    hits = {f for f in fams if entry.startswith(f + "_")}
+    longest = max((len(f) for f in hits), default=0)
+    return {f for f in hits if len(f) == longest}
 
 
 def main() -> int:
@@ -53,17 +82,35 @@ def main() -> int:
         )
 
     specs = all_specs()
-    # Ops whose ORACLE reads a sidecar, plus sidecar-writing ops whose
-    # oracle re-derives independently (the sidecar is engine-only).
-    dep = [n for n, s in specs.items() if s.sql and base in s.sql]
-    dep += [
-        n
-        for n in ("similarity_quantizer_refresh",)
-        if n not in dep and n in specs
+    dep = [n for n, s in specs.items() if s.sidecars]
+    declared = {f for s in specs.values() for f in s.sidecars}
+    # Lint: the old substring heuristic must never find an op the
+    # manifest misses — an oracle that reads the base without a
+    # declaration is a coverage hole.
+    undeclared = [
+        n for n, s in specs.items() if s.sql and base in s.sql and not s.sidecars
     ]
-    print(f"{len(dep)} sidecar-dependent ops, cold base verified empty")
+    if undeclared:
+        print(
+            f"ops reading {base} in their oracle but declaring no "
+            f"sidecars= families: {undeclared}",
+            file=sys.stderr,
+        )
+        return 2
+    print(f"{len(dep)} sidecar-dependent ops (registry manifest), cold base verified empty")
+
+    built_by: dict[str, str] = {}  # base-dir entry -> op that created it
     fails = 0
     for i, n in enumerate(dep):
+        before = {e.name for e in os.scandir(base)}
+        warm = sorted(
+            {
+                f
+                for e in before
+                for f in _families(e, declared)
+                if f in specs[n].sidecars
+            }
+        )
         t0 = time.time()
         try:
             df = specs[n].fn(spark, SF_DIR)
@@ -75,7 +122,24 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep going
             fails += 1
             status = f"FAIL {type(e).__name__}: {str(e)[:200]}"
-        print(f"[{i + 1}/{len(dep)}] {n}: {status} ({time.time() - t0:.1f}s)", flush=True)
+        created = {e.name for e in os.scandir(base)} - before
+        for e in created:
+            built_by[e] = n
+        note = ""
+        if warm:
+            builders = sorted(
+                {
+                    built_by.get(e, "?")
+                    for e in before
+                    for f in _families(e, declared)
+                    if f in warm
+                }
+            )
+            note = f" [warm: {','.join(warm)} built by {','.join(builders)}]"
+        print(
+            f"[{i + 1}/{len(dep)}] {n}: {status} ({time.time() - t0:.1f}s){note}",
+            flush=True,
+        )
     print(f"cold sweep done: {len(dep)} checked, {fails} failed")
     return 1 if fails else 0
 

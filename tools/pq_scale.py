@@ -7,9 +7,9 @@ stored tables in deployment (the sidecar convention) — and PQ training
 cost is CONSTANT by construction (a bounded 256-row sample regardless
 of corpus size).
 
-Reuses semantic_scale's replicate_embeddings sign-flip replication
-(orthogonal: within-replica cosines invariant, cross-replica ~0).
-Results rows -> SCALING.md.
+Uses tools/_scale_common.replicate_embeddings (the single copy of the
+seeded sign-flip replication: within-replica cosines invariant,
+cross-replica ~0). Results rows -> SCALING.md.
 """
 import os
 import sys
@@ -28,7 +28,7 @@ from etl_to_iceberg_spark.ext.similarity import (
     pq_train_codebooks,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
-from etl_to_iceberg_spark.sidecars import sidecar_base
+from etl_to_iceberg_spark.sidecars import sidecar_path
 from tools._scale_common import replicate_embeddings, timed
 from etl_to_iceberg_spark.sources.tables import load_table
 
@@ -45,42 +45,12 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1000).selectExpr("sum(id)").collect()
 
-def replicate_embeddings(emb, r):
-    """semantic_scale.py's seeded sign-flip replication (that file is a
-    measurement script — runs at import — so the 30 lines are repeated
-    here rather than imported): orthogonal per-replica sign patterns
-    keep within-replica cosines invariant and cancel cross-replica
-    ones."""
-    import random
-
-    d = 64
-    parts = []
-    for i in range(r):
-        rng = random.Random(9000 + i)
-        signs = F.array(
-            *[F.lit(1.0 if (i == 0 or rng.random() < 0.5) else -1.0)
-              for _ in range(d)]
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    signs,
-                    lambda x, s: x * s,
-                ).alias("embedding"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
 base = load_table(spark, SRC, "embeddings")
-# uid-scoped (sidecars.sidecar_base): the old world-shared /tmp path was
-# exactly the foreign-content hazard the sidecar relocation killed
-_emb10_path = os.path.join(sidecar_base(), "sf1_embeddings")
+# uid-scoped AND keyed by SRC (ADVICE r13): a replica built from one
+# scale factor must never be silently reused for another — the unkeyed
+# sidecar_base()/"sf1_embeddings" path would serve a stale replica when
+# SCALE_SRC changes.
+_emb10_path = sidecar_path("sf1_embeddings", SRC)
 if not os.path.isdir(_emb10_path):
     replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
 

@@ -23,7 +23,7 @@ from etl_to_iceberg_spark.ext.similarity import (
     semantic_dedup_pairs,
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
-from etl_to_iceberg_spark.sidecars import sidecar_base
+from etl_to_iceberg_spark.sidecars import sidecar_path
 from tools import _scale_common
 from etl_to_iceberg_spark.sources.tables import load_table
 
@@ -65,7 +65,12 @@ base = load_table(spark, SRC, "embeddings")
 # driver heap dies (the watchpoint-9 mechanism, triggered by leaf stats
 # rather than plan depth). A parquet leaf has real stats — and a stored
 # table is the deployment shape for a corpus anyway.
-_emb10_path = "/tmp/e2is_sf1_embeddings"
+# Keyed by SRC (ADVICE r13, the sidecar_path scheme): the replica dir
+# must be a function of the scale factor it was built from, so changing
+# SCALE_SRC can never silently reuse another run's replica. Content is
+# deterministic by (SRC, seed), so sharing the key with pq_scale.py's
+# cached copy is safe.
+_emb10_path = sidecar_path("sf1_embeddings", SRC)
 replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
 for sf_name, (emb, nlist) in {
     "sf0.1": (base, 16),
