@@ -47,6 +47,22 @@ R01_COMPAT = [
     "text_quality_score",
     "multimodal_features",
 ]
+# The composite tranche as of r13's membership, frozen by NAME like
+# R01_COMPAT (VERDICT r13 #7): round-over-round "full set" comparisons
+# kept needing manual exclusion of newly added headline lines (r13's
+# label-vote addition turned a +15.7% drift into an apparent +32.6%).
+# New composites join HEADLINE but NOT this list; compare
+# composite_r13_total (and r01_compat_total) across rounds, and the
+# full-set `value` only within a round.
+COMPOSITE_R13 = [
+    "corpus_curate_v2",
+    "dedup_connected_components",
+    "dedup_incremental_minhash",
+    "dedup_exact_substring",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_clusters",
+    "similarity_knn_label_vote",
+]
 HEADLINE = [
     # The compat set always runs in full — a frozen name missing from
     # results would silently shrink the subtotal it anchors.
@@ -72,6 +88,9 @@ HEADLINE = [
     # stored quantizer — the FineWeb-Edu/DCLM quality-classifier shape)
     "similarity_knn_label_vote",
 ]
+# a frozen name dropping out of HEADLINE would silently shrink the
+# subtotal it anchors (same rule as the R01_COMPAT assert below)
+assert set(COMPOSITE_R13) <= set(HEADLINE)
 
 
 def main() -> None:
@@ -251,6 +270,8 @@ def main() -> None:
     # shrink the subtotal and fake an improvement.
     missing = [n for n in R01_COMPAT if n not in results]
     assert not missing, f"compat queries missing from results: {missing}"
+    missing_c = [n for n in COMPOSITE_R13 if n not in results]
+    assert not missing_c, f"composite queries missing from results: {missing_c}"
 
     # Environment fingerprint (VERDICT r10 §perf): r10 measured +28% on
     # BYTE-IDENTICAL code across driver rounds — machine/load drift, not
@@ -282,6 +303,11 @@ def main() -> None:
                 "queries": results,
                 "r01_compat_total": round(
                     sum(results[n] for n in R01_COMPAT), 3
+                ),
+                # frozen composite subtotal (r13 membership) — the
+                # round-over-round comparable for the non-compat tranche
+                "composite_r13_total": round(
+                    sum(results[n] for n in COMPOSITE_R13), 3
                 ),
                 # drift-normalized subtotal: divide by the fixed CPU
                 # task's wall to factor out machine/load drift (see

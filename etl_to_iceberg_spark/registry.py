@@ -82,27 +82,20 @@ def register(
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 13
-_CHANGED_THIS_ROUND = [
-    # ADVICE r12 low: _IVF2L_PARAMS now folds in
-    # similarity.ROUTING_VERSION, so a future two-level-routing change
-    # relocates the engine-written assignment sidecar (rebuild under the
-    # new algorithm) instead of both engines silently resuming from
-    # stale assignments. The key change relocates the sidecar path, so
-    # both consumers rebuild and must be re-attested.
-    "similarity_ann_ivf_two_level",
-    "similarity_ann_ivf_pq_residual_two_level",
-    # r13 plan audit: dropped the op-level _load_balanced — extract_
-    # features applies ensure_parallelism itself, and stacking both
-    # shipped the binary payload through two back-to-back round-robin
-    # exchanges on single-file fixtures.
-    "multimodal_features",
+_CHANGED_AS_OF_ROUND = 14
+_CHANGED_THIS_ROUND: list[str] = [
+    # r14 changed no existing op's implementation: the sidecars=
+    # registration metadata and the tools/ fixes don't alter results,
+    # and corpus_semantic_decontaminate is NEW (never-checked rank
+    # covers it without a changed-list slot).
 ]
-# Round-13 rotation budget (VERDICT r12 #1): 5 r8 ops hit the 5-round
-# staleness limit this round and the 44-op r9 cohort is at age 4. Front
-# = 3 changed + 2 never (the labeled-embedding scorers) + 5 r8 + 40 r9;
-# the slipped r9 ops lead r14's front. The budget arithmetic is no
-# longer hand-maintained: tests/test_staleness.py::
+# Round-14 rotation budget (VERDICT r13 #1): the 5 r9 survivors hit the
+# 5-round staleness limit this round (must-check) and the 46-op r10
+# cohort is at age 4. Front = 1 never (corpus_semantic_decontaminate)
+# + 5 r9 + 44 of 46 r10; the ~2 slipped r10 ops lead r15's front
+# (age 5 there, must-check) ahead of the 49-op r11 cohort at age 4 —
+# r15 churn must stay ≤ ~3 slots too. The budget arithmetic is not
+# hand-maintained: tests/test_staleness.py::
 # test_rotation_drains_under_current_churn simulates the front forward
 # from the artifacts and fails at commit time if churn or registrations
 # outrun the drain (the true bound: ~300 registered ops at budget 50).

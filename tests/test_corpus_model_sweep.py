@@ -2327,3 +2327,115 @@ def test_semantic_decontaminate_flags_planted_paraphrases(spark, tmp_path, seed)
     if decoy in got:
         assert got[decoy][0] != eval_ids[0] or got[decoy][1] >= thresh
     assert zero not in got, "zero-norm vector must never be flagged"
+
+
+@pytest.mark.parametrize("seed", [63, 64])
+def test_quantizer_rotation_rebuilds_label_vote_index(
+    spark, tmp_path, monkeypatch, seed
+):
+    """Rotation sweep for the label-vote STORED INDEX (VERDICT r13 #6):
+    knn_vote_index folds the quantizer params + split into its sidecar
+    key (_KNN_IDX_PARAMS) but — unlike the two-level assignment sidecar
+    — carries no routing-version token, because flat assignment is
+    routing-version-independent today. This sweep pins the half the key
+    IS responsible for: retraining/bumping the quantizer must (1)
+    relocate the index sidecar via the folded key, (2) actually REBUILD
+    the stored (vec_id, label, cell) rows against the NEW centroids —
+    never serve the assignment fitted to the previous quantizer — and
+    (3) leave predictions equal to a pure re-derivation under the new
+    quantizer. Runs the REGISTERED op end-to-end with the module params
+    monkeypatched, the same wiring a production rotation would change.
+
+    Corpus: label-clustered geometry (labels agree with anchors), so a
+    stale index would visibly corrupt the vote."""
+    import os
+
+    from etl_to_iceberg_spark import sidecars
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(seed)
+    dim = 16
+
+    def unit(v):
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / s for x in v]
+
+    anchors = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(4)]
+    vecs = []
+    labels = {}
+    for i in range(240):
+        lab = i % 4
+        vecs.append(
+            (i, unit([x + rng.gauss(0, 0.15) for x in anchors[lab]]))
+        )
+        labels[i] = lab
+
+    sf = str(tmp_path / "sfvrot")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v, labels[vid]) for vid, v in vecs],
+        "vec_id long, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    def generation(ivfk_params):
+        monkeypatch.setattr(cq, "_IVFK_PARAMS", ivfk_params)
+        monkeypatch.setattr(
+            cq, "_KNN_IDX_PARAMS", dict(ivfk_params, split=5)
+        )
+        out = {
+            r.query_id: (r.pred_label, r.votes, r.n_used, r.vote_frac)
+            for r in cq.similarity_knn_label_vote(spark, sf).collect()
+        }
+        idx_path = sidecars.sidecar_path(
+            "knn_vote_index", sf, dict(ivfk_params, split=5)
+        )
+        idx = {
+            (r.vec_id, r.label, r.cell)
+            for r in spark.read.parquet(idx_path).collect()
+        }
+        return out, idx_path, idx
+
+    params_a = {"nlist": 8, "train_fraction": 0.5}
+    params_b = {"nlist": 16, "train_fraction": 0.5}
+    out_a, path_a, idx_a = generation(params_a)
+    out_b, path_b, idx_b = generation(params_b)
+
+    # (1) the folded key relocates the index with the quantizer
+    assert path_a != path_b
+    assert idx_a != idx_b, "rotation must change the stored assignment"
+
+    # (2) the stored rows at the new path are a fresh flat assignment
+    # against the NEW quantizer — re-derived independently here
+    cents_b = [
+        (r["cell"], list(r["__cent"]))
+        for r in spark.read.parquet(
+            sidecars.sidecar_path("ivfk_centroids", sf, params_b)
+        ).collect()
+    ]
+    expect_idx = {
+        (vid, labels[vid],
+         sorted(((-_cos6(v, cv), c) for c, cv in cents_b))[0][1])
+        for vid, v in vecs
+        if vid % 5 != 0
+    }
+    assert idx_b == expect_idx
+
+    # (3) predictions under the new quantizer match the pure model
+    model_b = _model_knn_label_vote(
+        vecs, labels,
+        k=cq._KNN_VOTE["k"], nprobe=cq._KNN_VOTE["nprobe"], cents=cents_b,
+    )
+    assert out_b == model_b
+
+    # re-running generation B is a pure read: no file rewritten
+    def mtimes(p):
+        return sorted(
+            (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+            for f in os.listdir(p)
+        )
+
+    before = mtimes(path_b)
+    out_b2, _, _ = generation(params_b)
+    assert out_b2 == out_b and mtimes(path_b) == before

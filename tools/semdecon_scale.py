@@ -1,0 +1,116 @@
+"""sf0.1 vs 10x scaling for corpus_semantic_decontaminate, nlist scaled
+to the corpus (the quantizer-family posture: E[cell] constant). The
+eval/benchmark slice (vec_id % 97 == 0) replicates with the corpus here
+— a worst case for the op, since in deployment the benchmark suite is
+FIXED while the corpus grows, so the candidate pair count below
+overstates the real 10x. Mirrors the registered op's shape: training
+side flat-assigned once (n_best=1), eval side pays the nprobe fan-out,
+cell-blocked candidates, threshold before the per-vector best pick.
+Results row -> SCALING.md.
+"""
+import os
+import sys
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_to_iceberg_spark.ext.similarity import (
+    _to_double,
+    cosine,
+    ivf_assign,
+    ivf_kmeans_centroids,
+)
+from etl_to_iceberg_spark.session import SessionConfig, get_spark
+from etl_to_iceberg_spark.sidecars import sidecar_path
+from tools._scale_common import replicate_embeddings, timed
+from etl_to_iceberg_spark.sources.tables import load_table
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+THRESH, NPROBE = 0.30, 4
+
+spark = get_spark(
+    SessionConfig(
+        app_name="semdecon-scale",
+        local_cores=32,
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1000).selectExpr("sum(id)").collect()
+
+base = load_table(spark, SRC, "embeddings")
+# Keyed by SRC (the sidecar_path scheme): a replica built from one
+# scale factor must never be silently reused for another. Shares the
+# unlabeled replica with pq_scale/semantic_scale (same seed, same rows).
+_emb10_path = sidecar_path("sf1_embeddings", SRC)
+if not os.path.isdir(_emb10_path):
+    replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
+
+for sf_name, (emb, nlist) in {
+    "sf0.1": (base.select("vec_id", "embedding"), 16),
+    "sf1 (10x)": (spark.read.parquet(_emb10_path), 160),
+}.items():
+    n = emb.count()
+    cents = ivf_kmeans_centroids(emb, nlist=nlist, train_fraction=0.5)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin rows
+    tr = emb.where(F.col("vec_id") % 97 != 0)
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    nev = ev.count()
+
+    def run_decon():
+        ta = ivf_assign(
+            tr.select("vec_id", _to_double("embedding").alias("__v")),
+            cents, id_col="vec_id", n_best=1, with_vector=False,
+        )
+        ea = ivf_assign(
+            ev.select(
+                F.col("vec_id").alias("eval_id"),
+                _to_double("embedding").alias("__v"),
+            ),
+            cents, id_col="eval_id", n_best=NPROBE, with_vector=False,
+        )
+        cand = (
+            ta.join(ea, on="cell")
+            .select("vec_id", "eval_id")
+            .dropDuplicates(["vec_id", "eval_id"])
+        )
+        scored = (
+            cand.join(
+                tr.select("vec_id", _to_double("embedding").alias("__tv")),
+                on="vec_id",
+            )
+            .join(
+                ev.select(
+                    F.col("vec_id").alias("eval_id"),
+                    _to_double("embedding").alias("__ev"),
+                ),
+                on="eval_id",
+            )
+            .select(
+                "vec_id", "eval_id",
+                F.round(cosine(F.col("__tv"), F.col("__ev")), 6).alias("s"),
+            )
+            .where(F.col("s") >= THRESH)
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("s").desc(), F.col("eval_id")
+        )
+        scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= 1
+        ).select("vec_id", "eval_id", "s").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    best, sw = timed(spark, run_decon)
+    per_mvec = best / (n - nev) * 1e6
+    print(
+        f"{sf_name} semantic_decontaminate: n={n} n_eval={nev} "
+        f"nlist={nlist} wall={best:.2f}s "
+        f"shuffle_write={sw and round(sw / 1e6, 2)}MB "
+        f"s_per_Mtrainvec={per_mvec:.2f}"
+    )
+spark.stop()
