@@ -708,19 +708,31 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
                   _to_double("embedding").alias("__v")),
         cents, id_col="eval_id", n_best=nprobe, with_vector=False,
     )
-    cand = (
-        ta.join(ea, on="cell")
-        .select("vec_id", "eval_id")
-        .dropDuplicates(["vec_id", "eval_id"])
-    )
+    # The eval side IS broadcastable here — the opposite call from
+    # similarity_knn_label_vote, for the same scale reason: there the
+    # small-looking side was the unscored CORPUS (grows with data, hint
+    # removed); here it is the benchmark suite, bounded by contract
+    # like the broadcast eval sets/bitmaps of corpus_decontaminate and
+    # corpus_bloom_decontaminate. Hinting it makes the candidate join
+    # map-side — without it the corpus-sized training assignment
+    # shuffles on cell (a ~16 B/vector exchange that is pure waste at
+    # 100 TB when the other side is MB-scale).
+    # No dedup needed (unlike ops where both sides multi-probe): the
+    # training side holds ONE cell per vec_id and an eval item's nprobe
+    # cells are distinct by construction, so a (vec_id, eval_id) pair
+    # can match on at most one cell — a dropDuplicates here would be a
+    # candidate-sized shuffle bought for nothing.
+    cand = ta.join(F.broadcast(ea), on="cell").select("vec_id", "eval_id")
     scored = (
         cand.join(
             tr.select("vec_id", _to_double("embedding").alias("__tv")),
             on="vec_id",
         )
         .join(
-            ev.select(F.col("vec_id").alias("eval_id"),
-                      _to_double("embedding").alias("__ev")),
+            F.broadcast(
+                ev.select(F.col("vec_id").alias("eval_id"),
+                          _to_double("embedding").alias("__ev"))
+            ),
             on="eval_id",
         )
         .select(

@@ -73,20 +73,20 @@ for sf_name, (emb, nlist) in {
             ),
             cents, id_col="eval_id", n_best=NPROBE, with_vector=False,
         )
-        cand = (
-            ta.join(ea, on="cell")
-            .select("vec_id", "eval_id")
-            .dropDuplicates(["vec_id", "eval_id"])
-        )
+        # Mirrors the op: eval side (bounded benchmark suite) broadcast,
+        # no dedup (train n_best=1 x distinct probed cells -> unique pairs)
+        cand = ta.join(F.broadcast(ea), on="cell").select("vec_id", "eval_id")
         scored = (
             cand.join(
                 tr.select("vec_id", _to_double("embedding").alias("__tv")),
                 on="vec_id",
             )
             .join(
-                ev.select(
-                    F.col("vec_id").alias("eval_id"),
-                    _to_double("embedding").alias("__ev"),
+                F.broadcast(
+                    ev.select(
+                        F.col("vec_id").alias("eval_id"),
+                        _to_double("embedding").alias("__ev"),
+                    )
                 ),
                 on="eval_id",
             )
