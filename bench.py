@@ -87,6 +87,11 @@ HEADLINE = [
     # r13: classifier-based corpus scoring (kNN label vote over the
     # stored quantizer — the FineWeb-Edu/DCLM quality-classifier shape)
     "similarity_knn_label_vote",
+    # r14: embedding-space benchmark decontamination (cell-blocked
+    # exact-cosine vs the eval slice on the stored quantizer). In the
+    # full-set total only — NOT in COMPOSITE_R13, whose membership is
+    # frozen at r13 so the subtotal stays round-over-round comparable.
+    "corpus_semantic_decontaminate",
 ]
 # a frozen name dropping out of HEADLINE would silently shrink the
 # subtotal it anchors (same rule as the R01_COMPAT assert below)
