@@ -608,3 +608,27 @@ def test_semantic_decontaminate_plan_shape(spark, sf_dir):
     assert "SortAggregate" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide lint: no registered op may plan a CartesianProduct
+    at fixture scale — the per-op pins above guard the ops someone
+    thought about, this guards the ones nobody did (a future op with a
+    dropped join key, or an equi-join Catalyst degrades after a refactor,
+    slips past correctness checks because the result is still right).
+    BroadcastNestedLoopJoin is NOT banned here: every instance in the
+    registry is a scalar-subquery/metadata-broadcast build (audited
+    r12/r13); CartesianProduct is the shape with no legitimate use in
+    this engine. Ops whose fn() call has side effects still just build
+    a plan here — eager setup (sidecar training, table seeding) is
+    idempotent and shared with the other plan tests."""
+    bad = {}
+    for name, s in _SPECS.items():
+        try:
+            plan = explain_str(s.fn(spark, sf_dir), "formatted")
+        except Exception as e:  # noqa: BLE001 — lint must see every op
+            bad[name] = f"plan build failed: {type(e).__name__}: {e}"
+            continue
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct in plan"
+    assert not bad, f"registry plan lint failures: {bad}"
