@@ -610,18 +610,21 @@ def test_semantic_decontaminate_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+def test_no_cartesian_or_rowwise_udf_anywhere_in_registry(spark, sf_dir):
     """Registry-wide lint: no registered op may plan a CartesianProduct
-    at fixture scale — the per-op pins above guard the ops someone
-    thought about, this guards the ones nobody did (a future op with a
-    dropped join key, or an equi-join Catalyst degrades after a refactor,
-    slips past correctness checks because the result is still right).
-    BroadcastNestedLoopJoin is NOT banned here: every instance in the
-    registry is a scalar-subquery/metadata-broadcast build (audited
-    r12/r13); CartesianProduct is the shape with no legitimate use in
-    this engine. Ops whose fn() call has side effects still just build
-    a plan here — eager setup (sidecar training, table seeding) is
-    idempotent and shared with the other plan tests."""
+    or a row-at-a-time Python UDF at fixture scale — the per-op pins
+    above guard the ops someone thought about, this guards the ones
+    nobody did (a future op with a dropped join key, an equi-join
+    Catalyst degrades after a refactor, or an ``F.udf`` smuggled in via
+    a helper — all slip past correctness checks because the result is
+    still right). BroadcastNestedLoopJoin is NOT banned here: every
+    instance in the registry is a scalar-subquery/metadata-broadcast
+    build (audited r12/r13). BatchEvalPython (row-wise pickle UDF) is
+    banned everywhere — the engine's Python boundary is Arrow-batched
+    only (MapInPandas / ArrowEvalPython stay allowed, and only the
+    multimodal family uses them). Ops whose fn() call has side effects
+    still just build a plan here — eager setup (sidecar training,
+    table seeding) is idempotent and shared with the other plan tests."""
     bad = {}
     for name, s in _SPECS.items():
         try:
@@ -631,4 +634,6 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
             continue
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct in plan"
+        if "BatchEvalPython" in plan:
+            bad[name] = "row-wise Python UDF (BatchEvalPython) in plan"
     assert not bad, f"registry plan lint failures: {bad}"
