@@ -98,6 +98,46 @@ HEADLINE = [
 assert set(COMPOSITE_R13) <= set(HEADLINE)
 
 
+def calibrate(spark, cpus: int) -> dict[str, float]:
+    """Fixed CPU-bound probes, min-of-3 on a warmed session — the drift
+    normalizer every per_calib comparison divides by. Module-level so
+    tools/probe_op.py (the isolated drift-adjudication instrument) runs
+    the IDENTICAL probe as the in-bench series it is compared against.
+
+    - spark_cpu_sec: bit_xor(xxhash64(id)) over a fixed range on all
+      `cpus` cores — the execution substrate the queries run on (JVM
+      codegen + scheduler + cross-core contention). bit_xor because a
+      sum of hashes overflows long under ANSI mode; same fixed per-row
+      hash work either way.
+    - python_hash_sec: single-core blake2b over a constant buffer —
+      isolates per-core speed from scheduler effects.
+    """
+    import hashlib
+
+    best_spark = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 600_000_000, 1, cpus).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"
+        ).collect()
+        el = time.perf_counter() - t0
+        best_spark = el if best_spark is None else min(best_spark, el)
+    buf = b"\xa5" * (1 << 20)
+    best_py = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.blake2b()
+        for _i in range(64):
+            h.update(buf)
+        h.digest()
+        el = time.perf_counter() - t0
+        best_py = el if best_py is None else min(best_py, el)
+    return {
+        "spark_cpu_sec": round(best_spark, 4),
+        "python_hash_sec": round(best_py, 4),
+    }
+
+
 def main() -> None:
     from etl_to_iceberg_spark.registry import all_specs
     from etl_to_iceberg_spark.session import SessionConfig, get_spark
@@ -131,49 +171,15 @@ def main() -> None:
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Calibration micro-benchmark (VERDICT r12 #4): a fixed CPU-bound
-    # task, timed min-of-3 on the warmed session, so round-over-round
-    # deltas can be attributed to machine/load drift by RATIO instead of
+    # Calibration micro-benchmark (VERDICT r12 #4): round-over-round
+    # deltas get attributed to machine/load drift by RATIO instead of
     # loadavg archaeology (three of the last four rounds' bench deltas
-    # were adjudicated as drift that way). Two probes, both constant
-    # work by construction:
-    #   - spark_cpu_sec: sum(xxhash64(id)) over a fixed range on all
-    #     CPUS cores — the execution substrate the queries run on
-    #     (JVM codegen + scheduler + cross-core contention).
-    #   - python_hash_sec: single-core blake2b over a constant buffer —
-    #     isolates per-core speed from scheduler effects.
+    # were adjudicated as drift that way; probe details in calibrate()).
     # Interpretation: compat moving WITH spark_cpu_sec = drift; compat
     # moving while calibration holds = a real code-path change.
-    import hashlib
-
-    def _calibrate() -> dict[str, float]:
-        best_spark = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            # bit_xor: overflow-free under ANSI mode (sum of hashes
-            # overflows long), same fixed per-row hash work
-            spark.range(0, 600_000_000, 1, CPUS).selectExpr(
-                "bit_xor(xxhash64(id)) AS h"
-            ).collect()
-            el = time.perf_counter() - t0
-            best_spark = el if best_spark is None else min(best_spark, el)
-        buf = b"\xa5" * (1 << 20)
-        best_py = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            h = hashlib.blake2b()
-            for _i in range(64):
-                h.update(buf)
-            h.digest()
-            el = time.perf_counter() - t0
-            best_py = el if best_py is None else min(best_py, el)
-        return {
-            "spark_cpu_sec": round(best_spark, 4),
-            "python_hash_sec": round(best_py, 4),
-        }
-
-    calibration = _calibrate()
+    calibration = calibrate(spark, CPUS)
     print(f"  calibration: {calibration}", file=sys.stderr)
+
     def warm(names: list[str], sf: str) -> None:
         # JIT-warm the code paths (scan/agg/window/join/codegen for the
         # sketches/writes) — run at the smallest SF so the timed runs

@@ -2322,10 +2322,14 @@ def test_semantic_decontaminate_flags_planted_paraphrases(spark, tmp_path, seed)
     for vid, eid in planted.items():
         assert vid in got and got[vid][0] == eid, (vid, got.get(vid))
         assert got[vid][1] >= 0.98
-    # the decoy's planted pair sits under the threshold: it may only be
-    # flagged via some other (genuinely above-threshold) eval item
-    if decoy in got:
-        assert got[decoy][0] != eval_ids[0] or got[decoy][1] >= thresh
+    # the decoy's planted pair sits at thresh-0.02 — strictly under the
+    # threshold — so the report must never carry (decoy -> eval_ids[0])
+    # at ANY score; being flagged via some other (genuinely
+    # above-threshold) eval item is the only way decoy may appear. The
+    # pair-level form is asserted directly: the previous
+    # `... or score >= thresh` disjunct was vacuously true for any row
+    # that survived the op's own threshold filter (ADVICE r14).
+    assert got.get(decoy, (None, None))[0] != eval_ids[0], got.get(decoy)
     assert zero not in got, "zero-norm vector must never be flagged"
 
 

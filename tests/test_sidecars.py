@@ -188,16 +188,44 @@ def test_poisoned_assignment_sidecar_defense_stack(spark, sf_dir):
 
 
 def _source_sidecar_families() -> set[str]:
-    """Family names at every literal ``sidecar_path(``/
-    ``oracle_sidecar_path(`` call site in the package source."""
-    import re
+    """Family names at every ``sidecar_path(``/``oracle_sidecar_path(``
+    call site in the package source — AST-walked, not regexed (ADVICE
+    r14): a call passing the family via a variable would silently drop
+    out of both directions of the manifest check under a literal-only
+    string scan, so every call whose first argument is NOT a string
+    literal fails loudly here instead of vanishing. ``sidecars.py``
+    itself is excluded (it defines the API; its internal
+    ``oracle_sidecar_path -> sidecar_path`` delegation forwards a
+    parameter by design)."""
+    import ast
     from pathlib import Path
 
     pkg = Path(__file__).resolve().parent.parent / "etl_to_iceberg_spark"
-    pat = re.compile(r'(?:oracle_)?sidecar_path\(\s*"([^"]+)"')
     fams: set[str] = set()
+    non_literal: list[str] = []
     for p in pkg.rglob("*.py"):
-        fams |= set(pat.findall(p.read_text()))
+        if p.name == "sidecars.py":
+            continue
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = fn.id if isinstance(fn, ast.Name) else (
+                fn.attr if isinstance(fn, ast.Attribute) else None
+            )
+            if name not in ("sidecar_path", "oracle_sidecar_path"):
+                continue
+            first = node.args[0] if node.args else None
+            if isinstance(first, ast.Constant) and isinstance(first.value, str):
+                fams.add(first.value)
+            else:
+                non_literal.append(f"{p.name}:{node.lineno}")
+    assert not non_literal, (
+        f"sidecar_path call sites whose family is not a string literal: "
+        f"{non_literal} — the manifest check (and cold_sweep's coverage "
+        "guarantee) can only see literal families; inline the name"
+    )
     return fams
 
 

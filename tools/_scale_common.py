@@ -47,6 +47,28 @@ def timed(spark, run, runs: int = 3):
     return best, sw
 
 
+def ensure_replica(path: str, build) -> None:
+    """Build the shared scale replica at ``path`` once, guarded by
+    Spark's ``_SUCCESS`` marker (ADVICE r14): the four scale scripts
+    (pq/semantic/semdecon/dedup_ab) reuse one sf1 replica dir across
+    processes, and a bare ``os.path.isdir`` check accepts a partial dir
+    left by an interrupted write. ``_SUCCESS`` is written by the
+    committer only after every task commits, so presence-of-marker +
+    at-least-one-parquet means a complete replica; anything else is
+    rebuilt with an overwrite. Unlike ``ensure_sidecar`` this does NOT
+    register atexit cleanup — cross-process reuse of the ~1-min build
+    is the point (content is deterministic by (SRC, seed), and the
+    path is already keyed by SRC via sidecar_path)."""
+    import glob
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and glob.glob(
+        os.path.join(path, "*.parquet")
+    ):
+        return
+    build().write.mode("overwrite").parquet(path)
+
+
 def replicate_embeddings(emb, r: int, keep: tuple[str, ...] = (), d: int = 64):
     """Seeded orthogonal sign-flip replication of an embedding table:
     per-replica sign patterns keep within-replica cosines invariant and

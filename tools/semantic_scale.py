@@ -69,9 +69,12 @@ base = load_table(spark, SRC, "embeddings")
 # must be a function of the scale factor it was built from, so changing
 # SCALE_SRC can never silently reuse another run's replica. Content is
 # deterministic by (SRC, seed), so sharing the key with pq_scale.py's
-# cached copy is safe.
+# cached copy is safe; the _SUCCESS-guarded build (ADVICE r14) makes
+# the reuse safe against a partial dir from an interrupted write.
 _emb10_path = sidecar_path("sf1_embeddings", SRC)
-replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
+_scale_common.ensure_replica(
+    _emb10_path, lambda: replicate_embeddings(base, 10)
+)
 for sf_name, (emb, nlist) in {
     "sf0.1": (base, 16),
     "sf1 (10x)": (spark.read.parquet(_emb10_path), 160),

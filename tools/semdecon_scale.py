@@ -25,7 +25,7 @@ from etl_to_iceberg_spark.ext.similarity import (
 )
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
 from etl_to_iceberg_spark.sidecars import sidecar_path
-from tools._scale_common import replicate_embeddings, timed
+from tools._scale_common import ensure_replica, replicate_embeddings, timed
 from etl_to_iceberg_spark.sources.tables import load_table
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
@@ -47,8 +47,7 @@ base = load_table(spark, SRC, "embeddings")
 # scale factor must never be silently reused for another. Shares the
 # unlabeled replica with pq_scale/semantic_scale (same seed, same rows).
 _emb10_path = sidecar_path("sf1_embeddings", SRC)
-if not os.path.isdir(_emb10_path):
-    replicate_embeddings(base, 10).write.mode("overwrite").parquet(_emb10_path)
+ensure_replica(_emb10_path, lambda: replicate_embeddings(base, 10))
 
 for sf_name, (emb, nlist) in {
     "sf0.1": (base.select("vec_id", "embedding"), 16),
