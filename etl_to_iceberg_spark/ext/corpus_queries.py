@@ -675,9 +675,16 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     clears ``thresh`` is reported with its best-matching eval item and
     score — the contamination report a pipeline either audits or
     anti-joins against the corpus to drop (the drop variant is
-    ``corpus.join(report, "vec_id", "left_anti")``, one broadcast
-    anti-join on the hit-sized report; the report shape is registered
-    because it is the half that needs value-level attestation).
+    ``corpus.join(F.broadcast(report), "vec_id", "left_anti")``, one
+    broadcast anti-join on the hit-sized report; the report shape is
+    registered because it is the half that needs value-level
+    attestation). The explicit hint is load-bearing: Catalyst's static
+    size estimate for the report derives from the corpus-sized scans
+    underneath it, so the un-hinted join plans as a SortMergeJoin that
+    shuffles the ENTIRE corpus on vec_id — the hint is safe because
+    the report is bounded by contamination hits, not by corpus size
+    (attested end-to-end in tests/test_corpus_model_sweep.py's
+    drop-variant test).
 
     Scale shape (the corpus-linear direction matters): the TRAINING
     side — the side that grows with data — is flat-assigned once

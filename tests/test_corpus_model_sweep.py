@@ -2333,6 +2333,73 @@ def test_semantic_decontaminate_flags_planted_paraphrases(spark, tmp_path, seed)
     assert zero not in got, "zero-norm vector must never be flagged"
 
 
+def test_semantic_decontaminate_drop_variant(spark, tmp_path):
+    """Execute the docstring's drop form (VERDICT r14 #5) —
+    ``corpus.join(F.broadcast(report), "vec_id", "left_anti")`` —
+    against a planted fixture: the flagged vec_ids are gone, every
+    other vector survives, and the plan is the claimed one broadcast
+    anti-join on the hit-sized report (BroadcastHashJoin LeftAnti; the
+    corpus side never shuffles on vec_id and there is no
+    SortMergeJoin/Cartesian). The hint is what this test attests:
+    writing this test against the previously-documented UN-hinted form
+    produced a static SortMergeJoin — Catalyst estimates the report
+    from its corpus-sized scan inputs, so at scale the un-hinted drop
+    would shuffle the whole corpus on vec_id."""
+    import os
+
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+    from etl_to_iceberg_spark.plans import explain_str
+    from etl_to_iceberg_spark.sources.tables import load_table
+
+    rng = random.Random(66)
+    dim = 16
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 300
+    vecs = [(i, unit(dim)) for i in range(n)]
+    eval_ids = [i for i in range(n) if i % 97 == 0]
+    # plant near-copies of three eval items (cosine ~0.995 via a tiny
+    # perturbation of the eval vector itself — comfortably > thresh)
+    planted = []
+    for off, eid in zip((1, 2, 3), eval_ids[:3]):
+        vid = eid + off
+        assert vid % 97 != 0
+        base = vecs[eid][1]
+        near = [x + 0.01 * y for x, y in zip(base, unit(dim))]
+        s = math.sqrt(sum(x * x for x in near))
+        vecs[vid] = (vid, [x / s for x in near])
+        planted.append(vid)
+
+    sf = str(tmp_path / "sfdrop")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v) for vid, v in vecs], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    report = cq.corpus_semantic_decontaminate(spark, sf)
+    flagged = {r.vec_id for r in report.collect()}
+    assert set(planted) <= flagged, (planted, flagged)
+    assert not any(e in flagged for e in eval_ids), "report is training-side only"
+
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf, "embeddings")
+    dropped = corpus.join(F.broadcast(report), "vec_id", "left_anti")
+    survivors = {r.vec_id for r in dropped.select("vec_id").collect()}
+    assert survivors == {vid for vid, _ in vecs} - flagged
+
+    plan = explain_str(dropped, "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 @pytest.mark.parametrize("seed", [63, 64])
 def test_quantizer_rotation_rebuilds_label_vote_index(
     spark, tmp_path, monkeypatch, seed

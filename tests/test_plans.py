@@ -4,6 +4,8 @@ top-k, and no accidental cartesian products."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_to_iceberg_spark.plans import explain_str
 from etl_to_iceberg_spark.registry import all_specs
 
@@ -610,7 +612,10 @@ def test_semantic_decontaminate_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_no_cartesian_or_rowwise_udf_anywhere_in_registry(spark, sf_dir):
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_no_cartesian_or_rowwise_udf_anywhere_in_registry(
+    spark, sf_dir, name
+):
     """Registry-wide lint: no registered op may plan a CartesianProduct
     or a row-at-a-time Python UDF at fixture scale — the per-op pins
     above guard the ops someone thought about, this guards the ones
@@ -624,16 +629,16 @@ def test_no_cartesian_or_rowwise_udf_anywhere_in_registry(spark, sf_dir):
     only (MapInPandas / ArrowEvalPython stay allowed, and only the
     multimodal family uses them). Ops whose fn() call has side effects
     still just build a plan here — eager setup (sidecar training,
-    table seeding) is idempotent and shared with the other plan tests."""
-    bad = {}
-    for name, s in _SPECS.items():
-        try:
-            plan = explain_str(s.fn(spark, sf_dir), "formatted")
-        except Exception as e:  # noqa: BLE001 — lint must see every op
-            bad[name] = f"plan build failed: {type(e).__name__}: {e}"
-            continue
-        if "CartesianProduct" in plan:
-            bad[name] = "CartesianProduct in plan"
-        if "BatchEvalPython" in plan:
-            bad[name] = "row-wise Python UDF (BatchEvalPython) in plan"
-    assert not bad, f"registry plan lint failures: {bad}"
+    table seeding) is idempotent and shared with the other plan tests.
+    Parametrized per op (ADVICE r14) so one op's failed fn() — a
+    streaming drain, an eager sidecar build — reports as its own test
+    instead of masking the rest of the sweep; each op accumulates ALL
+    its violations (the old single-assignment dict dropped the
+    Cartesian message when a UDF violation followed it)."""
+    plan = explain_str(_SPECS[name].fn(spark, sf_dir), "formatted")
+    violations = []
+    if "CartesianProduct" in plan:
+        violations.append("CartesianProduct in plan")
+    if "BatchEvalPython" in plan:
+        violations.append("row-wise Python UDF (BatchEvalPython) in plan")
+    assert not violations, f"{name}: {violations}\n{plan}"

@@ -6,6 +6,11 @@ sort + row sort + exact value compare), so a failing row is caught
 before the round's real check. Usage:
 
     PYTHONPATH=/root/repo python tools/driver_sim.py [N] [sf_dir]
+    PYTHONPATH=/root/repo python tools/driver_sim.py op1,op2 [sf_dir]
+
+A non-numeric first argument names specific ops (comma-separated)
+instead of taking the rotation head — the one-op re-check after a
+targeted change.
 """
 
 from __future__ import annotations
@@ -15,7 +20,13 @@ import time
 import traceback
 
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+BUDGET = 50
+ONLY: list[str] | None = None
+if len(sys.argv) > 1:
+    if sys.argv[1].isdigit():
+        BUDGET = int(sys.argv[1])
+    else:
+        ONLY = sys.argv[1].split(",")
 
 # Import-time oracle SQL embeds sidecar paths keyed by the oracle SF
 # (sidecars.py) — pin it to the SF this run compares at, before the
@@ -52,7 +63,14 @@ def main() -> int:
         )
 
     specs = all_specs()
-    head = list(specs.items())[:BUDGET]
+    if ONLY is not None:
+        missing = [n for n in ONLY if n not in specs]
+        if missing:
+            print(f"unknown ops: {missing}")
+            return 1
+        head = [(n, specs[n]) for n in ONLY]
+    else:
+        head = list(specs.items())[:BUDGET]
     n_fail = 0
     for i, (name, spec) in enumerate(head):
         t0 = time.time()
