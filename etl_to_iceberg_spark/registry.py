@@ -89,13 +89,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # and corpus_semantic_decontaminate is NEW (never-checked rank
     # covers it without a changed-list slot).
 ]
-# Round-14 rotation budget (VERDICT r13 #1): the 5 r9 survivors hit the
-# 5-round staleness limit this round (must-check) and the 46-op r10
-# cohort is at age 4. Front = 1 never (corpus_semantic_decontaminate)
-# + 5 r9 + 44 of 46 r10; the ~2 slipped r10 ops lead r15's front
-# (age 5 there, must-check) ahead of the 49-op r11 cohort at age 4 —
-# r15 churn must stay ≤ ~3 slots too. The budget arithmetic is not
-# hand-maintained: tests/test_staleness.py::
+# Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
+# Front = the 2 slipped r10 ops (`dedup_incremental_exact`,
+# `stream_incremental_dedup`, age 5, must-check) + 48 of the 49-op r11
+# cohort (age 4); one r11 op slips to r16 even at zero churn, so
+# nothing registered and no green-checked op's implementation changed
+# this round (the one package diff is a docstring). r16 pre-plan +
+# probe results live in README's round notes: the 7-op dedup-removal
+# changed list drains clean with headroom for +1 new op. The budget
+# arithmetic is not hand-maintained: tests/test_staleness.py::
 # test_rotation_drains_under_current_churn simulates the front forward
 # from the artifacts and fails at commit time if churn or registrations
 # outrun the drain (the true bound: ~300 registered ops at budget 50).

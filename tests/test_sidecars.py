@@ -267,3 +267,33 @@ def test_sidecar_manifest_superset_of_oracle_substring_scan():
                 f"{n} reads {base} in its oracle but declares no "
                 "sidecars= families"
             )
+
+
+def test_cold_sweep_isolate_smoke():
+    """CI-speed smoke of cold_sweep's --isolate mode (VERDICT r14 #6):
+    one sidecar-dependent op in its own re-exec'd child process — a
+    fresh process starts from a cold base by construction (atexit
+    cleanup), so this is a true per-op cold-start proof, not the
+    shared-process audit that can warm-ride an earlier op's family
+    dir. One cheap single-family op keeps it ~20s; the full isolated
+    sweep is `python tools/cold_sweep.py --isolate`."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            _sys.executable,
+            str(root / "tools" / "cold_sweep.py"),
+            "--isolate",
+            "--only",
+            "dedup_semantic_kmeans",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": str(root)},
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "isolated cold sweep done: 1 checked, 0 failed" in r.stdout, r.stdout

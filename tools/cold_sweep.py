@@ -30,6 +30,16 @@ family is reported as warm-riding so the limitation is auditable.
 Usage:
 
     PYTHONPATH=/root/repo python tools/cold_sweep.py [sf_dir]
+    PYTHONPATH=/root/repo python tools/cold_sweep.py --isolate [sf_dir]
+    PYTHONPATH=/root/repo python tools/cold_sweep.py --only op1,op2 [sf_dir]
+
+``--isolate`` (VERDICT r14 #6) upgrades the audit to prevention: each
+sidecar-dependent op runs in its OWN re-exec'd process (`--only` child)
+— a normally exiting process atexit-removes every sidecar it built
+(scratch.register_cleanup in ensure_sidecar), so every child starts
+from a genuinely cold base and warm-riding within a shared family is
+impossible, not just printed. Costs one Spark session per op (~15-25s
+each); the default shared-process mode remains the fast audit.
 
 Exits non-zero if any declared sidecar-family dir pre-exists under the
 base (not a cold run; the scale scripts' persistent replica caches are
@@ -42,7 +52,16 @@ import os
 import sys
 import time
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_argv = [a for a in sys.argv[1:]]
+ISOLATE = "--isolate" in _argv
+if ISOLATE:
+    _argv.remove("--isolate")
+ONLY: list[str] | None = None
+if "--only" in _argv:
+    i = _argv.index("--only")
+    ONLY = _argv[i + 1].split(",")
+    del _argv[i : i + 2]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 os.environ["E2IS_ORACLE_SF_DIR"] = SF_DIR
@@ -56,6 +75,38 @@ def _families(entry: str, fams: set[str]) -> set[str]:
     hits = {f for f in fams if entry.startswith(f + "_")}
     longest = max((len(f) for f in hits), default=0)
     return {f for f in hits if len(f) == longest}
+
+
+def _isolate() -> int:
+    """Re-exec one ``--only`` child per sidecar-dependent op. No Spark
+    in the parent: the registry import is enough to enumerate ops."""
+    import subprocess
+
+    from etl_to_iceberg_spark.registry import all_specs
+
+    dep = ONLY or [n for n, s in all_specs().items() if s.sidecars]
+    print(f"isolate mode: {len(dep)} ops, one process each")
+    fails = 0
+    for i, n in enumerate(dep):
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", n, SF_DIR],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
+        )
+        # the child prints its own [1/1] line; surface its verdict
+        verdict = "ok"
+        if r.returncode != 0:
+            fails += 1
+            tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+            verdict = f"FAIL rc={r.returncode}: {' | '.join(tail)}"
+        print(
+            f"[{i + 1}/{len(dep)}] {n}: {verdict} ({time.time() - t0:.1f}s, cold process)",
+            flush=True,
+        )
+    print(f"isolated cold sweep done: {len(dep)} checked, {fails} failed")
+    return 1 if fails else 0
 
 
 def main() -> int:
@@ -81,6 +132,12 @@ def main() -> int:
 
     specs = all_specs()
     dep = [n for n, s in specs.items() if s.sidecars]
+    if ONLY is not None:
+        missing = [n for n in ONLY if n not in specs]
+        if missing:
+            print(f"unknown ops: {missing}", file=sys.stderr)
+            return 2
+        dep = ONLY
     declared = {f for s in specs.values() for f in s.sidecars}
     # Cold means no DECLARED-FAMILY dir pre-exists. Non-sidecar entries
     # (the scale scripts' replica caches, e.g. sf1_embeddings_*) are
@@ -160,4 +217,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_isolate() if ISOLATE else main())
