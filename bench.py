@@ -329,6 +329,13 @@ def main() -> None:
                     3,
                 ),
                 "calibration": calibration,
+                # Post-run calibration (r15): the substrate can shift
+                # WITHIN a run (idle-session calibration observed
+                # swinging 0.19-0.41 in minutes — SCALING.md). A large
+                # pre/post disagreement marks the whole run as taken on
+                # a moving substrate; per_calib keeps dividing by the
+                # START value for series continuity with r12-r14.
+                "calibration_post": calibrate(spark, CPUS),
                 "sf": sf,
                 "env": env,
             }
