@@ -269,14 +269,20 @@ def test_sidecar_manifest_superset_of_oracle_substring_scan():
             )
 
 
-def test_cold_sweep_isolate_smoke():
+def test_cold_sweep_isolate_smoke(tmp_path):
     """CI-speed smoke of cold_sweep's --isolate mode (VERDICT r14 #6):
     one sidecar-dependent op in its own re-exec'd child process — a
     fresh process starts from a cold base by construction (atexit
     cleanup), so this is a true per-op cold-start proof, not the
     shared-process audit that can warm-ride an earlier op's family
     dir. One cheap single-family op keeps it ~20s; the full isolated
-    sweep is `python tools/cold_sweep.py --isolate`."""
+    sweep is `python tools/cold_sweep.py --isolate`.
+
+    The child gets a PRIVATE sidecar base via TMPDIR
+    (sidecars.sidecar_base honors tempfile.gettempdir): when this test
+    runs inside the full suite, the suite's own process has already
+    built family dirs under the shared base, and the child's cold
+    pre-check would (correctly) refuse with rc=2."""
     import subprocess
     import sys as _sys
     from pathlib import Path
@@ -292,7 +298,7 @@ def test_cold_sweep_isolate_smoke():
         ],
         capture_output=True,
         text=True,
-        env={**os.environ, "PYTHONPATH": str(root)},
+        env={**os.environ, "PYTHONPATH": str(root), "TMPDIR": str(tmp_path)},
         timeout=300,
     )
     assert r.returncode == 0, r.stdout + r.stderr
