@@ -441,11 +441,12 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale, and at deployment scale the cell join distributes (nlist
     # scales with the corpus, so the key is not low-cardinality there
     # — the quantizer-family posture).
-    cand = (
-        ia.join(qa, on="cell")
-        .select("query_id", "vec_id", "label")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    # No candidate-pair dedup: index rows carry one cell per vector
+    # (flat n_best=1 assignment) and a query's probed cells are
+    # distinct, so (query_id, vec_id) pairs are unique by construction
+    # — the dedup was a candidate-sized exchange bought for nothing
+    # (SCALING.md watchpoint 11).
+    cand = ia.join(qa, on="cell").select("query_id", "vec_id", "label")
     scored = (
         cand.join(
             idx.select("vec_id", _to_double("embedding").alias("__cv")),
@@ -897,11 +898,13 @@ def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("query_id"), "cell"
     )
     ca = a.where(F.col("side") == "c").select(F.col("id").alias("vec_id"), "cell")
-    cand = (
-        ca.join(F.broadcast(qa), on="cell")
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    # No candidate-pair dedup: the stored assignment carries one cell
+    # per corpus vector (n_best=1 through the two-level router) and a
+    # query's probed cells are distinct, so pairs are unique by
+    # construction — measured through THIS routing branch by
+    # tools/dedup_ab.py (105,596 pairs, 0 duplicates; SCALING.md
+    # watchpoint 11).
+    cand = ca.join(F.broadcast(qa), on="cell").select("query_id", "vec_id")
     scored = (
         cand.join(
             F.broadcast(
