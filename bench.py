@@ -92,6 +92,10 @@ HEADLINE = [
     # full-set total only — NOT in COMPOSITE_R13, whose membership is
     # frozen at r13 so the subtotal stays round-over-round comparable.
     "corpus_semantic_decontaminate",
+    # r16: the incremental tick variant — one batch scored against the
+    # stored eval index; the line to watch is tick wall staying O(batch)
+    # as siblings grow. Full-set total only, like its batch sibling.
+    "corpus_semantic_decontaminate_incremental",
 ]
 # a frozen name dropping out of HEADLINE would silently shrink the
 # subtotal it anchors (same rule as the R01_COMPAT assert below)

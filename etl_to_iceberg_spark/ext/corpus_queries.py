@@ -441,11 +441,12 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale, and at deployment scale the cell join distributes (nlist
     # scales with the corpus, so the key is not low-cardinality there
     # — the quantizer-family posture).
-    cand = (
-        ia.join(qa, on="cell")
-        .select("query_id", "vec_id", "label")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    # No candidate-pair dedup: index rows carry one cell per vector
+    # (flat n_best=1 assignment) and a query's probed cells are
+    # distinct, so (query_id, vec_id) pairs are unique by construction
+    # — the dedup was a candidate-sized exchange bought for nothing
+    # (SCALING.md watchpoint 11).
+    cand = ia.join(qa, on="cell").select("query_id", "vec_id", "label")
     scored = (
         cand.join(
             idx.select("vec_id", _to_double("embedding").alias("__cv")),
@@ -760,6 +761,158 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Stored eval-suite index for the INCREMENTAL decontamination tick: the
+# eval side's nprobe-expanded cell assignments plus its embeddings —
+# bounded by contract (a benchmark suite), so the whole index is one
+# broadcastable sidecar. Keyed by the knobs its CONTENT depends on
+# (nprobe + the quantizer params); thresh is a tick-time filter, not an
+# index ingredient, so a threshold change must NOT rebuild the index.
+_SEMDECON_IDX_PARAMS = {"nprobe": _SEMDECON["nprobe"], **_IVFK_PARAMS}
+_SEMDECON_IDX_SIDECAR = sidecars.oracle_sidecar_path(
+    "semdecon_eval_index", _SEMDECON_IDX_PARAMS
+)
+
+
+def _semdecon_eval_index(spark: SparkSession, sf_dir: str):
+    """(eval_id, cell, embedding) — the eval suite's nprobe cells under
+    the stored quantizer, carrying the eval vector so a tick's exact
+    re-rank needs no further join back to the corpus. Built once per
+    (path, sf); every later tick reads the stored rows — the
+    incremental claim is precisely that eval-side work never repeats."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivfk_centroids(spark, sf_dir)
+    side = sidecars.sidecar_path(
+        "semdecon_eval_index", sf_dir, _SEMDECON_IDX_PARAMS
+    )
+    sidecars.ensure_sidecar(
+        side,
+        sf_dir,
+        lambda: ivf_assign(
+            emb.where(F.col("vec_id") % 97 == 0).select(
+                F.col("vec_id").alias("eval_id"),
+                _to_double("embedding").alias("__v"),
+            ),
+            cents,
+            id_col="eval_id",
+            n_best=_SEMDECON["nprobe"],
+        ).select("eval_id", "cell", F.col("__v").alias("embedding")),
+    )
+    return spark.read.parquet(side).select("eval_id", "cell", "embedding")
+
+
+@register(
+    "corpus_semantic_decontaminate_incremental",
+    sidecars=("ivfk_centroids", "semdecon_eval_index"),
+    # Oracle mirror of the tick's incremental split: the BATCH side is
+    # re-derived independently (flat n_best=1 assignment from the
+    # centroid sidecar — the verifiable half), but the eval side is
+    # READ from the stored index sidecar, exactly as the engine does —
+    # re-deriving it would verify the batch op again, not the tick.
+    sql=f"""
+    WITH cent AS (
+      SELECT cell, __cent AS cv
+      FROM read_parquet('{_IVFK_SIDECAR}/*.parquet')
+    ),
+    b_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.cv), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 5 = 4 AND e.vec_id % 97 != 0
+      ) WHERE rn <= 1
+    ),
+    scored AS (
+      SELECT b.vec_id, i.eval_id,
+             round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                          i.embedding), 6) AS score
+      FROM b_assign b
+      JOIN read_parquet('{_SEMDECON_IDX_SIDECAR}/*.parquet') i USING (cell)
+      JOIN embeddings t ON t.vec_id = b.vec_id
+    )
+    SELECT vec_id, eval_id AS matched_eval_id, score
+    FROM (
+      SELECT vec_id, eval_id, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, eval_id) AS rn
+      FROM scored WHERE score >= {_SEMDECON["thresh"]}
+    ) WHERE rn <= 1
+    ORDER BY vec_id
+    """,
+)
+def corpus_semantic_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One INGEST TICK of embedding-space benchmark decontamination:
+    score only the incoming batch (the ``vec_id % 5 == 4`` training
+    slice, the incremental family's delta convention) against the
+    STORED eval-suite index — the already-scored corpus is never
+    re-read and the eval side is never re-assigned. Same report shape
+    and thresholds as ``corpus_semantic_decontaminate``; restricted to
+    the batch slice the two agree row-for-row (pinned in
+    tests/test_corpus_model_sweep.py), which is the correctness
+    argument for running ONLY ticks at steady state.
+
+    Scale shape — tick = O(batch), the same discipline as the
+    incremental dedup ticks (ref analogue: the reference's CDC
+    operators persist sync state and process only the delta each
+    schedule tick, oracle_to_iceberg_cdc_operator.py:126-165): batch
+    vectors flat-assign n_best=1 against the broadcast quantizer (one
+    scan of the batch, no shuffle); candidates come from one join to
+    the BROADCAST stored index (eval-suite-sized by contract — MB
+    against a PB corpus), which also carries the eval vectors, so the
+    exact re-rank happens in the same map-side join with no second
+    corpus-keyed exchange; pairs are unique by construction (batch
+    n_best=1, index cells distinct per eval_id), so there is no
+    candidate dedup; the threshold filter runs before the per-vector
+    best-pick window over hit-sized rows."""
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+
+    thresh = _SEMDECON["thresh"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivfk_centroids(spark, sf_dir)
+    idx = _semdecon_eval_index(spark, sf_dir)
+    batch = emb.where(
+        (F.col("vec_id") % 5 == 4) & (F.col("vec_id") % 97 != 0)
+    )
+    ba = ivf_assign(
+        batch.select("vec_id", _to_double("embedding").alias("__v")),
+        cents,
+        id_col="vec_id",
+        n_best=1,
+    )
+    scored = (
+        ba.join(
+            F.broadcast(
+                idx.select(
+                    "eval_id", "cell", F.col("embedding").alias("__ev")
+                )
+            ),
+            on="cell",
+        )
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(cosine(F.col("__v"), F.col("__ev")), 6).alias("score"),
+        )
+        .where(F.col("score") >= thresh)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 1)
+        .select("vec_id", F.col("eval_id").alias("matched_eval_id"), "score")
+        .orderBy("vec_id")
+    )
+
+
 # --- two-level IVF (production-scale routing, driver-attested) --------------
 #
 # Every other IVF fixture pins nlist=16, below TWO_LEVEL_MIN_NLIST, so
@@ -897,11 +1050,13 @@ def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("query_id"), "cell"
     )
     ca = a.where(F.col("side") == "c").select(F.col("id").alias("vec_id"), "cell")
-    cand = (
-        ca.join(F.broadcast(qa), on="cell")
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    # No candidate-pair dedup: the stored assignment carries one cell
+    # per corpus vector (n_best=1 through the two-level router) and a
+    # query's probed cells are distinct, so pairs are unique by
+    # construction — measured through THIS routing branch by
+    # tools/dedup_ab.py (105,596 pairs, 0 duplicates; SCALING.md
+    # watchpoint 11).
+    cand = ca.join(F.broadcast(qa), on="cell").select("query_id", "vec_id")
     scored = (
         cand.join(
             F.broadcast(

@@ -779,13 +779,17 @@ def ivf_probe_topk(
     query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
         "query_id", F.col("__v").alias("__qv"), "cell"
     )
-    scored = (
-        corpus_cells.join(query_cells, on="cell")
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
-        )
-        .dropDuplicates(["query_id", "vec_id"])
+    # No candidate-pair dedup: the corpus side is flat-assigned n_best=1
+    # and a query's probed cells are distinct (one row per cell from
+    # ivf_assign's row_number), so a (query_id, vec_id) pair can match
+    # on at most one cell — pairs are unique by construction. The old
+    # dropDuplicates here bought nothing and cost a candidate-sized
+    # exchange, the dominant intermediate at scale (SCALING.md
+    # watchpoint 11; A/B: 105,596 pairs / 0 duplicates through even the
+    # two-level routing branch, −8% wall at 10×).
+    scored = corpus_cells.join(query_cells, on="cell").select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -1165,10 +1169,14 @@ def pq_adc_topk(
     query_cells = ivf_assign(
         q, centroids, id_col="query_id", n_best=nprobe, with_vector=False
     )
-    cand = (
-        corpus_cells.join(query_cells, on="cell")
-        .select("query_id", "vec_id", "cell")
-        .dropDuplicates(["query_id", "vec_id"])
+    # No candidate-pair dedup (SCALING.md watchpoint 11): the corpus is
+    # assigned n_best=1 in BOTH branches above (the two-level branch's
+    # router picks one leaf cell per vector) and the query's probed
+    # cells are distinct, so (query_id, vec_id) pairs are unique by
+    # construction — measured through the two-level branch by
+    # tools/dedup_ab.py (105,596 pairs, 0 duplicates, −8% wall at 10×).
+    cand = corpus_cells.join(query_cells, on="cell").select(
+        "query_id", "vec_id", "cell"
     )
     psum = F.sum("__part")
     if residual:

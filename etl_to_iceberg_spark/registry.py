@@ -82,12 +82,21 @@ def register(
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 14
+_CHANGED_AS_OF_ROUND = 16
 _CHANGED_THIS_ROUND: list[str] = [
-    # r14 changed no existing op's implementation: the sidecars=
-    # registration metadata and the tools/ fixes don't alter results,
-    # and corpus_semantic_decontaminate is NEW (never-checked rank
-    # covers it without a changed-list slot).
+    # r16: the IVF candidate-pair dedup removal (SCALING.md watchpoint
+    # 11, pre-measured by tools/dedup_ab.py, execution plan in README's
+    # r15 round notes). Results are provably identical — pairs are
+    # unique by construction wherever the corpus side is flat-assigned
+    # n_best=1 and the probed cells are distinct — but the plan changed
+    # for every consumer of the four removed sites, so all 7 re-check:
+    "similarity_ann_ivf",
+    "similarity_ivf_kmeans",
+    "similarity_ann_ivf_pq",
+    "similarity_ann_ivf_pq_residual",
+    "similarity_ann_ivf_pq_residual_two_level",
+    "similarity_knn_label_vote",
+    "similarity_ann_ivf_two_level",
 ]
 # Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
 # Front = the 2 slipped r10 ops (`dedup_incremental_exact`,

@@ -2400,6 +2400,69 @@ def test_semantic_decontaminate_drop_variant(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semantic_decontaminate_incremental_matches_batch_restriction(
+    spark, tmp_path
+):
+    """The tick's correctness argument, pinned end-to-end: on the same
+    planted corpus, ``corpus_semantic_decontaminate_incremental``
+    (batch = vec_id % 5 == 4, scored against the STORED eval index)
+    must agree row-for-row with the full batch decontaminator
+    restricted to the batch slice — same assignment (flat n_best=1),
+    same candidates (an eval item's probed cells are identical whether
+    read from the index or re-derived), same threshold and best-pick.
+    Planted: one paraphrase INSIDE the batch slice (must be flagged by
+    the tick with its eval item) and one OUTSIDE it (the full op flags
+    it; the tick must NOT — a tick scores only its batch)."""
+    import os
+
+    from etl_to_iceberg_spark.ext import corpus_queries as cq
+
+    rng = random.Random(67)
+    dim = 16
+
+    def unit(n):
+        v = [rng.gauss(0, 1) for _ in range(n)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    def near(base):
+        v = [x + 0.01 * y for x, y in zip(base, unit(dim))]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    n = 300
+    vecs = [(i, unit(dim)) for i in range(n)]
+    eval_ids = [i for i in range(n) if i % 97 == 0]
+    assert len(eval_ids) >= 3
+    in_batch, out_batch = 99, 98  # 99 % 5 == 4 (batch); 98 % 5 == 3
+    assert in_batch % 5 == 4 and in_batch % 97 != 0
+    assert out_batch % 5 != 4 and out_batch % 97 != 0
+    vecs[in_batch] = (in_batch, near(vecs[97][1]))
+    vecs[out_batch] = (out_batch, near(vecs[97][1]))
+
+    sf = str(tmp_path / "sfinc")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(vid, v) for vid, v in vecs], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    full = {
+        r.vec_id: (r.matched_eval_id, r.score)
+        for r in cq.corpus_semantic_decontaminate(spark, sf).collect()
+    }
+    tick = {
+        r.vec_id: (r.matched_eval_id, r.score)
+        for r in cq.corpus_semantic_decontaminate_incremental(
+            spark, sf
+        ).collect()
+    }
+    assert tick == {k: v for k, v in full.items() if k % 5 == 4}
+    assert tick[in_batch][0] == 97 and tick[in_batch][1] >= 0.98
+    assert out_batch in full and out_batch not in tick
+
+
 @pytest.mark.parametrize("seed", [63, 64])
 def test_quantizer_rotation_rebuilds_label_vote_index(
     spark, tmp_path, monkeypatch, seed

@@ -35,6 +35,7 @@ from etl_to_iceberg_spark.ext.corpus_queries import (
     _PQ_PARAMS,
     _PQ_RES2L_PARAMS,
     _PQ_RES_PARAMS,
+    _SEMDECON_IDX_PARAMS,
 )
 from etl_to_iceberg_spark.ext.incremental_queries import _MH_TICK_PARAMS
 from etl_to_iceberg_spark.ext.queries import _MINHASH_PARAMS, _SIMHASH_PARAMS
@@ -76,6 +77,10 @@ _SIDECAR_SEEDS = {
     oracle_sidecar_path("mh_tick_sigs", _MH_TICK_PARAMS): (
         "SELECT CAST(0 AS BIGINT) AS doc_id, CAST([0] AS BIGINT[]) AS sig, "
         "CAST([0] AS BIGINT[]) AS band_hashes"
+    ),
+    oracle_sidecar_path("semdecon_eval_index", _SEMDECON_IDX_PARAMS): (
+        "SELECT CAST(0 AS BIGINT) AS eval_id, CAST(0 AS INT) AS cell, "
+        "CAST([0.0] AS DOUBLE[]) AS embedding"
     ),
 }
 

@@ -612,6 +612,21 @@ def test_semantic_decontaminate_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_corpus_semantic_decontaminate_incremental_plan(spark, sf_dir):
+    """The tick's plan is the batch decontaminator's shape restricted to
+    the batch: flat assignment (scan × broadcast quantizer), candidates
+    + exact re-rank in ONE join against the broadcast stored eval index
+    (which carries the eval vectors — no second corpus-keyed exchange),
+    threshold before the hit-sized window. Never a cartesian, never an
+    SMJ (nothing corpus-sized ever shuffles on a join key), window in
+    codegen (no SortAggregate)."""
+    plan = _plan(spark, sf_dir, "corpus_semantic_decontaminate_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 @pytest.mark.parametrize("name", sorted(_SPECS))
 def test_no_cartesian_or_rowwise_udf_anywhere_in_registry(
     spark, sf_dir, name

@@ -112,4 +112,54 @@ for sf_name, (emb, nlist) in {
         f"shuffle_write={sw and round(sw / 1e6, 2)}MB "
         f"s_per_Mtrainvec={per_mvec:.2f}"
     )
+
+    # --- the INCREMENTAL tick at the same scale -------------------------
+    # Mirrors corpus_semantic_decontaminate_incremental: the eval index
+    # (nprobe cells + vectors) is STORED — built once outside the timed
+    # loop, like the op's sidecar — and the tick scores only the
+    # vec_id % 5 == 4 batch: assignment work is batch-sized, candidates
+    # come from one map-side join to the broadcast index, and there is
+    # no eval-side work at all in the tick. The claim under test is the
+    # tick wall staying proportional to the BATCH (~20% of s/M-trainvec
+    # above, minus the eval assignment the tick never repeats).
+    idx_rows = ivf_assign(
+        ev.select(
+            F.col("vec_id").alias("eval_id"),
+            _to_double("embedding").alias("__v"),
+        ),
+        cents, id_col="eval_id", n_best=NPROBE,
+    ).select("eval_id", "cell", F.col("__v").alias("__ev"))
+    idx = spark.createDataFrame(idx_rows.collect(), idx_rows.schema)
+    batch = tr.where(F.col("vec_id") % 5 == 4)
+    nbatch = batch.count()
+
+    def run_tick():
+        ba = ivf_assign(
+            batch.select("vec_id", _to_double("embedding").alias("__v")),
+            cents, id_col="vec_id", n_best=1,
+        )
+        scored = (
+            ba.join(F.broadcast(idx), on="cell")
+            .select(
+                "vec_id", "eval_id",
+                F.round(cosine(F.col("__v"), F.col("__ev")), 6).alias("s"),
+            )
+            .where(F.col("s") >= THRESH)
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("s").desc(), F.col("eval_id")
+        )
+        scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= 1
+        ).select("vec_id", "eval_id", "s").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    tbest, tsw = timed(spark, run_tick)
+    print(
+        f"{sf_name} semantic_decontaminate_incremental_tick: "
+        f"n_batch={nbatch} nlist={nlist} wall={tbest:.2f}s "
+        f"shuffle_write={tsw and round(tsw / 1e6, 2)}MB "
+        f"s_per_Mbatchvec={tbest / nbatch * 1e6:.2f}"
+    )
 spark.stop()
