@@ -217,6 +217,14 @@ def _source_sidecar_families() -> set[str]:
             if name not in ("sidecar_path", "oracle_sidecar_path"):
                 continue
             first = node.args[0] if node.args else None
+            if first is None:
+                # family passed as a keyword (name="fam") is still a
+                # literal call site — don't misreport it as non-literal
+                # (ADVICE r15)
+                first = next(
+                    (kw.value for kw in node.keywords if kw.arg == "name"),
+                    None,
+                )
             if isinstance(first, ast.Constant) and isinstance(first.value, str):
                 fams.add(first.value)
             else:

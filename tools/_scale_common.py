@@ -58,15 +58,48 @@ def ensure_replica(path: str, build) -> None:
     rebuilt with an overwrite. Unlike ``ensure_sidecar`` this does NOT
     register atexit cleanup — cross-process reuse of the ~1-min build
     is the point (content is deterministic by (SRC, seed), and the
-    path is already keyed by SRC via sidecar_path)."""
+    path is already keyed by SRC via sidecar_path).
+
+    Single-writer: concurrent scale-script launches could both miss
+    ``_SUCCESS`` and run overlapping overwrite writes to the same path
+    (ADVICE r15), so the build is serialized through an ``O_EXCL`` lock
+    file beside the replica dir — the loser waits for the winner's
+    ``_SUCCESS`` instead of double-building. (Documented ops practice
+    is to never run scale scripts concurrently anyway; the lock makes
+    the helper itself enforce it.)"""
     import glob
     import os
+    import time as _time
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")) and glob.glob(
-        os.path.join(path, "*.parquet")
-    ):
+    def _complete() -> bool:
+        return bool(
+            os.path.exists(os.path.join(path, "_SUCCESS"))
+            and glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    if _complete():
         return
-    build().write.mode("overwrite").parquet(path)
+    lock = path.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # Another process is building: wait for its _SUCCESS (or for a
+        # stale lock from a killed builder — rebuild after it vanishes).
+        deadline = _time.time() + 1800
+        while _time.time() < deadline:
+            if _complete():
+                return
+            if not os.path.exists(lock):
+                return ensure_replica(path, build)
+            _time.sleep(2.0)
+        raise TimeoutError(f"replica build lock held too long: {lock}")
+    try:
+        if not _complete():  # re-check under the lock
+            build().write.mode("overwrite").parquet(path)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def replicate_embeddings(emb, r: int, keep: tuple[str, ...] = (), d: int = 64):

@@ -59,6 +59,8 @@ if ISOLATE:
 ONLY: list[str] | None = None
 if "--only" in _argv:
     i = _argv.index("--only")
+    if i + 1 >= len(_argv):
+        sys.exit("usage: --only requires a comma-separated op list")
     ONLY = _argv[i + 1].split(",")
     del _argv[i : i + 2]
 SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
@@ -84,7 +86,13 @@ def _isolate() -> int:
 
     from etl_to_iceberg_spark.registry import all_specs
 
-    dep = ONLY or [n for n, s in all_specs().items() if s.sidecars]
+    specs = all_specs()
+    dep = ONLY or [n for n, s in specs.items() if s.sidecars]
+    # Validate in the parent: a typo'd op name should be a usage error
+    # here, not a full child process spawned just to fail with rc=2.
+    unknown = [n for n in dep if n not in specs]
+    if unknown:
+        sys.exit(f"unknown op name(s): {', '.join(unknown)}")
     print(f"isolate mode: {len(dep)} ops, one process each")
     fails = 0
     for i, n in enumerate(dep):

@@ -11,7 +11,12 @@ an ad-hoc script each round:
         [--runs 5] [--sf /root/testdata/sf0.1]
 
 Prints one JSON line per op: wall (min-of-N), all runs, per_calib
-(wall / calibration spark_cpu_sec), and the loadavg at probe time so a
+(wall / min(pre, post) calibration spark_cpu_sec — the op walls are
+min-of-N so they reflect the fastest substrate state the session
+passed through), per_calib_start (wall / START calibration — the exact
+convention bench.py's r01_compat_per_calib uses, for comparing against
+the in-bench series when pre/post calibrations disagree), and the
+loadavg at probe time so a
 non-idle read is self-documenting (the r14 lesson: a single isolated
 probe at a non-idle moment can read 25-70% high — check loadavg ~1 and
 prefer min-of-5 before trusting one).
@@ -147,6 +152,14 @@ def main() -> None:
                     "wall_min": best,
                     "runs": runs,
                     "per_calib": round(best / spark_cpu, 2),
+                    # bench.py's r01_compat_per_calib divides by the
+                    # START calibration (kept for series continuity);
+                    # emit that convention too so probe numbers compare
+                    # against the in-bench series without re-deriving.
+                    # When pre/post agree the two fields are equal.
+                    "per_calib_start": round(
+                        best / calibration["spark_cpu_sec"], 2
+                    ),
                     "calibration": calibration,
                     "calibration_post": calib_post,
                     "loadavg": loadavg,
