@@ -346,6 +346,55 @@ def test_minio_catalog_conf_mirrors_reference_assembly(monkeypatch):
     assert not any(".ice." in k for k in conf)
 
 
+def test_kerberos_conf_mirrors_reference_hook_branches(monkeypatch):
+    """kerberos_conf mirrors the reference HdfsHook's two auth branches
+    (hdfs_to_iceberg/hooks.py:55-77): credentials present -> secure
+    client (here: spark.kerberos.* principal/keytab wiring + the Hadoop
+    auth switch, with the optional namenode token list), no credentials
+    but a user -> insecure simple-auth identity, neither -> empty.
+    Explicit args win; env vars layer underneath."""
+    from etl_to_iceberg_spark.session import kerberos_conf
+
+    for v in ("KERBEROS_PRINCIPAL", "KERBEROS_KEYTAB", "HDFS_NAMENODES",
+              "HADOOP_USER_NAME"):
+        monkeypatch.delenv(v, raising=False)
+
+    assert kerberos_conf() == {}
+
+    conf = kerberos_conf("etl@REALM", keytab="/etc/sec/etl.keytab")
+    assert conf["spark.kerberos.principal"] == "etl@REALM"
+    assert conf["spark.kerberos.keytab"] == "/etc/sec/etl.keytab"
+    assert conf["spark.hadoop.hadoop.security.authentication"] == "kerberos"
+    assert "spark.kerberos.access.hadoopFileSystems" not in conf
+
+    conf = kerberos_conf(
+        "etl@REALM", keytab="/k", namenodes="hdfs://nn1:8020,hdfs://nn2:8020"
+    )
+    assert (
+        conf["spark.kerberos.access.hadoopFileSystems"]
+        == "hdfs://nn1:8020,hdfs://nn2:8020"
+    )
+
+    # principal without keytab cannot renew tokens -> not the secure branch
+    assert kerberos_conf("etl@REALM") == {}
+
+    conf = kerberos_conf(user="hdfs")
+    assert conf == {
+        "spark.executorEnv.HADOOP_USER_NAME": "hdfs",
+        "spark.yarn.appMasterEnv.HADOOP_USER_NAME": "hdfs",
+    }
+
+    monkeypatch.setenv("KERBEROS_PRINCIPAL", "svc@ENV.REALM")
+    monkeypatch.setenv("KERBEROS_KEYTAB", "/env/kt")
+    monkeypatch.setenv("HDFS_NAMENODES", "hdfs://env-nn:8020")
+    conf = kerberos_conf()
+    assert conf["spark.kerberos.principal"] == "svc@ENV.REALM"
+    assert conf["spark.kerberos.access.hadoopFileSystems"] == "hdfs://env-nn:8020"
+    conf = kerberos_conf("arg@REALM", keytab="/arg/kt", namenodes="hdfs://a:1")
+    assert conf["spark.kerberos.principal"] == "arg@REALM"
+    assert conf["spark.kerberos.access.hadoopFileSystems"] == "hdfs://a:1"
+
+
 def test_zorder_clustering_tightens_file_envelopes(spark, sf_dir):
     """After a z-order rewrite, each file's (custkey, day) min/max envelope
     must be tighter than the scattered layout's — the property file/row-
