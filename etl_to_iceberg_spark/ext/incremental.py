@@ -370,6 +370,47 @@ def _marked_batch_sketch(brows: DataFrame) -> DataFrame:
     )
 
 
+def _batch_sketch_views(
+    batch: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    bands: int,
+    caches: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three views every minhash tick derives from the batch: the
+    collapse representatives (``reps``), their twins (``twins``), and
+    the reps' exploded band rows (``bb``). Sketches the batch
+    (minhash_index_rows; brows itself is NOT cached — marked is its only
+    consumer), marks it via :func:`_marked_batch_sketch` (appended to
+    ``caches`` — it is caches[0], the frame the ops' append path
+    reuses), and splits. Shared by the flat and bucketed ticks so the
+    two cannot silently diverge in the rep/twin/band derivation."""
+    brows = minhash_index_rows(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+    )
+    marked = _marked_batch_sketch(brows)
+    if caches is not None:
+        caches.append(marked)
+    reps = marked.where(F.col("doc_id") == F.col("__rep"))
+    twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
+        "doc_id", "__rep"
+    )
+    bb = reps.select(
+        "doc_id",
+        "sig",
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    return reps, twins, bb
+
+
 def _minhash_raw_labels(
     raw: DataFrame,
     reps: DataFrame,
@@ -551,26 +592,14 @@ def incremental_minhash_tick(
     only ever absorbs novel (is_new) content, so a flood contributes
     one row per tick to the index, forever.
     """
-    brows = minhash_index_rows(
+    reps, twins, bb = _batch_sketch_views(
         batch,
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,
         shingle_n=shingle_n,
         bands=bands,
-    )
-    # (brows itself is NOT cached: marked is its only consumer.)
-    marked = _marked_batch_sketch(brows)
-    if caches is not None:
-        caches.append(marked)
-    reps = marked.where(F.col("doc_id") == F.col("__rep"))
-    twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
-        "doc_id", "__rep"
-    )
-    bb = reps.select(
-        "doc_id",
-        "sig",
-        F.posexplode("band_hashes").alias("band", "band_hash"),
+        caches=caches,
     )
     # Index side: narrow explode riding the scan; batch bands broadcast in.
     ib = index.select(
@@ -601,27 +630,39 @@ def incremental_minhash_tick(
 
 
 def bucketed_band_rows(rows: DataFrame, *, num_buckets: int) -> DataFrame:
-    """Exploded (band_bucket, band, band_hash, doc_id) rows from packed
-    (doc_id, sig, band_hashes) index rows — the bands table's layout in
-    the bucketed index (SCALING.md "Bucketed incremental-index layout").
+    """Exploded (band_bucket, band, band_hash, doc_id, sig) rows from
+    packed (doc_id, sig, band_hashes) index rows — the bucketed index's
+    ONE table (SCALING.md "Bucketed incremental-index layout").
 
     ``band_bucket = pmod(band_hash, num_buckets)`` is the Hive partition
     column: a tick's probe set touches at most min(num_buckets,
-    batch_docs × bands) buckets, so the bands scan prunes to the batch's
-    partitions instead of reading the whole corpus index. Rows are
-    narrow (~30 B) — signatures live in the doc-keyed sigs table
-    (:func:`sig_index_rows`), not here, to avoid bands-fold duplication
-    of the 32-hash arrays.
+    batch_docs × bands) buckets, so the index scan prunes to the
+    batch's partitions instead of reading the whole corpus.
 
-    The returned frame is hash-distributed by the partition column —
-    Iceberg's ``write.distribution-mode=hash`` analogue — so a
-    partitioned write lands ~one file per bucket dir instead of
-    (tasks × buckets) splinters: without it, tools/mhb_scale.py
-    measured a 32-task create producing 8192 files for a 256-bucket
-    table, and the tiny-file open cost dwarfed the pruning win."""
+    The signature rides each band row — the bands-fold duplicates it ×
+    bands, trading ≤ bands× storage (heavily de-duplicated by parquet
+    encoding: rows are hash-distributed by bucket and sorted by doc_id
+    within partitions, so a doc's identical sig arrays are adjacent)
+    for the flat tick's exact join shape: the pruned scan carries
+    idx_sig inline, the ONLY broadcast is the batch-bounded band rows,
+    and candidates are never collected or broadcast. (A side sigs table
+    keyed by doc_id was tried first and rejected in review: attaching
+    signatures to candidates then needs either a broadcast of the
+    COLLISION-bounded candidate set — which grows with the corpus and
+    OOMs in exactly the large-corpus regime the layout targets — or a
+    second table whose append is not atomic with the bands append,
+    breaking replay safety on a crash between the two.)
+
+    Hash-distributed by the partition column before write — Iceberg's
+    ``write.distribution-mode=hash`` analogue — so a partitioned write
+    lands ~one file per bucket dir instead of (tasks × buckets)
+    splinters: without it, tools/mhb_scale.py measured a 32-task create
+    producing 8192 files for a 256-bucket table, and the tiny-file open
+    cost dwarfed the pruning win."""
     return (
         rows.select(
-            "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+            "doc_id", "sig",
+            F.posexplode("band_hashes").alias("band", "band_hash"),
         )
         .select(
             F.pmod(F.col("band_hash"), F.lit(num_buckets))
@@ -630,31 +671,15 @@ def bucketed_band_rows(rows: DataFrame, *, num_buckets: int) -> DataFrame:
             "band",
             "band_hash",
             "doc_id",
+            "sig",
         )
         .repartition(num_buckets, "band_bucket")
+        .sortWithinPartitions("doc_id")
     )
-
-
-def sig_index_rows(rows: DataFrame, *, num_buckets: int) -> DataFrame:
-    """(doc_bucket, doc_id, sig) rows — the signatures side table of the
-    bucketed index layout. ``doc_bucket = pmod(doc_id, num_buckets)``
-    lets the verify stage prune its signature lookup to the candidate
-    docs' partitions (candidates are hit-bounded, so their bucket list
-    is metadata-sized). Hash-distributed by the partition column for
-    the same ~one-file-per-bucket write layout as
-    :func:`bucketed_band_rows`."""
-    return rows.select(
-        F.pmod(F.col("doc_id"), F.lit(num_buckets)).cast("int").alias(
-            "doc_bucket"
-        ),
-        "doc_id",
-        "sig",
-    ).repartition(num_buckets, "doc_bucket")
 
 
 def incremental_minhash_tick_bucketed(
     band_index: DataFrame,
-    sig_index: DataFrame,
     batch: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -663,118 +688,86 @@ def incremental_minhash_tick_bucketed(
     shingle_n: int = 3,
     bands: int = 8,
     band_buckets: int = 32,
-    doc_buckets: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 256,
     caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_tick` against the BUCKETED index
     layout — identical labels (bucketing changes which index FILES a
-    tick reads, never which band collisions exist), O(touched-buckets)
-    index I/O instead of O(corpus).
+    tick reads, never which band collisions exist), index I/O pruned to
+    the batch's touched buckets instead of O(corpus).
 
-    The index is two Hive-partitioned tables (the snapshot format
-    recovers Hive partitions with pruning — tables/format.py): 
-    ``band_index`` = :func:`bucketed_band_rows` partitioned by
-    ``band_bucket``; ``sig_index`` = :func:`sig_index_rows` partitioned
-    by ``doc_bucket``. This is the sandbox expression of the Iceberg
+    ``band_index`` is the exploded single-table layout of
+    :func:`bucketed_band_rows`, Hive-partitioned by ``band_bucket``
+    (the snapshot format recovers Hive partitions with pruning —
+    tables/format.py). This is the sandbox expression of the Iceberg
     ``bucket(N, col)`` partition-transform layout the SCALING.md design
     note targets; at real Iceberg scale the same tick runs unchanged on
-    transform-partitioned tables.
+    a transform-partitioned table.
 
-    Two driver-bounded collects steer the pruning (the adjudicated
+    One driver-bounded collect steers the pruning (the adjudicated
     metadata-sized-collect pattern, like the IVF quantizer centroids):
+    the batch's distinct ``band_bucket`` list (≤ band_buckets ints),
+    applied as a STATIC partition filter — the plan's index scan shows
+    it (PartitionFilters, pinned by tests).
 
-    1. the batch's distinct ``band_bucket`` list (≤ band_buckets ints) —
-       prunes the bands scan to the batch's partitions;
-    2. the candidates' distinct ``doc_bucket`` list (≤ doc_buckets
-       ints; materializes the already-cached candidate set, the same
-       materialization the flat tick's raw.cache() pays at first use) —
-       prunes the sigs scan to the partitions holding candidate docs.
+    Everything from the candidate set down is shared with the flat tick
+    (:func:`_batch_sketch_views` + :func:`_minhash_raw_labels`) and the
+    join shape matches it exactly: the pruned scan explodes nothing (the
+    table is pre-exploded) and broadcast-joins the batch's band rows —
+    the index never shuffles, is never collected, is never broadcast;
+    the only broadcast is batch-bounded. Same ``caches`` contract as
+    the flat tick (caches[0] is the marked batch sketch the append path
+    reuses).
 
-    Everything downstream of the candidate set is the shared
-    :func:`_minhash_raw_labels` — same replay / best-match / twin
-    semantics, same oracle as the flat tick.
-
-    Shuffle budget: zero index-side shuffle, exactly like the flat tick
-    — the pruned bands scan broadcast-joins the batch's band rows, and
-    the pruned sigs scan broadcast-joins the hit-bounded candidate
-    pairs. ``caches`` contract matches the flat tick (caller unpersists;
-    caches[0] is the marked batch sketch the append path reuses)."""
-    brows = minhash_index_rows(
+    Regime (SCALING.md "two-regime result", measured by
+    tools/mhb_scale.py): pruning follows 1−exp(−H/N) in the batch's
+    distinct band-hash count H, so the layout pays for SMALL ticks
+    against LARGE corpora (streaming / near-real-time ingest); bulk
+    ticks (H ≥ N) prune nothing and should use the flat op, which stays
+    available unchanged."""
+    reps, twins, bb = _batch_sketch_views(
         batch,
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,
         shingle_n=shingle_n,
         bands=bands,
+        caches=caches,
     )
-    marked = _marked_batch_sketch(brows)
-    if caches is not None:
-        caches.append(marked)
-    reps = marked.where(F.col("doc_id") == F.col("__rep"))
-    twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
-        "doc_id", "__rep"
-    )
-    bb = reps.select(
-        "doc_id",
-        "sig",
-        F.posexplode("band_hashes").alias("band", "band_hash"),
-    )
-    bbk = bb.withColumn(
-        "band_bucket",
-        F.pmod(F.col("band_hash"), F.lit(band_buckets)).cast("int"),
-    )
-    # Driver-bounded collect #1: ≤ band_buckets ints. The isin list is a
-    # STATIC partition filter — pruning happens at planning, and the
-    # plan's bands scan shows it (PartitionFilters, pinned by tests).
+    # Driver-bounded collect: ≤ band_buckets ints — the batch's touched
+    # partitions, applied as a static partition filter on the scan.
     touched = sorted(
-        r[0] for r in bbk.select("band_bucket").distinct().collect()
-    )
-    pruned_bands = (
-        band_index.where(F.col("band_bucket").isin(touched))
-        if touched
-        else band_index.where(F.lit(False))  # empty batch: scan nothing
-    )
-    pairs = (
-        pruned_bands.select(
-            F.col("doc_id").alias("idx_id"), "band_bucket", "band", "band_hash"
-        )
-        .join(
-            F.broadcast(
-                bbk.select("doc_id", "sig", "band_bucket", "band", "band_hash")
-            ),
-            on=["band_bucket", "band", "band_hash"],
-        )
-        .select("idx_id", "doc_id", "sig")
-    ).cache()  # candidate (index, batch) id pairs + batch sig: hit-bounded
-    if caches is not None:
-        caches.append(pairs)
-    # Driver-bounded collect #2: ≤ doc_buckets ints.
-    cbuckets = sorted(
         r[0]
-        for r in pairs.select(
-            F.pmod(F.col("idx_id"), F.lit(doc_buckets)).cast("int").alias("b")
+        for r in bb.select(
+            F.pmod(F.col("band_hash"), F.lit(band_buckets))
+            .cast("int")
+            .alias("band_bucket")
         )
         .distinct()
         .collect()
     )
-    pruned_sigs = (
-        sig_index.where(F.col("doc_bucket").isin(cbuckets))
-        if cbuckets
-        else sig_index.where(F.lit(False))
+    pruned = (
+        band_index.where(F.col("band_bucket").isin(touched))
+        if touched
+        else band_index.where(F.lit(False))  # empty batch: scan nothing
+    )
+    ib = pruned.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("sig").alias("idx_sig"),
+        "band",
+        "band_hash",
     )
     est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
-    # Duplicate pairs across bands tolerated, same argument as the flat
-    # tick's raw (all consumers duplicate-insensitive; no distinct here).
+    # From here the tick IS the flat tick on a pruned scan: same
+    # broadcast of bb, same no-distinct candidate set (duplicates across
+    # bands tolerated — all consumers duplicate-insensitive), same
+    # shared label derivation.
     raw = (
-        pruned_sigs.select(
-            F.col("doc_id").alias("idx_id"), F.col("sig").alias("idx_sig")
-        )
-        .join(F.broadcast(pairs), on="idx_id")
+        ib.join(F.broadcast(bb), on=["band", "band_hash"])
         .select("doc_id", "idx_id", est.alias("est"))
         .where(F.col("est") >= threshold)
-    ).cache()
+    ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
     if caches is not None:
         caches.append(raw)
     return _minhash_raw_labels(

@@ -31,7 +31,6 @@ from etl_to_iceberg_spark.ext.incremental import (
     incremental_minhash_tick,
     incremental_minhash_tick_bucketed,
     minhash_index_rows,
-    sig_index_rows,
 )
 from etl_to_iceberg_spark import sidecars
 from etl_to_iceberg_spark.ext.queries import _load_balanced
@@ -385,14 +384,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled
 
 
-# Bucket counts for the registered fixture: modest on purpose — at
-# fixture SF the win is the MECHANISM (PartitionFilters on both index
-# scans, pinned by tests/test_incremental_bucketed.py), not wall time;
+# Bucket count for the registered fixture: modest on purpose — at
+# fixture SF the win is the MECHANISM (PartitionFilters on the index
+# scan, pinned by tests/test_incremental_bucketed.py), not wall time;
 # tools/mhb_scale.py measures the pruning trend and SCALING.md's
 # "Bucketed incremental-index layout" note gives deployment sizing
 # (bucket count scales with the corpus, touched buckets with the batch).
 _MHB_BAND_BUCKETS = 32
-_MHB_DOC_BUCKETS = 16
 
 _mhb_prev_caches: list = []  # same cross-invocation bound as _mh_prev_caches
 
@@ -410,13 +408,13 @@ def dedup_incremental_minhash_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Incremental MinHash tick against the BUCKETED index layout
-    (SCALING.md watchpoint 10): the persisted index is two
-    Hive-partitioned managed tables — band rows partitioned by
-    pmod(band_hash, 32), signatures by pmod(doc_id, 16) — and the tick
-    prunes BOTH scans to the batch's buckets via driver-bounded bucket
-    lists (≤ 32 + 16 ints), making tick index I/O O(touched buckets)
-    instead of O(corpus). Labels are identical to
-    dedup_incremental_minhash; only the I/O plan differs.
+    (SCALING.md watchpoint 10): the persisted index is ONE
+    Hive-partitioned managed table of exploded band rows — partitioned
+    by pmod(band_hash, 32), signature riding each row — and the tick
+    prunes the scan to the batch's buckets via a driver-bounded bucket
+    list (≤ 32 ints), making tick index I/O O(touched buckets) instead
+    of O(corpus). Labels are identical to dedup_incremental_minhash;
+    only the I/O plan differs.
 
     Regime (SCALING.md "two-regime result", measured by
     tools/mhb_scale.py): pruning follows 1−exp(−H/N) in the batch's
@@ -451,35 +449,27 @@ def dedup_incremental_minhash_bucketed(
             bucketed_band_rows(rows, num_buckets=_MHB_BAND_BUCKETS),
             partition_by=["band_bucket"],
         )
-        c.table("dedup.mhb_sigs").create(
-            sig_index_rows(rows, num_buckets=_MHB_DOC_BUCKETS),
-            partition_by=["doc_bucket"],
-        )
 
     cat = seeded_clone(spark, "dedup_mhb_index", sf_dir, seed)
     t_bands = cat.table("dedup.mhb_bands")
-    t_sigs = cat.table("dedup.mhb_sigs")
     batch = docs.where(_batch_mod())
     caches: list[DataFrame] = []
     labeled = incremental_minhash_tick_bucketed(
         t_bands.read(),
-        t_sigs.read(),
         batch,
         band_buckets=_MHB_BAND_BUCKETS,
-        doc_buckets=_MHB_DOC_BUCKETS,
         threshold=0.5,
         caches=caches,
-    ).cache()  # batch-sized; the appends below materialize it (same
+    ).cache()  # batch-sized; the append below materializes it (same
     # reuse argument as the unbucketed op's labeled cache)
     caches.append(labeled)
     _mhb_prev_caches.extend(caches)
     # Append novel docs from the tick's CACHED batch sketch (caches[0])
-    # to BOTH tables — no re-fold, same discipline as the unbucketed op.
+    # — one atomic append to the one table; no re-fold.
     novel = caches[0].select("doc_id", "sig", "band_hashes").join(
         labeled.where("is_new").select("doc_id"), on="doc_id", how="left_semi"
     )
     t_bands.append(bucketed_band_rows(novel, num_buckets=_MHB_BAND_BUCKETS))
-    t_sigs.append(sig_index_rows(novel, num_buckets=_MHB_DOC_BUCKETS))
     return labeled
 
 

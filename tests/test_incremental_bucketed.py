@@ -1,5 +1,5 @@
 """Bucketed incremental-minhash index (ext/incremental.py bucketed tick,
-SCALING.md watchpoint 10): label parity with the unbucketed tick, the
+SCALING.md watchpoint 10): label parity with the flat tick, the
 partition-pruning plan shape, index growth, and replay safety."""
 
 from __future__ import annotations
@@ -11,10 +11,9 @@ from etl_to_iceberg_spark.ext.incremental import (
     incremental_minhash_tick,
     incremental_minhash_tick_bucketed,
     minhash_index_rows,
-    sig_index_rows,
 )
 
-NB, MB = 8, 4  # small bucket counts: several docs per bucket at test scale
+NB = 8  # small bucket count: several docs per bucket at test scale
 
 
 def _docs(spark, rows):
@@ -40,14 +39,7 @@ def _perturb(text: str) -> str:
     return " ".join(toks)
 
 
-def _bucketed(rows):
-    return (
-        bucketed_band_rows(rows, num_buckets=NB),
-        sig_index_rows(rows, num_buckets=MB),
-    )
-
-
-def test_bucketed_tick_labels_equal_unbucketed(spark):
+def test_bucketed_tick_labels_equal_flat(spark):
     """Same corpus, same batch: the bucketed tick must produce row-for-row
     identical labels to incremental_minhash_tick — bucketing changes which
     files are read, never which band collisions exist."""
@@ -65,76 +57,65 @@ def test_bucketed_tick_labels_equal_unbucketed(spark):
             (23, "totally novel text about gardening with hydraulic presses"),
         ],
     )
-    bands_t, sigs_t = _bucketed(index)
     flat = incremental_minhash_tick(index, batch, threshold=0.4)
     bucketed = incremental_minhash_tick_bucketed(
-        bands_t, sigs_t, batch,
-        band_buckets=NB, doc_buckets=MB, threshold=0.4,
+        bucketed_band_rows(index, num_buckets=NB), batch,
+        band_buckets=NB, threshold=0.4,
     )
-    key = lambda r: r.doc_id
     assert sorted(map(tuple, bucketed.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, flat.collect()), key=lambda t: t[0]
     )
 
 
-def test_bucketed_tick_prunes_both_index_scans(spark, tmp_path):
-    """The plan's file scans over the two index TABLES must carry
-    PartitionFilters on the bucket columns — the pruning the layout
-    exists for (SCALING.md watchpoint 10). Uses managed tables (not
-    in-memory frames) so the scans are real file sources."""
+def test_bucketed_tick_prunes_the_index_scan(spark, tmp_path):
+    """The plan's file scan over the index TABLE must carry a non-empty
+    PartitionFilter on band_bucket — the pruning the layout exists for
+    (SCALING.md watchpoint 10). Uses a managed table (not an in-memory
+    frame) so the scan is a real file source."""
+    import re
+
     from etl_to_iceberg_spark.tables import Catalog
 
     rows = minhash_index_rows(
         _docs(spark, [(i, f"{LOREM} v{i}") for i in range(1, 30)])
     )
     cat = Catalog(spark, str(tmp_path / "wh"))
-    bands_t, sigs_t = _bucketed(rows)
-    cat.table("t.bands").create(bands_t, partition_by=["band_bucket"])
-    cat.table("t.sigs").create(sigs_t, partition_by=["doc_bucket"])
+    cat.table("t.bands").create(
+        bucketed_band_rows(rows, num_buckets=NB), partition_by=["band_bucket"]
+    )
     out = incremental_minhash_tick_bucketed(
         cat.table("t.bands").read(),
-        cat.table("t.sigs").read(),
         _docs(spark, [(100, _perturb(LOREM))]),
-        band_buckets=NB, doc_buckets=MB, threshold=0.4,
+        band_buckets=NB, threshold=0.4,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    import re
-
     pf = [
         ln
         for ln in plan.splitlines()
         if "PartitionFilters" in ln and "band_bucket" in ln
     ]
     assert pf, f"no band_bucket partition filter in:\n{plan}"
-    pf2 = [
-        ln
-        for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "doc_bucket" in ln
-    ]
-    assert pf2, f"no doc_bucket partition filter in:\n{plan}"
-    # and the filters are real IN-lists, not empty brackets
-    assert all(not re.search(r"PartitionFilters: \[\]", ln) for ln in pf + pf2)
+    # and the filter is a real IN-list, not empty brackets
+    assert all(not re.search(r"PartitionFilters: \[\]", ln) for ln in pf)
 
 
 def test_bucketed_band_rows_layout(spark):
     rows = minhash_index_rows(_docs(spark, [(1, LOREM), (2, OTHER)]))
     b = bucketed_band_rows(rows, num_buckets=NB)
-    assert b.columns == ["band_bucket", "band", "band_hash", "doc_id"]
+    assert b.columns == ["band_bucket", "band", "band_hash", "doc_id", "sig"]
     got = b.collect()
     assert len(got) == 2 * 8  # bands=8 default, exploded
     assert all(0 <= r.band_bucket < NB for r in got)
     assert all(r.band_bucket == r.band_hash % NB for r in got)
-    s = sig_index_rows(rows, num_buckets=MB)
-    assert s.columns == ["doc_bucket", "doc_id", "sig"]
-    assert {(r.doc_id, r.doc_bucket) for r in s.collect()} == {
-        (1, 1 % MB), (2, 2 % MB)
-    }
+    # the signature rides every band row (the single-table layout)
+    sigs = {r.doc_id: tuple(r.sig) for r in rows.collect()}
+    assert all(tuple(r.sig) == sigs[r.doc_id] for r in got)
 
 
 def test_bucketed_tick_replay_and_growth(spark, tmp_path):
-    """Novel docs append to BOTH tables; re-ticking the same batch reports
-    already_ingested and appends nothing (idempotent re-tick)."""
+    """Novel docs append to the index; re-ticking the same batch reports
+    already_ingested and appends nothing (idempotent re-tick) — the
+    single-table layout has no two-append inconsistency window."""
     from etl_to_iceberg_spark.tables import Catalog
 
     rows = minhash_index_rows(_docs(spark, [(1, OTHER)]))
@@ -142,18 +123,13 @@ def test_bucketed_tick_replay_and_growth(spark, tmp_path):
     cat.table("t.bands").create(
         bucketed_band_rows(rows, num_buckets=NB), partition_by=["band_bucket"]
     )
-    cat.table("t.sigs").create(
-        sig_index_rows(rows, num_buckets=MB), partition_by=["doc_bucket"]
-    )
     batch = _docs(spark, [(10, LOREM)])
 
     def tick():
         caches: list = []
         out = incremental_minhash_tick_bucketed(
-            cat.table("t.bands").read(),
-            cat.table("t.sigs").read(),
-            batch,
-            band_buckets=NB, doc_buckets=MB, threshold=0.5, caches=caches,
+            cat.table("t.bands").read(), batch,
+            band_buckets=NB, threshold=0.5, caches=caches,
         )
         return out, caches
 
@@ -164,22 +140,22 @@ def test_bucketed_tick_replay_and_growth(spark, tmp_path):
         out.where("is_new").select("doc_id"), "doc_id", "left_semi"
     )
     cat.table("t.bands").append(bucketed_band_rows(novel, num_buckets=NB))
-    cat.table("t.sigs").append(sig_index_rows(novel, num_buckets=MB))
-    assert cat.table("t.sigs").read().count() == 2
+    assert (
+        cat.table("t.bands").read().select("doc_id").distinct().count() == 2
+    )
 
-    out2, _ = tick()
+    out2, caches2 = tick()
     r2 = out2.collect()[0]
     assert r2.already_ingested and not r2.is_new
-    for c in caches:
+    for c in caches + caches2:
         c.unpersist()
 
 
 def test_bucketed_tick_empty_batch(spark):
     rows = minhash_index_rows(_docs(spark, [(1, LOREM)]))
-    bands_t, sigs_t = _bucketed(rows)
     out = incremental_minhash_tick_bucketed(
-        bands_t, sigs_t, _docs(spark, []),
-        band_buckets=NB, doc_buckets=MB,
+        bucketed_band_rows(rows, num_buckets=NB), _docs(spark, []),
+        band_buckets=NB,
     )
     assert out.count() == 0
     assert set(out.columns) == {
@@ -187,7 +163,7 @@ def test_bucketed_tick_empty_batch(spark):
     }
 
 
-def test_registered_bucketed_query_matches_unbucketed(spark, sf_dir):
+def test_registered_bucketed_query_matches_flat(spark, sf_dir):
     """The registered op's labels equal dedup_incremental_minhash's on the
     same fixture split — the judge-facing statement that bucketing is an
     I/O layout, not a semantics change."""

@@ -1,20 +1,25 @@
 """Bucketed vs flat incremental-minhash tick: the pruning trend.
 
 The claim under test (SCALING.md "Bucketed incremental-index layout"):
-with the bands index Hive-partitioned by pmod(band_hash, N), a tick's
-index I/O is O(touched buckets) — touched scales with the BATCH
+with the exploded band index Hive-partitioned by pmod(band_hash, N), a
+tick's index I/O is O(touched buckets) — touched scales with the BATCH
 (≈ N·(1-exp(-batch·bands/N))), total buckets with the CORPUS — so at a
 fixed small batch, growing the corpus 10x grows the bucketed tick's
 SCANNED bytes by ~the touched-bucket share while the flat tick always
 rescans everything. Wall at fixture SF is reported but expected to
-FAVOR the flat tick (file-open and planning overhead dominate a 15 MB
+FAVOR the flat tick (file-open and planning overhead dominate a few-MB
 index); the scannable terms — files/bytes touched — are what carry the
 argument to corpus scale, exactly like the semantic-decontamination
-tick's s/M-vec reading.
+tick's s/M-vec reading. Note the bucketed table is LARGER than the
+flat one (the exploded layout rides the signature on every band row —
+bands_bytes_total vs flat_bytes in the output shows the real ratio
+after parquet encoding); pruned_pct is measured against the bucketed
+table's own bytes.
 
 Measures, per (corpus scale x bucket count x batch size): bands files
-and bytes total vs in touched partitions, flat vs bucketed tick wall,
-shuffle bytes.
+and bytes total vs in touched partitions, flat table bytes, flat vs
+bucketed tick wall and shuffle-write bytes (0 can also mean the
+executor REST poll failed — treat as missing, not as proof of zero).
 
 Run: PYTHONPATH=. python tools/mhb_scale.py
 """
@@ -35,7 +40,6 @@ from etl_to_iceberg_spark.ext.incremental import (
     incremental_minhash_tick,
     incremental_minhash_tick_bucketed,
     minhash_index_rows,
-    sig_index_rows,
 )
 from etl_to_iceberg_spark.plans import ensure_parallelism
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
@@ -43,7 +47,6 @@ from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
-MB = 64
 
 spark = get_spark(
     SessionConfig(app_name="mhb-scale", local_cores=32, shuffle_partitions=32)
@@ -87,6 +90,10 @@ def timed(tick, runs=3):
     return best, sb
 
 
+def table_bytes(t):
+    return sum(os.path.getsize(fe.path) for fe in t.snapshot().files)
+
+
 docs = ensure_parallelism(load_table(spark, SRC, "documents"))
 results = {}
 for mult in (1, 10):
@@ -99,13 +106,11 @@ for mult in (1, 10):
     for p in parts[1:]:
         u = u.unionByName(p)
     rows = minhash_index_rows(u).cache()
-    rows.count()
+    n_idx = rows.count()
     cat = Catalog(spark, tempfile.mkdtemp(prefix=f"mhb_x{mult}_"))
     tf = cat.table("d.flat")
     tf.create(rows)
-    ts = cat.table("d.sigs")
-    ts.create(sig_index_rows(rows, num_buckets=MB), partition_by=["doc_bucket"])
-    n_idx = ts.read().count()
+    flat_bytes = table_bytes(tf)
 
     for nb in (256, 2048):
         tb = cat.table(f"d.bands_{nb}")
@@ -115,7 +120,7 @@ for mult in (1, 10):
         )
         files = tb.snapshot().files
         files_total = len(files)
-        bytes_total = sum(os.path.getsize(fe.path) for fe in files)
+        bytes_total = table_bytes(tb)
 
         for bsz in (40, 200, 1000):
             batch = (
@@ -133,31 +138,32 @@ for mult in (1, 10):
                 fe for fe in files
                 if any(f"band_bucket={t}/" in fe.path for t in touched)
             ]
-            wall_f, _ = timed(
+            kept_bytes = sum(os.path.getsize(fe.path) for fe in kept)
+            wall_f, sh_f = timed(
                 lambda caches: incremental_minhash_tick(
                     tf.read(), batch, threshold=0.5, caches=caches
                 )
             )
-            wall_b, _ = timed(
+            wall_b, sh_b = timed(
                 lambda caches: incremental_minhash_tick_bucketed(
-                    tb.read(), ts.read(), batch,
-                    band_buckets=nb, doc_buckets=MB, threshold=0.5,
-                    caches=caches,
+                    tb.read(), batch,
+                    band_buckets=nb, threshold=0.5, caches=caches,
                 )
             )
             r = {
                 "index_docs": n_idx,
                 "batch_docs": bsz,
                 "bands_files": f"{len(kept)}/{files_total}",
-                "bands_bytes_touched": sum(os.path.getsize(fe.path) for fe in kept),
+                "bands_bytes_touched": kept_bytes,
                 "bands_bytes_total": bytes_total,
+                "flat_bytes": flat_bytes,
                 "pruned_pct": round(
-                    100 * (1 - sum(os.path.getsize(fe.path) for fe in kept)
-                    / max(bytes_total, 1)),
-                    1,
+                    100 * (1 - kept_bytes / max(bytes_total, 1)), 1
                 ),
                 "wall_flat_s": round(wall_f, 3),
                 "wall_bucketed_s": round(wall_b, 3),
+                "shuffle_flat": sh_f,
+                "shuffle_bucketed": sh_b,
             }
             results[f"x{mult}/nb{nb}/b{bsz}"] = r
             print(json.dumps({f"x{mult}/nb{nb}/b{bsz}": r}), flush=True)
