@@ -96,6 +96,11 @@ HEADLINE = [
     # stored eval index; the line to watch is tick wall staying O(batch)
     # as siblings grow. Full-set total only, like its batch sibling.
     "corpus_semantic_decontaminate_incremental",
+    # r17: the bucketed-index minhash tick (SCALING.md watchpoint 10) —
+    # same labels as dedup_incremental_minhash, index I/O pruned to the
+    # batch's buckets; compare the pair's walls round-over-round. Full-
+    # set total only.
+    "dedup_incremental_minhash_bucketed",
 ]
 # a frozen name dropping out of HEADLINE would silently shrink the
 # subtotal it anchors (same rule as the R01_COMPAT assert below)

@@ -346,57 +346,48 @@ def _best_match(
     )
 
 
-def incremental_minhash_tick(
-    index: DataFrame,
+def _marked_batch_sketch(brows: DataFrame) -> DataFrame:
+    """The batch sketch with exact-signature collapse bookkeeping,
+    CACHED (same flood guard as the batch LSH pipeline): batch docs with
+    IDENTICAL signatures collapse to their earliest member (``__rep``);
+    twins label directly and never enter the banded joins, so 10k
+    boilerplate copies in one tick contribute ONE row to every join
+    instead of a 10k² bucket. The marked sketch feeds FOUR consumers
+    (index-candidate broadcast, both sides of the within-batch
+    self-join, and the result id spine); uncached, each branch re-runs
+    the k×|shingles| signature fold — measured 5.3s → 1.4s for a
+    500-doc tick at sf0.1 with the cache. Batch-sized by construction
+    (~300 B/doc), LRU-evictable. Shared by the flat and bucketed ticks;
+    the caller owns the unpersist (via its ``caches`` list)."""
+    sig_key = F.xxhash64(
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+    )
+    wk = Window.partitionBy("__sk").orderBy("doc_id")
+    return (
+        brows.withColumn("__sk", sig_key)
+        .withColumn("__rep", F.first("doc_id").over(wk))
+        .cache()
+    )
+
+
+def _batch_sketch_views(
     batch: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    shingle_n: int = 3,
-    bands: int = 8,
-    threshold: float = 0.5,
-    max_bucket_size: int | None = 256,
-    caches: list[DataFrame] | None = None,
-) -> DataFrame:
-    """Label a batch against the minhash index.
-
-    ``caches``: pass a list to receive the tick's internal cached
-    DataFrames (the shared batch sketch and the candidate set). The
-    caches make the multi-consumer plan cheap but are function-local —
-    a LONG-LIVED caller (streaming loop, service) must unpersist them
-    after materializing the result, or each tick leaks two cached
-    frames into the block store for the session's lifetime (same
-    discipline as streaming/ingest.py's exact-tick wrapper). One-shot
-    sessions can ignore it; LRU eviction covers them.
-
-    Returns (doc_id, dup_of, est_jaccard, is_new, already_ingested) —
-    one row per batch doc. ``dup_of`` prefers an index match (highest
-    estimated Jaccard, ties → lowest doc_id) over an earlier-in-batch
-    match: index docs are by construction older than anything in the
-    batch. ``est_jaccard`` is NULL for novel docs. A doc whose best
-    OTHER match clears ``threshold`` is a duplicate; a doc whose OWN
-    index row is found (same id, identical signature — guaranteed
-    all-band collision) is a REPLAY and reports ``already_ingested``;
-    everything else is new and its minhash_index_rows belong in the
-    index. Replay safety matches incremental_exact_tick: re-delivered
-    batches never double-append.
-
-    Shuffle budget: the index explodes its precomputed band_hashes along
-    its scan (narrow) and broadcast-joins the batch's band rows — the
-    index never shuffles and its ``sig`` travels only for colliding
-    bucket rows. The within-batch self-join runs on signature
-    REPRESENTATIVES only (identical-sig docs collapse to their earliest
-    member — the flood guard of the batch LSH pipeline, applied per
-    tick) with residual buckets capped at ``max_bucket_size``; both
-    sides broadcast batch-sized data. Candidate verification is pure
-    column arithmetic on the signatures already in hand
-    (sig_est_jaccard) — no text re-read. The index needs no cap: it
-    only ever absorbs novel (is_new) content, so a flood contributes
-    one row per tick to the index, forever.
-    """
-    from etl_to_iceberg_spark.ext.dedup import _cap_buckets
-
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    bands: int,
+    caches: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three views every minhash tick derives from the batch: the
+    collapse representatives (``reps``), their twins (``twins``), and
+    the reps' exploded band rows (``bb``). Sketches the batch
+    (minhash_index_rows; brows itself is NOT cached — marked is its only
+    consumer), marks it via :func:`_marked_batch_sketch` (appended to
+    ``caches`` — it is caches[0], the frame the ops' append path
+    reuses), and splits. Shared by the flat and bucketed ticks so the
+    two cannot silently diverge in the rep/twin/band derivation."""
     brows = minhash_index_rows(
         batch,
         id_col=id_col,
@@ -405,27 +396,7 @@ def incremental_minhash_tick(
         shingle_n=shingle_n,
         bands=bands,
     )
-    # Exact-signature collapse (same flood guard as the batch LSH
-    # pipeline): batch docs with IDENTICAL signatures collapse to their
-    # earliest member; the twins label directly (est 1.0 → the rep, or
-    # the rep's index match — identical sigs see identical candidates)
-    # and never enter the banded joins, so 10k boilerplate copies in one
-    # tick contribute ONE row to every join instead of a 10k² bucket.
-    sig_key = F.xxhash64(
-        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
-    )
-    wk = Window.partitionBy("__sk").orderBy("doc_id")
-    # The marked sketch feeds FOUR consumers (index-candidate broadcast,
-    # both sides of the within-batch self-join, and the result id spine);
-    # uncached, each broadcast/branch re-runs the k×|shingles| signature
-    # fold — measured 5.3s → 1.4s for a 500-doc tick at sf0.1 with the
-    # cache. Batch-sized by construction (~300 B/doc), LRU-evictable.
-    # (brows itself is NOT cached: marked is its only consumer.)
-    marked = (
-        brows.withColumn("__sk", sig_key)
-        .withColumn("__rep", F.first("doc_id").over(wk))
-        .cache()
-    )
+    marked = _marked_batch_sketch(brows)
     if caches is not None:
         caches.append(marked)
     reps = marked.where(F.col("doc_id") == F.col("__rep"))
@@ -437,25 +408,28 @@ def incremental_minhash_tick(
         "sig",
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
-    # Index side: narrow explode riding the scan; batch bands broadcast in.
-    ib = index.select(
-        F.col("doc_id").alias("idx_id"),
-        F.col("sig").alias("idx_sig"),
-        F.posexplode("band_hashes").alias("band", "band_hash"),
-    )
-    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
-    # NOT distinct-ed: a pair colliding in several bands yields up to
-    # `bands` duplicate rows, but every consumer is duplicate-insensitive
-    # (max-struct agg in _best_match; explicit distinct in replays /
-    # twin_self_hits) — a distinct here would add a full shuffle of the
-    # candidate set to the tick for nothing.
-    raw = (
-        ib.join(F.broadcast(bb), on=["band", "band_hash"])
-        .select("doc_id", "idx_id", est.alias("est"))
-        .where(F.col("est") >= threshold)
-    ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
-    if caches is not None:
-        caches.append(raw)
+    return reps, twins, bb
+
+
+def _minhash_raw_labels(
+    raw: DataFrame,
+    reps: DataFrame,
+    twins: DataFrame,
+    bb: DataFrame,
+    *,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared label derivation from the index-candidate set ``raw``
+    ((doc_id, idx_id, est) rows, duplicates across bands tolerated —
+    every consumer is duplicate-insensitive): the replay split, best
+    index match, capped within-batch rep self-join, rep labels, and
+    twin inheritance. Extracted unchanged from incremental_minhash_tick
+    so the bucketed tick (incremental_minhash_tick_bucketed) reuses the
+    exact semantics — the two ticks differ ONLY in how ``raw`` is
+    produced (full index scan vs bucket-pruned scans)."""
+    from etl_to_iceberg_spark.ext.dedup import _cap_buckets
+
     # A doc's OWN index row (same id, est 1.0) marks a replayed batch,
     # not a duplicate; only OTHER docs are dup candidates.
     replays = (
@@ -567,3 +541,236 @@ def incremental_minhash_tick(
         )
     )
     return rep_labels.unionByName(twin_labels)
+
+
+def incremental_minhash_tick(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Label a batch against the minhash index.
+
+    ``caches``: pass a list to receive the tick's internal cached
+    DataFrames (the shared batch sketch and the candidate set). The
+    caches make the multi-consumer plan cheap but are function-local —
+    a LONG-LIVED caller (streaming loop, service) must unpersist them
+    after materializing the result, or each tick leaks two cached
+    frames into the block store for the session's lifetime (same
+    discipline as streaming/ingest.py's exact-tick wrapper). One-shot
+    sessions can ignore it; LRU eviction covers them.
+
+    Returns (doc_id, dup_of, est_jaccard, is_new, already_ingested) —
+    one row per batch doc. ``dup_of`` prefers an index match (highest
+    estimated Jaccard, ties → lowest doc_id) over an earlier-in-batch
+    match: index docs are by construction older than anything in the
+    batch. ``est_jaccard`` is NULL for novel docs. A doc whose best
+    OTHER match clears ``threshold`` is a duplicate; a doc whose OWN
+    index row is found (same id, identical signature — guaranteed
+    all-band collision) is a REPLAY and reports ``already_ingested``;
+    everything else is new and its minhash_index_rows belong in the
+    index. Replay safety matches incremental_exact_tick: re-delivered
+    batches never double-append.
+
+    Shuffle budget: the index explodes its precomputed band_hashes along
+    its scan (narrow) and broadcast-joins the batch's band rows — the
+    index never shuffles and its ``sig`` travels only for colliding
+    bucket rows. The within-batch self-join runs on signature
+    REPRESENTATIVES only (identical-sig docs collapse to their earliest
+    member — the flood guard of the batch LSH pipeline, applied per
+    tick) with residual buckets capped at ``max_bucket_size``; both
+    sides broadcast batch-sized data. Candidate verification is pure
+    column arithmetic on the signatures already in hand
+    (sig_est_jaccard) — no text re-read. The index needs no cap: it
+    only ever absorbs novel (is_new) content, so a flood contributes
+    one row per tick to the index, forever.
+    """
+    reps, twins, bb = _batch_sketch_views(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        caches=caches,
+    )
+    # Index side: narrow explode riding the scan; batch bands broadcast in.
+    ib = index.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("sig").alias("idx_sig"),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
+    # NOT distinct-ed: a pair colliding in several bands yields up to
+    # `bands` duplicate rows, but every consumer is duplicate-insensitive
+    # (max-struct agg in _best_match; explicit distinct in replays /
+    # twin_self_hits) — a distinct here would add a full shuffle of the
+    # candidate set to the tick for nothing.
+    raw = (
+        ib.join(F.broadcast(bb), on=["band", "band_hash"])
+        .select("doc_id", "idx_id", est.alias("est"))
+        .where(F.col("est") >= threshold)
+    ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
+    if caches is not None:
+        caches.append(raw)
+    return _minhash_raw_labels(
+        raw, reps, twins, bb,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+    )
+
+
+# --- bucketed minhash index (SCALING.md watchpoint 10) -----------------------
+
+
+def bucketed_band_rows(rows: DataFrame, *, num_buckets: int) -> DataFrame:
+    """Exploded (band_bucket, band, band_hash, doc_id, sig) rows from
+    packed (doc_id, sig, band_hashes) index rows — the bucketed index's
+    ONE table (SCALING.md "Bucketed incremental-index layout").
+
+    ``band_bucket = pmod(band_hash, num_buckets)`` is the Hive partition
+    column: a tick's probe set touches at most min(num_buckets,
+    batch_docs × bands) buckets, so the index scan prunes to the
+    batch's partitions instead of reading the whole corpus.
+
+    The signature rides each band row — the bands-fold duplicates it ×
+    bands, trading ≤ bands× storage (heavily de-duplicated by parquet
+    encoding: rows are hash-distributed by bucket and sorted by doc_id
+    within partitions, so a doc's identical sig arrays are adjacent)
+    for the flat tick's exact join shape: the pruned scan carries
+    idx_sig inline, the ONLY broadcast is the batch-bounded band rows,
+    and candidates are never collected or broadcast. (A side sigs table
+    keyed by doc_id was tried first and rejected in review: attaching
+    signatures to candidates then needs either a broadcast of the
+    COLLISION-bounded candidate set — which grows with the corpus and
+    OOMs in exactly the large-corpus regime the layout targets — or a
+    second table whose append is not atomic with the bands append,
+    breaking replay safety on a crash between the two.)
+
+    Hash-distributed by the partition column before write — Iceberg's
+    ``write.distribution-mode=hash`` analogue — so a partitioned write
+    lands ~one file per bucket dir instead of (tasks × buckets)
+    splinters: without it, tools/mhb_scale.py measured a 32-task create
+    producing 8192 files for a 256-bucket table, and the tiny-file open
+    cost dwarfed the pruning win."""
+    return (
+        rows.select(
+            "doc_id", "sig",
+            F.posexplode("band_hashes").alias("band", "band_hash"),
+        )
+        .select(
+            F.pmod(F.col("band_hash"), F.lit(num_buckets))
+            .cast("int")
+            .alias("band_bucket"),
+            "band",
+            "band_hash",
+            "doc_id",
+            "sig",
+        )
+        .repartition(num_buckets, "band_bucket")
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def incremental_minhash_tick_bucketed(
+    band_index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    band_buckets: int = 32,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`incremental_minhash_tick` against the BUCKETED index
+    layout — identical labels (bucketing changes which index FILES a
+    tick reads, never which band collisions exist), index I/O pruned to
+    the batch's touched buckets instead of O(corpus).
+
+    ``band_index`` is the exploded single-table layout of
+    :func:`bucketed_band_rows`, Hive-partitioned by ``band_bucket``
+    (the snapshot format recovers Hive partitions with pruning —
+    tables/format.py). This is the sandbox expression of the Iceberg
+    ``bucket(N, col)`` partition-transform layout the SCALING.md design
+    note targets; at real Iceberg scale the same tick runs unchanged on
+    a transform-partitioned table.
+
+    One driver-bounded collect steers the pruning (the adjudicated
+    metadata-sized-collect pattern, like the IVF quantizer centroids):
+    the batch's distinct ``band_bucket`` list (≤ band_buckets ints),
+    applied as a STATIC partition filter — the plan's index scan shows
+    it (PartitionFilters, pinned by tests).
+
+    Everything from the candidate set down is shared with the flat tick
+    (:func:`_batch_sketch_views` + :func:`_minhash_raw_labels`) and the
+    join shape matches it exactly: the pruned scan explodes nothing (the
+    table is pre-exploded) and broadcast-joins the batch's band rows —
+    the index never shuffles, is never collected, is never broadcast;
+    the only broadcast is batch-bounded. Same ``caches`` contract as
+    the flat tick (caches[0] is the marked batch sketch the append path
+    reuses).
+
+    Regime (SCALING.md "two-regime result", measured by
+    tools/mhb_scale.py): pruning follows 1−exp(−H/N) in the batch's
+    distinct band-hash count H, so the layout pays for SMALL ticks
+    against LARGE corpora (streaming / near-real-time ingest); bulk
+    ticks (H ≥ N) prune nothing and should use the flat op, which stays
+    available unchanged."""
+    reps, twins, bb = _batch_sketch_views(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        caches=caches,
+    )
+    # Driver-bounded collect: ≤ band_buckets ints — the batch's touched
+    # partitions, applied as a static partition filter on the scan.
+    touched = sorted(
+        r[0]
+        for r in bb.select(
+            F.pmod(F.col("band_hash"), F.lit(band_buckets))
+            .cast("int")
+            .alias("band_bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = (
+        band_index.where(F.col("band_bucket").isin(touched))
+        if touched
+        else band_index.where(F.lit(False))  # empty batch: scan nothing
+    )
+    ib = pruned.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("sig").alias("idx_sig"),
+        "band",
+        "band_hash",
+    )
+    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
+    # From here the tick IS the flat tick on a pruned scan: same
+    # broadcast of bb, same no-distinct candidate set (duplicates across
+    # bands tolerated — all consumers duplicate-insensitive), same
+    # shared label derivation.
+    raw = (
+        ib.join(F.broadcast(bb), on=["band", "band_hash"])
+        .select("doc_id", "idx_id", est.alias("est"))
+        .where(F.col("est") >= threshold)
+    ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
+    if caches is not None:
+        caches.append(raw)
+    return _minhash_raw_labels(
+        raw, reps, twins, bb,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+    )

@@ -82,21 +82,15 @@ def register(
 # bump _CHANGED_AS_OF_ROUND when refreshing it: once the driver's check
 # for that round has produced a CORRECTNESS file, the list is spent and
 # auto-expires (a stale entry must not outrank never-checked queries).
-_CHANGED_AS_OF_ROUND = 16
+_CHANGED_AS_OF_ROUND = 17
 _CHANGED_THIS_ROUND: list[str] = [
-    # r16: the IVF candidate-pair dedup removal (SCALING.md watchpoint
-    # 11, pre-measured by tools/dedup_ab.py, execution plan in README's
-    # r15 round notes). Results are provably identical — pairs are
-    # unique by construction wherever the corpus side is flat-assigned
-    # n_best=1 and the probed cells are distinct — but the plan changed
-    # for every consumer of the four removed sites, so all 7 re-check:
-    "similarity_ann_ivf",
-    "similarity_ivf_kmeans",
-    "similarity_ann_ivf_pq",
-    "similarity_ann_ivf_pq_residual",
-    "similarity_ann_ivf_pq_residual_two_level",
-    "similarity_knn_label_vote",
-    "similarity_ann_ivf_two_level",
+    # r17: the bucketed-index refactor (SCALING.md watchpoint 10) —
+    # incremental_minhash_tick's sketch-marking and label-derivation
+    # blocks are now the shared helpers _marked_batch_sketch /
+    # _minhash_raw_labels (extracted verbatim; the bucketed tick reuses
+    # them), so the two consumers of the flat tick re-check:
+    "dedup_incremental_minhash",
+    "stream_incremental_minhash",
 ]
 # Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
 # Front = the 2 slipped r10 ops (`dedup_incremental_exact`,
