@@ -91,6 +91,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # them), so the two consumers of the flat tick re-check:
     "dedup_incremental_minhash",
     "stream_incremental_minhash",
+    # r17: _SEMDECON["thresh"] 0.30 -> 0.29 (VERDICT r16 #3 — the
+    # incremental tick's only driver row matched on 0 rows; one notch
+    # down makes the attestation non-vacuous). The constant is shared
+    # by both decontaminators and their oracles:
+    "corpus_semantic_decontaminate",
+    "corpus_semantic_decontaminate_incremental",
 ]
 # Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
 # Front = the 2 slipped r10 ops (`dedup_incremental_exact`,
