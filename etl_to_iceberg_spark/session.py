@@ -177,9 +177,15 @@ def kerberos_conf(
       mirrors ``fs.s3a.*``.
 
     Without a principal+keytab pair this emits the reference's
-    insecure-dev branch instead: ``HADOOP_USER_NAME`` for driver and
-    executors (the simple-auth identity ``InsecureClient(user=...)``
-    maps to). Env layering matches the package convention:
+    insecure-dev branch instead: ``HADOOP_USER_NAME`` for executors and
+    a cluster-mode (YARN AM) driver — the simple-auth identity
+    ``InsecureClient(user=...)`` maps to. A client-mode/local driver
+    takes its identity from its own process env, which ``spark.*Env``
+    conf cannot set retroactively: export ``HADOOP_USER_NAME`` in the
+    launching shell for that case. (The env-var default below covers it
+    for free — when the identity comes from ``HADOOP_USER_NAME`` rather
+    than the ``user=`` arg, the client-mode driver inherits the same
+    variable.) Env layering matches the package convention:
     ``KERBEROS_PRINCIPAL`` / ``KERBEROS_KEYTAB`` / ``HDFS_NAMENODES`` /
     ``HADOOP_USER_NAME`` are the defaults. Pure assembly — layer via
     ``SessionConfig.extra_conf``; nothing here requires the sandbox to

@@ -81,25 +81,57 @@ def ensure_replica(path: str, build) -> None:
         return
     lock = path.rstrip("/") + ".lock"
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+
+    def _stale() -> bool:
+        # A SIGKILLed builder's finally never runs, so its lock would
+        # otherwise pin every later run into the full wait + raise
+        # (ADVICE r16). Two reclaim signals: the recorded builder PID is
+        # gone, or the lock has outlived the build deadline.
+        try:
+            st = os.stat(lock)
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return False  # vanished or mid-write: let the loop re-check
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # builder died without cleanup
+            except PermissionError:
+                pass  # alive but not ours
+        return _time.time() - st.st_mtime > 1800
+
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        # Another process is building: wait for its _SUCCESS (or for a
-        # stale lock from a killed builder — rebuild after it vanishes).
+        # Another process is building: wait for its _SUCCESS, for the
+        # lock to vanish (normal cleanup), or for it to go stale
+        # (killed builder) — then take over instead of raising forever.
         deadline = _time.time() + 1800
         while _time.time() < deadline:
             if _complete():
                 return
             if not os.path.exists(lock):
                 return ensure_replica(path, build)
+            if _stale():
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass  # another waiter reclaimed it first
+                return ensure_replica(path, build)
             _time.sleep(2.0)
         raise TimeoutError(f"replica build lock held too long: {lock}")
     try:
+        os.write(fd, str(os.getpid()).encode())
         if not _complete():  # re-check under the lock
             build().write.mode("overwrite").parquet(path)
     finally:
         os.close(fd)
-        os.unlink(lock)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # reclaimed as stale while we (validly) held it past deadline
 
 
 def replicate_embeddings(emb, r: int, keep: tuple[str, ...] = (), d: int = 64):

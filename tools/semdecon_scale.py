@@ -10,6 +10,7 @@ Results row -> SCALING.md.
 """
 import os
 import sys
+import tempfile
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -129,7 +130,16 @@ for sf_name, (emb, nlist) in {
         ),
         cents, id_col="eval_id", n_best=NPROBE,
     ).select("eval_id", "cell", F.col("__v").alias("__ev"))
-    idx = spark.createDataFrame(idx_rows.collect(), idx_rows.schema)
+    # Materialize through a temp parquet (the op's sidecar posture), not
+    # collect(): the index is nprobe rows per eval vector with 64-dim
+    # arrays and the eval side grows with the replica factor, so a
+    # driver round-trip would pressure driver memory at larger scale
+    # points even though the op itself never collects (ADVICE r16).
+    _idx_path = os.path.join(
+        tempfile.mkdtemp(prefix="semdecon-scale-"), "eval_idx"
+    )
+    idx_rows.write.mode("overwrite").parquet(_idx_path)
+    idx = spark.read.parquet(_idx_path)
     batch = tr.where(F.col("vec_id") % 5 == 4)
     nbatch = batch.count()
 
