@@ -41,6 +41,8 @@ shape (no SortMergeJoin, no CartesianProduct anywhere in a tick).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_to_iceberg_spark.ext.dedup import minhash_signatures
@@ -774,3 +776,48 @@ def incremental_minhash_tick_bucketed(
         raw, reps, twins, bb,
         threshold=threshold, max_bucket_size=max_bucket_size,
     )
+
+
+def choose_minhash_tick(
+    *,
+    batch_band_hashes: int,
+    band_buckets: int,
+    flat_index_bytes: int | None = None,
+    exploded_inflation: float = 2.5,
+    min_flat_bytes: int = 128 * 1024 * 1024,
+) -> str:
+    """Pick ``"flat"`` or ``"bucketed"`` for a minhash tick from the
+    two-regime result (SCALING.md "Implemented + measured (r17)"): the
+    bucketed layout's expected touched fraction is ``1 - exp(-H/N)`` in
+    the batch's distinct band-hash count H and the bucket count N, and
+    its exploded rows inflate stored bytes by ``exploded_inflation``
+    (measured 2.46x at the 10x fixture, parquet-deduplicated sigs), so
+    the pruned read beats the flat full scan in absolute bytes exactly
+    when::
+
+        (1 - exp(-H/N)) * inflation < 1
+        <=>  H < N * ln(inflation / (inflation - 1))   # ~0.51*N at 2.5x
+
+    — small ticks against large corpora (streaming / near-real-time
+    ingest) go bucketed; bulk ticks (H approaching or exceeding N) keep
+    the flat op. Additionally, an index whose FLAT form is smaller than
+    ``min_flat_bytes`` (one full parquet file, so N full-sized files is
+    unreachable) is dominated by per-file opens, not bytes — measured
+    finding 3: the flat tick wins everywhere at sandbox SF — so small
+    indexes always dispatch flat when ``flat_index_bytes`` is known.
+
+    Pure arithmetic on driver-known numbers: H is the batch sketch's
+    distinct band-hash count (the tick computes it anyway for the
+    touched-bucket list), N is fixed at index-creation DDL, and the
+    index bytes come from table metadata (meta_file_info). Callers may
+    also choose manually — both ops stay public — but this writes the
+    crossover down as code instead of prose.
+    """
+    if batch_band_hashes < 0 or band_buckets <= 0:
+        raise ValueError("batch_band_hashes >= 0 and band_buckets > 0 required")
+    if exploded_inflation <= 1.0:
+        raise ValueError("exploded_inflation must exceed 1 (bands-fold sig copies)")
+    if flat_index_bytes is not None and flat_index_bytes < min_flat_bytes:
+        return "flat"
+    touched = 1.0 - math.exp(-batch_band_hashes / band_buckets)
+    return "bucketed" if touched * exploded_inflation < 1.0 else "flat"

@@ -174,3 +174,80 @@ def test_registered_bucketed_query_matches_flat(spark, sf_dir):
     b = specs["dedup_incremental_minhash_bucketed"].fn(spark, sf_dir)
     norm = lambda df: sorted(map(tuple, df.collect()), key=lambda t: t[0])
     assert norm(a) == norm(b)
+
+
+def test_choose_minhash_tick_crossover():
+    """The dispatch helper encodes SCALING.md's two-regime result:
+    bucketed wins iff (1 - exp(-H/N)) * inflation < 1."""
+    from etl_to_iceberg_spark.ext.incremental import choose_minhash_tick
+
+    big = 10**9  # large enough that bytes, not per-file opens, dominate
+    # The measured mhb_scale rows at x10 / N=2048 (SCALING.md table):
+    # H~320 touched 4.7 of 32.2 MB (flat 13.1) -> bucketed;
+    # H~1600 touched 17.9 MB > flat 13.1 -> flat; H >= N prunes nothing.
+    assert (
+        choose_minhash_tick(
+            batch_band_hashes=320, band_buckets=2048, flat_index_bytes=big
+        )
+        == "bucketed"
+    )
+    for h in (1600, 2048, 50_000):
+        assert (
+            choose_minhash_tick(
+                batch_band_hashes=h, band_buckets=2048, flat_index_bytes=big
+            )
+            == "flat"
+        )
+    # Crossover sits at H = N * ln(i/(i-1)) ~ 0.511*N for i=2.5.
+    import math
+
+    n = 1000
+    edge = int(n * math.log(2.5 / 1.5))
+    assert (
+        choose_minhash_tick(
+            batch_band_hashes=edge - 5, band_buckets=n, flat_index_bytes=big
+        )
+        == "bucketed"
+    )
+    assert (
+        choose_minhash_tick(
+            batch_band_hashes=edge + 5, band_buckets=n, flat_index_bytes=big
+        )
+        == "flat"
+    )
+    # Empty batch: reads nothing either way; bucketed scans zero buckets.
+    assert (
+        choose_minhash_tick(
+            batch_band_hashes=0, band_buckets=n, flat_index_bytes=big
+        )
+        == "bucketed"
+    )
+
+
+def test_choose_minhash_tick_small_index_and_validation():
+    """Finding 3: below one full parquet file the flat tick wins on
+    per-file overhead regardless of pruning; bad inputs raise."""
+    import pytest
+
+    from etl_to_iceberg_spark.ext.incremental import choose_minhash_tick
+
+    # The whole sandbox fixture (32 MB) dispatches flat even at H << N.
+    assert (
+        choose_minhash_tick(
+            batch_band_hashes=40, band_buckets=2048, flat_index_bytes=32_000_000
+        )
+        == "flat"
+    )
+    # Unknown size: fall back to the bytes law alone.
+    assert (
+        choose_minhash_tick(batch_band_hashes=40, band_buckets=2048)
+        == "bucketed"
+    )
+    with pytest.raises(ValueError):
+        choose_minhash_tick(batch_band_hashes=-1, band_buckets=8)
+    with pytest.raises(ValueError):
+        choose_minhash_tick(batch_band_hashes=1, band_buckets=0)
+    with pytest.raises(ValueError):
+        choose_minhash_tick(
+            batch_band_hashes=1, band_buckets=8, exploded_inflation=1.0
+        )
