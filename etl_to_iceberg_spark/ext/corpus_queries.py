@@ -272,7 +272,9 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__v")
     )
-    return ivf_probe_topk(c, q, centroids, k=10, nprobe=4)
+    return ivf_probe_topk(
+        c, q, centroids, k=10, nprobe=4, nlist=_IVFK_PARAMS["nlist"]
+    )
 
 
 # --- embedding-classifier scoring (kNN label vote + cluster purity) ---------
@@ -399,7 +401,7 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed-long HashAggregate per (query, label) group (the _best_cells
     shape: votes·2³² + (2³²−1−label) keeps whole-stage codegen, no
     SortAggregate)."""
-    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine_with_norms, ivf_assign, l2_norm
 
     k, nprobe = _KNN_VOTE["k"], _KNN_VOTE["nprobe"]
     emb = load_table(spark, sf_dir, "embeddings")
@@ -424,13 +426,25 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(idx.select("vec_id", "label"), on="vec_id")
 
     sidecars.ensure_sidecar(ia_side, sf_dir, build_index)
-    ia = spark.read.parquet(ia_side).select("vec_id", "label", "cell")
+    # ensure_parallelism: the stored index lands in O(1) small files at
+    # fixture scale, and the exact-cosine re-rank stage ROOTS at this
+    # scan — without the guard the dominant candidate-scoring stage ran
+    # on 2 tasks on a 32-core box (r17 SQL-tab profile: WholeStageCodegen
+    # over the 161k candidate pairs, max task 835 ms, 2 tasks). The
+    # repartition moves 1600 skinny (id, label, cell) rows; at real scale
+    # the index scan has ≥cores splits and the guard is a no-op.
+    from etl_to_iceberg_spark.plans import ensure_parallelism
+
+    ia = ensure_parallelism(
+        spark.read.parquet(ia_side).select("vec_id", "label", "cell")
+    )
     qa = ivf_assign(
         qry.select(
             F.col("vec_id").alias("query_id"),
             _to_double("embedding").alias("__v"),
         ),
         cents, id_col="query_id", n_best=nprobe, with_vector=False,
+        nlist=_IVFK_PARAMS["nlist"],
     )
     # No broadcast hints on the query side: unlike the two-level ANN
     # ops (whose query set is a bounded batch, ~1% by fixture design),
@@ -449,21 +463,28 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ia.join(qa, on="cell").select("query_id", "vec_id", "label")
     scored = (
         cand.join(
-            idx.select("vec_id", _to_double("embedding").alias("__cv")),
+            idx.select(
+                "vec_id", _to_double("embedding").alias("__cv")
+            ).withColumn("__cvn", l2_norm(F.col("__cv"))),
             on="vec_id",
         )
         .join(
             qry.select(
                 F.col("vec_id").alias("query_id"),
                 _to_double("embedding").alias("__qv"),
-            ),
+            ).withColumn("__qvn", l2_norm(F.col("__qv"))),
             on="query_id",
         )
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -562,6 +583,7 @@ def corpus_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(
         emb.select("vec_id", _to_double("embedding").alias("__v")),
         cents, id_col="vec_id", n_best=1, with_vector=False,
+        nlist=_IVFK_PARAMS["nlist"],
     ).join(emb.select("vec_id", "label"), on="vec_id")
     hist = assigned.groupBy("cell", "label").agg(
         F.count(F.lit(1)).alias("n")
@@ -706,7 +728,7 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned by the planted-paraphrase sweep, and the oracle re-derives
     the SAME blocking from the centroid sidecar so driver parity checks
     every verdict, near-misses included."""
-    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine_with_norms, ivf_assign, l2_norm
 
     thresh, nprobe = _SEMDECON["thresh"], _SEMDECON["nprobe"]
     emb = load_table(spark, sf_dir, "embeddings")
@@ -716,11 +738,13 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     ta = ivf_assign(
         tr.select("vec_id", _to_double("embedding").alias("__v")),
         cents, id_col="vec_id", n_best=1, with_vector=False,
+        nlist=_IVFK_PARAMS["nlist"],
     )
     ea = ivf_assign(
         ev.select(F.col("vec_id").alias("eval_id"),
                   _to_double("embedding").alias("__v")),
         cents, id_col="eval_id", n_best=nprobe, with_vector=False,
+        nlist=_IVFK_PARAMS["nlist"],
     )
     # The eval side IS broadcastable here — the opposite call from
     # similarity_knn_label_vote, for the same scale reason: there the
@@ -739,20 +763,28 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     cand = ta.join(F.broadcast(ea), on="cell").select("vec_id", "eval_id")
     scored = (
         cand.join(
-            tr.select("vec_id", _to_double("embedding").alias("__tv")),
+            tr.select(
+                "vec_id", _to_double("embedding").alias("__tv")
+            ).withColumn("__tvn", l2_norm(F.col("__tv"))),
             on="vec_id",
         )
         .join(
             F.broadcast(
                 ev.select(F.col("vec_id").alias("eval_id"),
                           _to_double("embedding").alias("__ev"))
+                .withColumn("__evn", l2_norm(F.col("__ev")))
             ),
             on="eval_id",
         )
         .select(
             "vec_id",
             "eval_id",
-            F.round(cosine(F.col("__tv"), F.col("__ev")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__tv"), F.col("__ev"), F.col("__tvn"), F.col("__evn")
+                ),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= thresh)
     )
@@ -880,7 +912,12 @@ def corpus_semantic_decontaminate_incremental(
     n_best=1, index cells distinct per eval_id), so there is no
     candidate dedup; the threshold filter runs before the per-vector
     best-pick window over hit-sized rows."""
-    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine, ivf_assign
+    from etl_to_iceberg_spark.ext.similarity import (
+        _to_double,
+        cosine_with_norms,
+        ivf_assign,
+        l2_norm,
+    )
 
     thresh = _SEMDECON["thresh"]
     emb = load_table(spark, sf_dir, "embeddings")
@@ -894,20 +931,26 @@ def corpus_semantic_decontaminate_incremental(
         cents,
         id_col="vec_id",
         n_best=1,
+        nlist=_IVFK_PARAMS["nlist"],
     )
     scored = (
         ba.join(
             F.broadcast(
                 idx.select(
                     "eval_id", "cell", F.col("embedding").alias("__ev")
-                )
+                ).withColumn("__evn", l2_norm(F.col("__ev")))
             ),
             on="cell",
         )
         .select(
             "vec_id",
             "eval_id",
-            F.round(cosine(F.col("__v"), F.col("__ev")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__v"), F.col("__ev"), F.col("__vn"), F.col("__evn")
+                ),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= thresh)
     )
@@ -1050,11 +1093,17 @@ def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized work is the re-rank join back to the
     embeddings table on vec_id, carrying candidates/query ≈
     corpus·nprobe/nlist rows — the standard IVF candidate bound."""
-    from etl_to_iceberg_spark.ext.similarity import _to_double, cosine
+    from etl_to_iceberg_spark.ext.similarity import (
+        _to_double,
+        cosine_with_norms,
+        l2_norm,
+    )
 
     a = _ivf2l_assignments(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _to_double("embedding").alias("__v"))
+    e = emb.select("vec_id", _to_double("embedding").alias("__v")).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
     qa = a.where(F.col("side") == "q").select(
         F.col("id").alias("query_id"), "cell"
     )
@@ -1069,16 +1118,32 @@ def similarity_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(
             F.broadcast(
-                e.select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+                e.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("__v").alias("__qv"),
+                    F.col("__n").alias("__qvn"),
+                )
                 .join(F.broadcast(qa.select("query_id").distinct()), on="query_id")
             ),
             on="query_id",
         )
-        .join(e.select("vec_id", F.col("__v").alias("__cv")), on="vec_id")
+        .join(
+            e.select(
+                "vec_id",
+                F.col("__v").alias("__cv"),
+                F.col("__n").alias("__cvn"),
+            ),
+            on="vec_id",
+        )
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -2691,6 +2756,7 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         dsub=_PQ_DSUB,
         rerank=_PQ_RERANK,
+        nlist=_IVFK_PARAMS["nlist"],
     )
 
 
@@ -2873,6 +2939,7 @@ def similarity_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFram
         m=_PQ_M,
         dsub=_PQ_DSUB,
         rerank=_PQ_RERANK,
+        nlist=_IVFK_PARAMS["nlist"],
         residual=True,
     )
 
@@ -3038,6 +3105,7 @@ def similarity_ann_ivf_pq_residual_two_level(
         m=_PQ_M,
         dsub=_PQ_DSUB,
         residual=True,
+        nlist=_IVF2L_Q_PARAMS["nlist"],
     )
 
 

@@ -258,9 +258,21 @@ def jaccard_verify(
     )
     df = df.join(touched, on=id_col, how="left_semi")
     df = ensure_parallelism(df)  # shingle building is the dominant map cost
-    sets_df = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_n).alias("__set"),
+    # Both verify-join sides consume the shingle sets; uncached, the
+    # whole touched-docs subtree — semi-join against the candidate ids,
+    # parallelism repartition of the TEXT, and the shingle tokenization
+    # itself — executes twice, once per side (r17 plan audit: two
+    # identical LeftSemi+RoundRobin+Project(shingles) subtrees under the
+    # verify join). The cache bounds to candidate-touched docs only —
+    # the same id set the semi-join already restricts to, KB–MB per
+    # million docs after LSH pruning — and halves the dominant verify
+    # map cost (guide §2.4: share one computation instead of re-running
+    # the subtree; same tracked_cache release discipline as `pairs`).
+    sets_df = tracked_cache(
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(text_col, shingle_n).alias("__set"),
+        )
     )
     a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("set_a"))
     b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("set_b"))

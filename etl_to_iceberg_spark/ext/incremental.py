@@ -211,7 +211,7 @@ def incremental_ann_tick(
     distinct), so multiprobe introduces no candidate duplicates. The
     caller appends `ann_index_rows(batch)` afterwards (the insert half),
     which writes only the batch."""
-    from etl_to_iceberg_spark.ext.similarity import cosine
+    from etl_to_iceberg_spark.ext.similarity import cosine_with_norms, l2_norm
 
     if probes is None:
         probes = planes + 1
@@ -225,6 +225,7 @@ def incremental_ann_tick(
     q = brows.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qvn"),
         F.explode(
             F.array(
                 *[
@@ -235,13 +236,22 @@ def incremental_ann_tick(
         ).alias("bucket"),
     )
     scored = (
-        index.join(F.broadcast(q), on="bucket")
+        index.withColumn("__ivn", l2_norm(F.col("embedding")))
+        .join(F.broadcast(q), on="bucket")
         # A query's own index row (replayed batch) is not a neighbor.
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("embedding")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__qv"),
+                    F.col("embedding"),
+                    F.col("__qvn"),
+                    F.col("__ivn"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -53,6 +53,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(-1.0))
 
 
+def cosine_with_norms(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """:func:`cosine` with the two L2 norms PRECOMPUTED as columns.
+
+    Bit-identical to ``cosine(a, b)`` when ``an``/``bn`` are
+    :func:`l2_norm` of the same vectors: the norm is the same
+    ``sqrt(aggregate(...))`` double either way, and the remaining
+    arithmetic (multiply, compare, divide) is unchanged — only WHERE the
+    norm is evaluated moves. The point (guide §2.3 "shuffle fewer
+    bytes" / §1.2 "per-task work"): every join that scores PAIRS of
+    vectors was re-folding both norms per pair — up to 4 extra
+    array-aggregate passes per pair with the CASE branches — when each
+    vector's norm is a per-ROW quantity. Computing it once in the
+    projection before the join leaves exactly one array traversal (the
+    dot product) per pair."""
+    denom = an * bn
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(-1.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,14 +88,19 @@ def cosine_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cvn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qvn", l2_norm(F.col("__qv")))
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -205,10 +228,12 @@ def lsh_topk(
             )
         ).alias("bucket"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__cv")
+    ).withColumn("__cvn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qvn", l2_norm(F.col("__qv")))
     # No distinct: each vector carries exactly ONE bucket (a single
     # 2^planes hash, not multi-band LSH) and probe keys are distinct, so
     # the bucket equi-join yields at most one row per (corpus, query)
@@ -222,7 +247,12 @@ def lsh_topk(
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id", "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -278,17 +308,28 @@ def semantic_dedup_pairs(
 
     assigned = tracked_cache(assigned)
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cell"
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__vn").alias("__van"),
+        "cell",
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cell"
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__vn").alias("__vbn"),
+        "cell",
     )
     return (
         a.join(b, on="cell")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", "cell",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__van"), F.col("__vbn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -346,9 +387,17 @@ def knn_graph(
     from etl_to_iceberg_spark.caching import tracked_cache
 
     assigned = tracked_cache(assigned)
-    a = assigned.select("vec_id", F.col("__v").alias("__va"), "cell")
+    a = assigned.select(
+        "vec_id",
+        F.col("__v").alias("__va"),
+        F.col("__vn").alias("__van"),
+        "cell",
+    )
     b = assigned.select(
-        F.col("vec_id").alias("nbr_id"), F.col("__v").alias("__vb"), "cell"
+        F.col("vec_id").alias("nbr_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__vn").alias("__vbn"),
+        "cell",
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("nbr_id")
@@ -360,7 +409,12 @@ def knn_graph(
             "vec_id",
             "nbr_id",
             "cell",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__van"), F.col("__vbn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
@@ -595,6 +649,7 @@ def _best_cells(
     vec_col: str,
     n_best: int,
     with_vector: bool = True,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Per-id top-``n_best`` cells from (id, vec, cell, __cs) rows.
 
@@ -624,6 +679,9 @@ def _best_cells(
     column-pruned window shape (nlist skinny rows/vector) it replaces."""
     if not with_vector:
         scored = scored.drop(vec_col)
+        if norm_col is not None:
+            scored = scored.drop(norm_col)
+            norm_col = None
     if n_best == 1:
         m32 = F.lit((1 << 32) - 1).cast("long")
         pack = (
@@ -631,7 +689,12 @@ def _best_cells(
             + (m32 - F.col("cell").cast("long"))
         )
         cell_t = dict(scored.dtypes)["cell"]
-        keys = [id_col] + ([vec_col] if with_vector else [])
+        # The precomputed vector norm is a pure function of the vector,
+        # so riding it as an extra grouping key (8 fixed bytes) changes
+        # no group — it just survives to the consumers' pair scoring.
+        keys = [id_col] + (
+            [vec_col] + ([norm_col] if norm_col else []) if with_vector else []
+        )
         return (
             scored.select(*keys, pack.alias("__pk"))
             .groupBy(*keys)
@@ -659,6 +722,7 @@ def ivf_assign(
     two_level_min_nlist: int = TWO_LEVEL_MIN_NLIST,
     super_probes: int = 4,
     with_vector: bool = True,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_best`` nearest centroids by cosine.
 
@@ -690,15 +754,37 @@ def ivf_assign(
     (1 + super_probes)·√nlist ≈ 5√nlist scalar work per vector — the
     crossover vs flat nlist sits at nlist ≈ 25, hence the 64 threshold
     with margin."""
-    nlist_probe = centroids.limit(two_level_min_nlist).count()
+    # ``nlist`` lets callers that KNOW their quantizer's size (it is in
+    # every sidecar's params dict) skip the limit().count() probe — one
+    # whole extra Spark job per assignment call, pure scheduling
+    # overhead on the query path (guide §1.2: remove work before tuning
+    # it). Callers without the number keep the probe.
+    nlist_probe = (
+        nlist
+        if nlist is not None
+        else centroids.limit(two_level_min_nlist).count()
+    )
     if nlist_probe < two_level_min_nlist:
-        scored = vectors.join(F.broadcast(centroids)).select(
+        vecs = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        cents = centroids.withColumn("__cn", l2_norm(F.col("__cent")))
+        scored = vecs.join(F.broadcast(cents)).select(
             F.col(id_col),
             F.col(vec_col),
+            F.col("__vn"),
             F.col("cell"),
-            F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col),
+                    F.col("__cent"),
+                    F.col("__vn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("__cs"),
         )
-        return _best_cells(scored, id_col, vec_col, n_best, with_vector)
+        return _best_cells(
+            scored, id_col, vec_col, n_best, with_vector, norm_col="__vn"
+        )
 
     import math
 
@@ -712,24 +798,37 @@ def ivf_assign(
     super_probes = min(
         nsuper, max(super_probes, math.ceil(n_best * nsuper / nlist) + 1)
     )
-    sup_df = spark.createDataFrame(supers, "__super int, __scent array<double>")
+    sup_df = spark.createDataFrame(
+        supers, "__super int, __scent array<double>"
+    ).withColumn("__sn", l2_norm(F.col("__scent")))
     map_df = spark.createDataFrame(cellmap, f"cell {cell_t}, __super int")
     # Route: per-vector top-super_probes super-cells. collect_list over
     # the task-local fan-out + sort_array((-score, super)) is the same
     # (score desc, super asc) order the window would give, with ties
     # impossible (super ids are distinct) — but it partial-aggregates
-    # map-side, so the exchange carries n rows, not n·nsuper.
+    # map-side, so the exchange carries n rows, not n·nsuper. The
+    # vector's norm is folded ONCE per vector and rides the aggregate
+    # (like the vector itself) so neither routing nor child scoring
+    # re-folds it per scored pair.
     routed = (
-        vectors.join(F.broadcast(sup_df))
+        vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(sup_df))
         .select(
             F.col(id_col),
             F.col(vec_col),
+            F.col("__vn"),
             F.col("__super"),
-            F.round(cosine(F.col(vec_col), F.col("__scent")), 6).alias("__ss"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__scent"), F.col("__vn"), F.col("__sn")
+                ),
+                6,
+            ).alias("__ss"),
         )
         .groupBy(id_col)
         .agg(
             F.first(vec_col).alias(vec_col),
+            F.first("__vn").alias("__vn"),
             F.slice(
                 F.sort_array(
                     F.collect_list(
@@ -746,17 +845,30 @@ def ivf_assign(
         .select(
             F.col(id_col),
             F.col(vec_col),
+            F.col("__vn"),
             F.explode(F.col("__top").getField("u")).alias("__super"),
         )
     )
-    children = F.broadcast(centroids.join(F.broadcast(map_df), on="cell"))
+    children = F.broadcast(
+        centroids.withColumn("__cn", l2_norm(F.col("__cent"))).join(
+            F.broadcast(map_df), on="cell"
+        )
+    )
     scored = routed.join(children, on="__super").select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__vn"),
         F.col("cell"),
-        F.round(cosine(F.col(vec_col), F.col("__cent")), 6).alias("__cs"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__cent"), F.col("__vn"), F.col("__cn")
+            ),
+            6,
+        ).alias("__cs"),
     )
-    return _best_cells(scored, id_col, vec_col, n_best, with_vector)
+    return _best_cells(
+        scored, id_col, vec_col, n_best, with_vector, norm_col="__vn"
+    )
 
 
 def ivf_probe_topk(
@@ -766,18 +878,24 @@ def ivf_probe_topk(
     *,
     k: int = 10,
     nprobe: int = 4,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Shared IVF routing + re-rank over normalized inputs: ``c`` =
     (vec_id, __v), ``q`` = (query_id, __v), ``centroids`` = (cell,
     __cent) — used by :func:`ivf_topk` (first-ids quantizer),
     :func:`ivf_kmeans_topk` (trained quantizer), and the
     ``similarity_ivf_kmeans`` registry query (quantizer read back from
-    its oracle sidecar)."""
-    corpus_cells = ivf_assign(c, centroids, id_col="vec_id", n_best=1).select(
-        "vec_id", F.col("__v").alias("__cv"), "cell"
+    its oracle sidecar). ``nlist``, when the caller knows it, skips the
+    two per-assignment size-probe jobs (see :func:`ivf_assign`)."""
+    corpus_cells = ivf_assign(
+        c, centroids, id_col="vec_id", n_best=1, nlist=nlist
+    ).select(
+        "vec_id", F.col("__v").alias("__cv"), F.col("__vn").alias("__cvn"), "cell"
     )
-    query_cells = ivf_assign(q, centroids, id_col="query_id", n_best=nprobe).select(
-        "query_id", F.col("__v").alias("__qv"), "cell"
+    query_cells = ivf_assign(
+        q, centroids, id_col="query_id", n_best=nprobe, nlist=nlist
+    ).select(
+        "query_id", F.col("__v").alias("__qv"), F.col("__vn").alias("__qvn"), "cell"
     )
     # No candidate-pair dedup: the corpus side is flat-assigned n_best=1
     # and a query's probed cells are distinct (one row per cell from
@@ -789,7 +907,12 @@ def ivf_probe_topk(
     # two-level routing branch, −8% wall at 10×).
     scored = corpus_cells.join(query_cells, on="cell").select(
         "query_id", "vec_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -833,7 +956,7 @@ def ivf_topk(
         seed.withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
         .select(F.col("__rn").alias("cell"), F.col("__v").alias("__cent"))
     )
-    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe)
+    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe, nlist=nlist)
 
 
 def embedding_near_duplicates(
@@ -850,14 +973,22 @@ def embedding_near_duplicates(
     a = df.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("va"))
     if probe_filter is not None:
         a = a.where(probe_filter)
-    b = df.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("vb"))
+    a = a.withColumn("__van", l2_norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), _to_double(vec_col).alias("vb")
+    ).withColumn("__vbn", l2_norm(F.col("vb")))
     return (
         F.broadcast(a)
         .crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("__van"), F.col("__vbn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -903,7 +1034,7 @@ def ivf_kmeans_topk(
         corpus, id_col=id_col, vec_col=vec_col,
         nlist=nlist, train_fraction=train_fraction, seed=seed,
     )
-    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe)
+    return ivf_probe_topk(c, q, centroids, k=k, nprobe=nprobe, nlist=nlist)
 
 
 def ivf_kmeans_centroids(
@@ -1103,6 +1234,7 @@ def pq_adc_topk(
     dsub: int = 16,
     rerank: int | None = None,
     residual: bool = False,
+    nlist: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance computation (Jegou et al.
     2011): route queries to ``nprobe`` coarse cells, score candidates
@@ -1146,7 +1278,7 @@ def pq_adc_topk(
         from etl_to_iceberg_spark.caching import tracked_cache
 
         assigned = tracked_cache(
-            ivf_assign(c, centroids, id_col="vec_id", n_best=1)
+            ivf_assign(c, centroids, id_col="vec_id", n_best=1, nlist=nlist)
         )
         res_vec = assigned.join(F.broadcast(centroids), on="cell").select(
             "vec_id",
@@ -1157,7 +1289,8 @@ def pq_adc_topk(
     else:
         codes = pq_codes(c, codebooks, id_col="vec_id", m=m, dsub=dsub)
         corpus_cells = ivf_assign(
-            c, centroids, id_col="vec_id", n_best=1, with_vector=False
+            c, centroids, id_col="vec_id", n_best=1, with_vector=False,
+            nlist=nlist,
         )
     qsub = pq_subvectors(q, "query_id", m=m, dsub=dsub)
     part = _dec_sum(
@@ -1167,7 +1300,8 @@ def pq_adc_topk(
         "query_id", "m", "code", part.alias("__part")
     )
     query_cells = ivf_assign(
-        q, centroids, id_col="query_id", n_best=nprobe, with_vector=False
+        q, centroids, id_col="query_id", n_best=nprobe, with_vector=False,
+        nlist=nlist,
     )
     # No candidate-pair dedup (SCALING.md watchpoint 11): the corpus is
     # assigned n_best=1 in BOTH branches above (the two-level branch's
@@ -1226,15 +1360,24 @@ def pq_adc_topk(
         .select("query_id", "vec_id")
     )
     refined = (
-        shortlist.join(c, on="vec_id")
+        shortlist.join(c.withColumn("__cvn", l2_norm(F.col("__v"))), on="vec_id")
         .join(
-            F.broadcast(q.select("query_id", F.col("__v").alias("__qv"))),
+            F.broadcast(
+                q.select("query_id", F.col("__v").alias("__qv")).withColumn(
+                    "__qvn", l2_norm(F.col("__qv"))
+                )
+            ),
             on="query_id",
         )
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__qv"), F.col("__v"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     return (
@@ -1257,11 +1400,20 @@ def embedding_outlier_report(
     ``corpus_embedding_outlier_prune`` (see its docstring for the scale
     and exactness story), split out so model-sweep tests can drive it
     with synthetic vectors and quantizers."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v"))
-    scored = c.join(F.broadcast(centroids)).select(
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("__v")
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    scored = c.join(
+        F.broadcast(centroids.withColumn("__cn", l2_norm(F.col("__cent"))))
+    ).select(
         "vec_id",
         "cell",
-        F.round(cosine(F.col("__v"), F.col("__cent")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__v"), F.col("__cent"), F.col("__vn"), F.col("__cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("cell")

@@ -97,6 +97,35 @@ _CHANGED_THIS_ROUND: list[str] = [
     # by both decontaminators and their oracles:
     "corpus_semantic_decontaminate",
     "corpus_semantic_decontaminate_incremental",
+    # r17 optimization pass: norm-factored cosine (cosine_with_norms —
+    # the L2 norms are computed once per VECTOR in the projection before
+    # a join instead of once per scored PAIR inside it; bit-identical
+    # arithmetic, see the helper's docstring) through ivf_assign, the
+    # re-rank joins, and the tick scorer; plus the known-nlist probe-job
+    # skip. Every registered consumer of those helpers re-checks (all 21
+    # pre-verified green by tools/driver_sim.py this round):
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ann_lsh_multiprobe",
+    "similarity_ann_ivf",
+    "similarity_ivf_kmeans",
+    "similarity_ann_ivf_two_level",
+    "similarity_ann_ivf_pq",
+    "similarity_ann_ivf_pq_residual",
+    "similarity_ann_ivf_pq_residual_two_level",
+    "similarity_incremental_ann",
+    "similarity_quantizer_refresh",
+    "similarity_knn_graph",
+    "similarity_knn_label_vote",
+    "dedup_embedding_cosine",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_clusters",
+    "corpus_label_purity",
+    "corpus_embedding_outlier_prune",
+    # r17 optimization pass: jaccard_verify caches the candidate-touched
+    # shingle sets (both verify-join sides consumed the subtree — the
+    # semi-join + text repartition + tokenization ran twice per query):
+    "dedup_minhash_lsh",
 ]
 # Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
 # Front = the 2 slipped r10 ops (`dedup_incremental_exact`,
