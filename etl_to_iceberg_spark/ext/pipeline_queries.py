@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from etl_to_iceberg_spark.ext.queries import _SQL_FP
 from etl_to_iceberg_spark.ext.sampling import hash_bucket
 from etl_to_iceberg_spark.ext.text import WORD_RE, words
+from etl_to_iceberg_spark.plans import ensure_parallelism
 from etl_to_iceberg_spark.registry import register
 from etl_to_iceberg_spark.sources.tables import load_table
 from etl_to_iceberg_spark.tables import Catalog
@@ -118,7 +119,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     text never shuffles. The only exchanges carry (a) benchmark shingles
     and (b) contaminated doc_ids — both tiny. The final exclusion is a
     broadcast left-anti join on doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: the fixture table is one file → one partition,
+    # which serializes the regex tokenization + shingling onto a single
+    # core (the corpus_bloom_decontaminate guard, same reason). At real
+    # scale the scan has ≥cores splits and this is a no-op.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "lang", "n_chars", words("text").alias("__t"))
     base = toks.select(
         "doc_id", "lang", "n_chars", _shingles(F.col("__t"), _SHINGLE).alias("sh")
@@ -272,7 +277,9 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle carries (bigram, partial_count) — vocabulary-sized.
     Top-100 is TakeOrdered (no global sort), tie-broken on the bigram
     itself so the boundary is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: one fixture file → one partition would run the
+    # regex tokenization + bigram explode on a single core; no-op at scale.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("__t")
     )
@@ -507,7 +514,11 @@ def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_to_iceberg_spark.ext import text as X
     from etl_to_iceberg_spark.ext.sampling import assign_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: the whole pipeline (tokenize, shingle, score,
+    # fingerprint) fuses into the scan stage — with the one-file fixture
+    # scan that was ONE task doing 1.6s of regex work (r17 profile);
+    # no-op at real scale where the scan has ≥cores splits.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "text", words("text").alias("__t"))
     base = toks.select(
         "doc_id", "text", _shingles(F.col("__t"), _SHINGLE).alias("sh")

@@ -79,6 +79,28 @@ def avg_word_len(col: Column | str) -> Column:
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``bound`` ONCE per row
+    and hand the result to ``body`` as a lambda variable.
+
+    ``transform(array(bound), v -> body(v))[1]`` — the single-element
+    higher-order function is the only Catalyst construct that binds a
+    computed value to a name: inside the lambda, ``v`` is a
+    NamedLambdaVariable (a slot read), not a subtree, so however many
+    times ``body`` references it, the bound expression is computed once.
+    Why it matters (guide §1.2 per-task work / §7.2 duplicated
+    subtrees): composite scorers like :func:`lang_id` referenced their
+    shared token array in ~30 places, and each Python-side ``words(col)``
+    call built a FRESH ``regexp_extract_all`` subtree — Catalyst's
+    subexpression elimination only de-duplicates inside codegen, while
+    these higher-order expressions are CodegenFallback (interpreted), so
+    every reference re-tokenized the text. The binding also shrinks the
+    expression tree itself ~30×, which is what the optimizer and the
+    analyzer walk on every plan pass (measured: the corpus_curate_v2
+    pushed-down filter was a multi-page expression)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic (length / punctuation / stopword
     mix), the standard cheap pre-filter before expensive dedup/model
@@ -87,12 +109,33 @@ def quality_score(col: Column | str) -> Column:
     0.4 * min(word_count, 100)/100
     + 0.3 * (1 - punct_ratio)
     + 0.3 * min(stopword_ratio * 4, 1)
-    """
-    wc = word_count(col)
-    length_term = F.least(wc, F.lit(100)).cast("double") / 100
-    punct_term = F.lit(1.0) - punct_ratio(col)
-    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
-    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 6)
+
+    Arithmetic is unchanged from the formula above; the token arrays and
+    regex-stripped lengths are let-bound (:func:`_let`) so each is
+    computed once per row instead of once per reference."""
+    c = _c(col)
+    sw_lit = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    bound = F.struct(
+        words(c).alias("t"),
+        words(F.lower(c)).alias("lt"),
+        F.length(F.regexp_replace(c, r"\s", "")).alias("ns"),
+        F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")).alias("an"),
+    )
+
+    def body(s: Column) -> Column:
+        wc = F.size(s["t"])
+        length_term = F.least(wc, F.lit(100)).cast("double") / 100
+        punct = F.when(
+            s["ns"] > 0, (s["ns"] - s["an"]).cast("double") / s["ns"]
+        ).otherwise(F.lit(0.0))
+        punct_term = F.lit(1.0) - punct
+        hits = F.size(F.filter(s["lt"], lambda x: F.array_contains(sw_lit, x)))
+        n = F.size(s["lt"])
+        swr = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        sw_term = F.least(swr * 4, F.lit(1.0))
+        return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 6)
+
+    return _let(bound, body)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -107,18 +150,42 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     """Argmax language by marker hits; ties broken by fixed lexicon order
-    (en, es, fr, de); below ``min_hits`` → 'unknown'."""
-    scores = lang_scores(col)
+    (en, es, fr, de); below ``min_hits`` → 'unknown'.
+
+    Same argmax/tie-break arithmetic as always, with two let-bindings
+    (:func:`_let`): the lower-cased token array is computed once per row
+    (not once per marker-scan), and the four marker-hit counts plus
+    their max are computed once (not once per CASE branch — the unbound
+    form re-counted every score ~7× through the tie-break chain)."""
     langs = list(LANG_MARKERS)
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        best = F.greatest(best, scores[lang])
-    expr = F.lit("unknown")
-    for lang in reversed(langs):  # earlier langs win ties -> applied last
-        expr = F.when(
-            (scores[lang] == best) & (best >= min_hits), F.lit(lang)
-        ).otherwise(expr)
-    return expr
+
+    def body(toks: Column) -> Column:
+        scores = {}
+        for lang, markers in LANG_MARKERS.items():
+            lit = F.array(*[F.lit(w) for w in markers])
+            scores[lang] = F.size(
+                F.filter(toks, lambda x: F.array_contains(lit, x))
+            )
+        best = scores[langs[0]]
+        for lang in langs[1:]:
+            best = F.greatest(best, scores[lang])
+        bound = F.struct(
+            *[scores[lang].alias(f"s_{lang}") for lang in langs],
+            best.alias("best"),
+        )
+
+        def pick(s: Column) -> Column:
+            expr = F.lit("unknown")
+            for lang in reversed(langs):  # earlier langs win ties
+                expr = F.when(
+                    (s[f"s_{lang}"] == s["best"]) & (s["best"] >= min_hits),
+                    F.lit(lang),
+                ).otherwise(expr)
+            return expr
+
+        return _let(bound, pick)
+
+    return _let(words(F.lower(_c(col))), body)
 
 
 def normalize_text(col: Column | str) -> Column:
