@@ -581,7 +581,12 @@ class IceTable:
         return snap
 
     def _write_data(
-        self, df: DataFrame, version: int, partition_by: list[str]
+        self,
+        df: DataFrame,
+        version: int,
+        partition_by: list[str],
+        *,
+        sized: bool = True,
     ) -> list[FileEntry]:
         """Write ``df`` into a data dir private to this write attempt.
 
@@ -595,11 +600,53 @@ class IceTable:
         Iceberg gives a failed write's files."""
         token = uuid.uuid4().hex[:8]
         out_dir = os.path.join(self.location, "data", f"v{version}-{token}")
+        if sized:
+            # Maintenance rewrites (compact's binpack, zorder's n_files)
+            # pick their own layout and pass sized=False.
+            df = self._size_output(df)
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
         return self._list_written(out_dir)
+
+    @staticmethod
+    def _size_output(df: DataFrame) -> DataFrame:
+        """Coalesce the write to ~target-file-size outputs (guide §6: aim
+        for 128 MB–1 GB files; Iceberg's ``write.target-file-size-bytes``).
+
+        Without this every commit emitted one file per incoming partition
+        — a post-shuffle MERGE wrote 40 files for 1 MB of rows, and every
+        later reader/committer paid the per-file listing, open and footer
+        costs 40× (measured r17: the MERGE read-back's 'Listing leaf
+        files' job alone was ~0.1 s at sf0.1). The file count derives
+        from the optimizer's size estimate over the target size
+        (``E2IS_TARGET_FILE_BYTES``, default 128 MiB), so the behavior is
+        scale-adaptive: fixture-sized commits collapse to one file, a
+        10 GB commit keeps ~80 write tasks. ``coalesce`` never RAISES the
+        partition count, and an overestimate only means more, smaller
+        files (today's behavior) — so the fallback on any estimate
+        failure is simply to write at the incoming partitioning.
+
+        A frame that ENDS in an explicit repartition or sort is a caller
+        asking for that layout (range-partitioned files for pruning, a
+        clustering sort) — real Iceberg likewise respects the incoming
+        distribution when the user supplies one — so sizing skips when
+        the logical plan's root is a repartition/sort node."""
+        try:
+            root = df._jdf.queryExecution().logical().nodeName()
+            if root in ("Repartition", "RepartitionByExpression", "Sort"):
+                return df
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = int(
+                os.environ.get("E2IS_TARGET_FILE_BYTES", 128 * 1024 * 1024)
+            )
+            n = max(1, -(-est // max(target, 1)))
+            return df.coalesce(n)
+        except Exception:
+            return df
 
     @staticmethod
     def _bases(entries: list[FileEntry]) -> tuple[str, ...]:

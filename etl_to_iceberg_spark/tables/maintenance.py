@@ -84,7 +84,7 @@ def compact(
         df = df.repartition(int(n_files), *[F.col(c) for c in spec])
     else:
         df = df.repartition(int(n_files))
-    files = table._write_data(df, version, spec)
+    files = table._write_data(df, version, spec, sized=False)
     return table._commit(
         "replace",
         files,
@@ -372,7 +372,7 @@ def cluster_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    files = table._write_data(clustered, version, snap.partition_by)
+    files = table._write_data(clustered, version, snap.partition_by, sized=False)
     return table._commit(
         "replace",
         files,

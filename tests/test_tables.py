@@ -122,8 +122,13 @@ def test_partitioned_write_prunes(cat, spark, sf_dir):
 def test_compaction_reduces_files_preserves_rows(cat, spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     t = cat.table("s.ev_c")
-    t.append(ev.repartition(16))
+    # Small files come from many small COMMITS (each append is sized to
+    # the target-file-size, so a single small append is one file now —
+    # the compaction target is the accumulation across commits).
+    for k in range(4):
+        t.append(ev.where(F.col("event_id") % 4 == k))
     before = len(t.snapshot().files)
+    assert before >= 4
     snap = maintenance.compact(t, target_file_size_mb=512)
     assert len(snap.files) < before
     assert t.read().count() == ev.count()
