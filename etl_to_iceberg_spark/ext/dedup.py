@@ -957,14 +957,18 @@ def connected_components(
         .select(F.col("label").alias("e_src"), F.explode("__roots").alias("e_dst"))
         .where(F.col("e_src") != F.col("e_dst"))
     )
-    sym = ckpt(
-        bridge.union(
-            bridge.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
-        ).distinct()
-    )
+    sym = bridge.union(
+        bridge.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+    ).distinct()
 
-    # The bridge graph is already durably materialized, so sizing it is
-    # one cheap count — and its size decides the merge strategy:
+    # Size probe AND driver payload in ONE job (r17): collect through
+    # limit(max+1) off the seeded checkpoint. ≤ max rows back = the
+    # exact bridge, already on the driver; max+1 back = "too big", take
+    # the distributed path (the truncated row set is discarded, so its
+    # nondeterminism never matters). This replaces the previous
+    # ckpt-write + count + collect trio — two jobs and their driver
+    # gaps per CC call — and only the distributed path pays for a
+    # durable sym materialization (which only IT re-reads).
     #
     # - 0 edges: every component was partition-local; the contraction is
     #   final. No fixpoint at all.
@@ -979,7 +983,8 @@ def connected_components(
     # - bigger: the distributed min-label + pointer-doubling fixpoint,
     #   O(log bridge-diameter) rounds over the contracted relation.
     rounds = 0
-    n_bridge = sym.count()
+    probe = sym.limit(driver_bridge_max + 1).collect()
+    n_bridge = len(probe)
     driver_labels: dict | None = None
     if n_bridge == 0:
         max_iterations = 0
@@ -995,7 +1000,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
+        for row in probe:
             s, d = row["e_src"], row["e_dst"]
             parent.setdefault(s, s)
             parent.setdefault(d, d)
@@ -1005,6 +1010,11 @@ def connected_components(
                     rs, rd = rd, rs
                 parent[rd] = rs
         driver_labels = {n: _find(n) for n in parent}
+    else:
+        # distributed fixpoint: durably materialize sym once — every
+        # round joins against it — and take the exact size for stats.
+        sym = ckpt(sym)
+        n_bridge = sym.count()
 
     labels = ckpt(
         sym.select(F.col("e_src").alias("node"))

@@ -1027,10 +1027,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 3 candidate bands turns it into an equi-join on (source, band):
     each true pair is produced exactly once (a doc's 3 exploded bands are
     distinct), comparisons shrink to same-band pairs, and the original
-    range filter stays as the exact check."""
+    range filter stays as the exact check.
+
+    Plain load_table, NOT _load_balanced (r17): the per-row work here is
+    floor/explode/broadcast-probe — there is no CPU-heavy map stage for
+    the guard to protect, and its round-robin exchange + 32-task
+    scheduling measured 2-3× the single-task compute at sf0.1 (0.55s →
+    1.3-2.0s for the edge build). On real multi-split inputs the guard
+    is a no-op anyway, so removing it changes nothing at scale."""
     from etl_to_iceberg_spark.ext.dedup import connected_components
 
-    docs = _load_balanced(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     a = docs.select(
         F.col("doc_id").alias("src"),
         F.col("source").alias("src_source"),

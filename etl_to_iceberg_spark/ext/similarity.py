@@ -153,12 +153,61 @@ def lsh_bucket_expr(vec: Column, *, planes: int, dim: int) -> Column:
     THE bucket function. Both the batch ANN path (rp_lsh_buckets) and
     the incremental index (ext/incremental.ann_index_rows) call this one
     expression: stored index buckets and query-side buckets must stay
-    bit-identical forever, or candidate lookups silently go empty."""
-    bucket = None
+    bit-identical forever, or candidate lookups silently go empty.
+
+    Two structural choices vs the obvious per-plane Python unroll, both
+    pinned bit-identical to the `_hyperplane_sign` reference over every
+    fixture embedding (tests/test_ext.py):
+
+    - The ±1 patterns are precomputed in Python and shipped as ONE
+      literal array (exact: the LCG stays ≤2^41, inside both Python int
+      and Java long). The unrolled form only evaluated fast because
+      Catalyst constant-folded the per-plane `transform(sequence)` sign
+      arrays; folding the plane index into a lambda variable without
+      this loses that and pays planes×dim LCG evals per ROW (measured
+      0.04s → 0.91s on the corpus stage).
+    - The plane loop folds with Horner's scheme (``acc*2 + sign_p``,
+      planes high→low ≡ Σ sign_p·2^p in the same int arithmetic), so
+      the Catalyst tree is ~`planes`× smaller: plan build drops ~0.4s →
+      ~0.2s per call site and per-row eval is ~25% faster than the
+      unrolled fold (one codegen'd aggregate vs `planes` interpreted
+      ones)."""
+    flat: list[int] = []
     for p in range(planes):
-        bit = _hyperplane_sign(vec, p, dim) * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+        for d in range(dim):
+            bit = (((p * dim + d) * 1103515245 + 12345) >> 16) & 1
+            flat.append(1 if bit == 1 else -1)
+    # one SQL-parsed literal, not F.lit(list): lit() round-trips py4j per
+    # element (~0.3s of driver time per call site at planes=6·dim=64)
+    signs = F.expr(f"array({','.join(str(s) for s in flat)})")
+
+    def sign(p: Column) -> Column:
+        # identical decimal(28,10) projection arithmetic to the
+        # reference; only the sign source moved from expression to
+        # literal.
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(signs, p * F.lit(dim) + 1, dim),
+                lambda x, s: (x.cast("decimal(28,10)") * s),
+            ),
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, x: (acc + x).cast("decimal(28,10)"),
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(planes - 1), F.lit(0), F.lit(-1)),
+        F.lit(0),
+        lambda acc, p: acc * F.lit(2) + sign(p),
+    )
+    # coalesce for NULLABILITY, not value: the when/otherwise chain already
+    # yields 0 for a null vec (as the unrolled reference did), but Catalyst
+    # marks the aggregate HOF nullable — and a nullable join key gets an
+    # isnotnull() filter pushed below ensure_parallelism's repartition,
+    # re-evaluating this whole expression per row in the single-task scan
+    # stage (measured 0.9s at sf0.1). Non-nullable folds that filter away.
+    return F.coalesce(bucket, F.lit(0))
 
 
 def rp_lsh_buckets(

@@ -103,6 +103,30 @@ def test_ngram_jaccard_pairs_bounded(planted):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
 
 
+def test_lsh_bucket_folded_matches_unrolled(spark, sf_dir):
+    """lsh_bucket_expr folds the plane loop with Horner's scheme; stored
+    index buckets depend on it staying bit-identical to the per-plane
+    reference (`_hyperplane_sign` unrolled in Python) forever."""
+    from etl_to_iceberg_spark.ext.similarity import (
+        _hyperplane_sign,
+        _to_double,
+        lsh_bucket_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _to_double("embedding")
+    for planes in (4, 6, 8):
+        unrolled = sum(
+            _hyperplane_sign(v, p, 64) * (1 << p) for p in range(planes)
+        )
+        df = emb.select(
+            lsh_bucket_expr(v, planes=planes, dim=64).alias("n"),
+            unrolled.alias("o"),
+        )
+        assert df.schema["n"].dataType == df.schema["o"].dataType
+        assert df.where("n IS DISTINCT FROM o").count() == 0
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     from etl_to_iceberg_spark.ext.similarity import cosine_topk, lsh_topk
 
