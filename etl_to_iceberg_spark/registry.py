@@ -126,6 +126,37 @@ _CHANGED_THIS_ROUND: list[str] = [
     # shingle sets (both verify-join sides consumed the subtree — the
     # semi-join + text repartition + tokenization ran twice per query):
     "dedup_minhash_lsh",
+    # r17 optimization pass: lang_id/quality_score rebuilt with a
+    # let-bound token array (one tokenization per row instead of one per
+    # reference; bit-identical arithmetic) + parallelism guards on the
+    # text pipelines. All 8 registered consumers re-check (pre-verified
+    # green by tools/driver_sim.py this round):
+    "text_quality_score",
+    "text_lang_id",
+    "corpus_curate",
+    "corpus_curate_v2",
+    "text_quality_rank_filter",
+    "corpus_token_budget_mix",
+    "corpus_decontaminate",
+    "text_ngram_topk",
+    # r17 optimization pass: connected_components folds the bridge-size
+    # probe and driver payload into one limit(max+1) collect, and
+    # dedup_connected_components drops the no-op balancing exchange:
+    "dedup_connected_components",
+    # r17 optimization pass: _write_data sizes outputs to the target
+    # file size (guide §6). Values are layout-independent (20-op parity
+    # sweep green this round); the ops whose TIMED write path changed
+    # re-check:
+    "merge_keyed_upsert",
+    "cdc_incremental_upsert",
+    "merge_schema_evolve",
+    "delete_where_mor",
+    "maint_compact",
+    "sink_iceberg_append",
+    "sink_iceberg_overwrite",
+    "sink_partitioned_write",
+    "ddl_create_table_auto",
+    "dedup_incremental_exact",
 ]
 # Round-15 rotation budget (VERDICT r14 #1): rotation-FULL, churn = 0.
 # Front = the 2 slipped r10 ops (`dedup_incremental_exact`,
