@@ -46,6 +46,36 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_frame(df: DataFrame) -> None:
+    """Release a frame produced by ``.cache()`` OR ``localCheckpoint()``.
+
+    ``unpersist()`` only drops CacheManager blocks; a localCheckpointed
+    frame's blocks belong to the checkpointed RDD inside its LogicalRDD
+    leaf, which unpersist never touches — they otherwise linger in the
+    block store until the ContextCleaner notices the RDD is garbage
+    (GC-paced, unbounded in a long-lived service). This walks the
+    analyzed plan root and unpersists that RDD explicitly, so streaming
+    loops keep a deterministic one-tick block-store footprint
+    (tests/test_incremental_sweep.py's getPersistentRDDs no-growth
+    assertion).
+
+    Contract: release strictly AFTER the frame's last consumer has run.
+    A released cache merely recomputes; a released local checkpoint has
+    TRUNCATED lineage and recomputation raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the existing unpersist-after-
+    materializing discipline, hard-enforced."""
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — cache died with its session
+        pass
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — non-RDD plan root / stopped session
+        pass
+
+
 def release_operator_caches() -> int:
     """Unpersist every tracked operator cache; returns how many released.
 

@@ -50,6 +50,31 @@ from etl_to_iceberg_spark.ext.text import fingerprint
 from etl_to_iceberg_spark.plans import ensure_parallelism
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize the batch sketch, ONCE (guide §1/§5: the
+    marked sketch feeds several consumers that Spark launches as
+    CONCURRENT jobs — the tick's main action plus the label plan's
+    broadcast builds. A lazy ``.cache()`` does not block the losers of
+    that race: Spark's block-level getOrElseUpdate lets every concurrent
+    job compute the full subtree, so the k×|shingles| signature fold was
+    profiled running 2-4× per tick at sf0.1. An EAGER ``localCheckpoint``
+    runs exactly one fully-parallel job and every consumer reads the
+    stored blocks; labels are bit-identical (oracle-parity re-verified).
+    An eager ``.count()`` on the cache was tried first and measured NET
+    WORSE — racing consumers stayed on the cache — see
+    OPTIMIZATION_r17.md "Negative results" #1 and the A/B in the r17
+    session log.)
+
+    Fault/cleanup posture at scale: the frame is batch-sized
+    (~300 B/doc). Blocks are released deterministically via
+    caching.release_frame (streaming wrapper / the ops' prev-tick
+    sweep); a lost block fails only the tick, which is replay-safe by
+    design (already_ingested detection, idempotent appends) — the
+    retried tick recomputes from the batch, the reference CDC operators'
+    per-schedule retry discipline."""
+    return df.localCheckpoint(eager=True)
+
+
 # --- exact -----------------------------------------------------------------
 
 
@@ -360,25 +385,27 @@ def _best_match(
 
 def _marked_batch_sketch(brows: DataFrame) -> DataFrame:
     """The batch sketch with exact-signature collapse bookkeeping,
-    CACHED (same flood guard as the batch LSH pipeline): batch docs with
-    IDENTICAL signatures collapse to their earliest member (``__rep``);
-    twins label directly and never enter the banded joins, so 10k
-    boilerplate copies in one tick contribute ONE row to every join
-    instead of a 10k² bucket. The marked sketch feeds FOUR consumers
-    (index-candidate broadcast, both sides of the within-batch
-    self-join, and the result id spine); uncached, each branch re-runs
-    the k×|shingles| signature fold — measured 5.3s → 1.4s for a
-    500-doc tick at sf0.1 with the cache. Batch-sized by construction
-    (~300 B/doc), LRU-evictable. Shared by the flat and bucketed ticks;
-    the caller owns the unpersist (via its ``caches`` list)."""
+    eagerly MATERIALIZED (same flood guard as the batch LSH pipeline):
+    batch docs with IDENTICAL signatures collapse to their earliest
+    member (``__rep``); twins label directly and never enter the banded
+    joins, so 10k boilerplate copies in one tick contribute ONE row to
+    every join instead of a 10k² bucket. The marked sketch feeds FOUR
+    consumers (index-candidate broadcast, both sides of the within-batch
+    self-join, and the result id spine); unmaterialized, each branch
+    re-runs the k×|shingles| signature fold — measured 5.3s → 1.4s for
+    a 500-doc tick at sf0.1 with a cache, and the eager checkpoint
+    removes the residual duplicate folds the lazy cache still allowed
+    to racing concurrent jobs (see :func:`_materialize`). Batch-sized
+    by construction (~300 B/doc). Shared by the flat and bucketed
+    ticks; the caller owns the release (via its ``caches`` list +
+    caching.release_frame)."""
     sig_key = F.xxhash64(
         F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
     )
     wk = Window.partitionBy("__sk").orderBy("doc_id")
-    return (
+    return _materialize(
         brows.withColumn("__sk", sig_key)
         .withColumn("__rep", F.first("doc_id").over(wk))
-        .cache()
     )
 
 
@@ -570,14 +597,17 @@ def incremental_minhash_tick(
 ) -> DataFrame:
     """Label a batch against the minhash index.
 
-    ``caches``: pass a list to receive the tick's internal cached
-    DataFrames (the shared batch sketch and the candidate set). The
-    caches make the multi-consumer plan cheap but are function-local —
-    a LONG-LIVED caller (streaming loop, service) must unpersist them
-    after materializing the result, or each tick leaks two cached
-    frames into the block store for the session's lifetime (same
-    discipline as streaming/ingest.py's exact-tick wrapper). One-shot
-    sessions can ignore it; LRU eviction covers them.
+    ``caches``: pass a list to receive the tick's internal materialized
+    DataFrames. ``caches[0]`` is the marked batch sketch — eagerly
+    localCheckpoint'ed (:func:`_materialize`), the frame the ops' append
+    path reuses; ``caches[1]`` is the cached candidate set. A LONG-LIVED
+    caller (streaming loop, service) must release them with
+    ``caching.release_frame`` after materializing the result (plain
+    ``unpersist`` cannot reach the checkpoint's blocks), or each tick
+    leaks two frames into the block store until GC (same discipline as
+    streaming/ingest.py's wrappers). Release strictly after the last
+    consumer: a released checkpoint is NOT recomputable. One-shot
+    sessions can ignore it; session teardown covers them.
 
     Returns (doc_id, dup_of, est_jaccard, is_new, already_ingested) —
     one row per batch doc. ``dup_of`` prefers an index match (highest

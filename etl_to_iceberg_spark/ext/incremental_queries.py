@@ -33,6 +33,7 @@ from etl_to_iceberg_spark.ext.incremental import (
     minhash_index_rows,
 )
 from etl_to_iceberg_spark import sidecars
+from etl_to_iceberg_spark.caching import release_frame
 from etl_to_iceberg_spark.ext.queries import _load_balanced
 from etl_to_iceberg_spark.operators.table_queries import seeded_clone
 from etl_to_iceberg_spark.registry import register
@@ -314,11 +315,16 @@ def stream_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.table("dedup.mh_labels").read()
 
 
-# The minhash tick's internal caches must outlive the RETURNED labels
-# frame (the caller materializes it after we return), so they can't be
-# unpersisted here. Bounding instead: each invocation unpersists the
-# PREVIOUS invocation's caches, capping the block-store footprint at one
-# tick's worth (~300 B/doc) however many times bench/driver loops call.
+# The minhash tick's internal frames (checkpointed batch sketch, cached
+# candidate set) must outlive the RETURNED labels frame (the caller
+# materializes it after we return), so they can't be released here.
+# Bounding instead: each invocation releases the PREVIOUS invocation's
+# frames (caching.release_frame — unpersist alone can't reach the
+# checkpoint's blocks), capping the block-store footprint at one tick's
+# worth (~300 B/doc) however many times bench/driver loops call. Safe
+# order: by the time invocation N starts, invocation N-1's labels were
+# fully materialized (the op's own append does it), so nothing can
+# recompute through the released checkpoint.
 _mh_prev_caches: list = []
 
 
@@ -344,11 +350,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (process, sf_dir) so repeated runs time the tick, not the
     sketch."""
     while _mh_prev_caches:
-        try:
-            _mh_prev_caches.pop().unpersist()
-        except Exception:
-            pass  # cache belonged to a since-stopped SparkSession: its
-            # blocks died with the session; nothing to release
+        release_frame(_mh_prev_caches.pop())  # stopped-session-safe
     docs = _load_balanced(spark, sf_dir, "documents")
     sidecars.ensure_sidecar(
         sidecars.sidecar_path("mh_tick_sigs", sf_dir, _MH_TICK_PARAMS),
@@ -432,11 +434,7 @@ def dedup_incremental_minhash_bucketed(
     through the snapshot format's Hive partitioning, so the real-Iceberg
     branch lands with the tick unchanged."""
     while _mhb_prev_caches:
-        try:
-            _mhb_prev_caches.pop().unpersist()
-        except Exception:
-            pass  # cache belonged to a since-stopped SparkSession: its
-            # blocks died with the session; nothing to release
+        release_frame(_mhb_prev_caches.pop())  # stopped-session-safe
     docs = _load_balanced(spark, sf_dir, "documents")
     side = sidecars.sidecar_path("mh_tick_sigs", sf_dir, _MH_TICK_PARAMS)
     sidecars.ensure_sidecar(side, sf_dir, lambda: minhash_index_rows(docs))

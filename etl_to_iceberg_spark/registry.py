@@ -89,8 +89,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # blocks are now the shared helpers _marked_batch_sketch /
     # _minhash_raw_labels (extracted verbatim; the bucketed tick reuses
     # them), so the two consumers of the flat tick re-check:
+    # (r17 optimization pass additionally swapped the marked batch
+    # sketch's lazy .cache() for an eager localCheckpoint —
+    # ext/incremental._materialize, labels bit-identical, release via
+    # caching.release_frame — touching the same three ops plus the
+    # bucketed tick below.)
     "dedup_incremental_minhash",
     "stream_incremental_minhash",
+    "dedup_incremental_minhash_bucketed",
     # r17: _SEMDECON["thresh"] 0.30 -> 0.29 (VERDICT r16 #3 — the
     # incremental tick's only driver row matched on 0 rows; one notch
     # down makes the attestation non-vacuous). The constant is shared

@@ -245,11 +245,13 @@ def stream_incremental_minhash_dedup(
     append is empty — at-least-once foreachBatch + idempotent keyed MERGE
     = exactly-once effect with no checkpoint/commit coupling.
 
-    Cache discipline: the tick's internal caches (batch sketch +
-    candidate set) are unpersisted after each micro-batch materializes —
-    the long-lived-caller contract in incremental_minhash_tick's
-    docstring — so an unbounded stream's block-store footprint stays one
-    batch's worth."""
+    Cache discipline: the tick's internal frames (checkpointed batch
+    sketch + cached candidate set) are released after each micro-batch
+    materializes — the long-lived-caller contract in
+    incremental_minhash_tick's docstring, via caching.release_frame
+    (plain unpersist cannot reach the checkpoint's blocks) — so an
+    unbounded stream's block-store footprint stays one batch's worth."""
+    from etl_to_iceberg_spark.caching import release_frame
     from etl_to_iceberg_spark.ext.incremental import incremental_minhash_tick
 
     df = stream_files(
@@ -288,10 +290,7 @@ def stream_incremental_minhash_dedup(
                 catalog.table(labels_identifier).merge(labeled, keys=["doc_id"])
         finally:
             for c in caches:
-                try:
-                    c.unpersist()
-                except Exception:
-                    pass  # session died mid-stop; blocks die with it
+                release_frame(c)  # exception-safe, handles cache + ckpt
 
     q = (
         df.writeStream.foreachBatch(tick)

@@ -75,7 +75,12 @@ def test_service_loop_storage_returns_to_baseline(spark, sf_dir):
         assert persistent_rdds() > baseline  # caches were actually taken
         released = release_operator_caches()
         assert released >= 2
-        assert persistent_rdds() == baseline, (
+        # <= not ==: the count can dip BELOW baseline when localCheckpoint
+        # RDDs leaked by earlier tests in the shared session (ticks called
+        # without a `caches` list) are garbage-collected by the
+        # ContextCleaner mid-loop; the leak property under test is
+        # NO GROWTH past baseline.
+        assert persistent_rdds() <= baseline, (
             "storage memory did not return to baseline after "
             "release_operator_caches — an operator cache escaped tracking"
         )
@@ -96,3 +101,29 @@ def test_operator_caches_are_tracked(spark, sf_dir):
     minhash_near_duplicates(docs, threshold=0.6).count()
     assert len(caching._tracked) >= 2
     assert release_operator_caches() >= 2
+
+
+def test_release_frame_drops_cache_and_local_checkpoint(spark):
+    """release_frame must free BOTH persistence shapes the minhash tick
+    hands back through `caches`: a plain .cache() (unpersist path) and
+    an eager localCheckpoint, whose blocks belong to the checkpointed
+    RDD inside the LogicalRDD leaf — invisible to DataFrame.unpersist,
+    so a naive caller leaks one RDD per tick until GC."""
+    from etl_to_iceberg_spark.caching import release_frame
+
+    cdf = spark.range(100).selectExpr("id", "id * 2 AS y").cache()
+    cdf.count()
+    ck = spark.range(100).selectExpr("id * 3 AS z").localCheckpoint(eager=True)
+    ck_rdd = ck._jdf.queryExecution().analyzed().rdd()
+
+    def live(lvl) -> bool:
+        return lvl.useMemory() or lvl.useDisk()
+
+    assert cdf.storageLevel.useMemory
+    assert live(ck_rdd.getStorageLevel())
+    ck.unpersist(blocking=True)  # the plain call a checkpoint survives
+    assert live(ck_rdd.getStorageLevel())
+    release_frame(cdf)
+    release_frame(ck)
+    assert not cdf.storageLevel.useMemory
+    assert not live(ck_rdd.getStorageLevel())

@@ -437,21 +437,35 @@ def test_minhash_tick_null_text_is_replay_safe(spark):
 
 
 def test_minhash_tick_caches_are_exposed_for_cleanup(spark):
-    """A long-lived caller passes `caches` and unpersists after
-    materializing — without it every tick leaks two cached frames into
-    the block store for the session's lifetime."""
+    """A long-lived caller passes `caches` and releases after
+    materializing (caching.release_frame) — without it every tick leaks
+    two frames into the block store. caches[0] is the eagerly
+    localCheckpoint'ed batch sketch (its blocks belong to the
+    checkpointed RDD, invisible to DataFrame.storageLevel and to plain
+    unpersist); caches[1] is the cached candidate set. release_frame
+    must drop BOTH deterministically — the block-store no-growth
+    property the streaming churn sweep asserts across drains."""
+    from etl_to_iceberg_spark.caching import release_frame
+
     index = minhash_index_rows(_docs(spark, [(1, LOREM)]))
     batch = _docs(spark, [(2, OTHER)])
     handles: list = []
     incremental_minhash_tick(index, batch, caches=handles).collect()
     assert len(handles) == 2
-    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
-               for df in handles)
+    # the checkpointed sketch: plan truncated to an RDD scan, blocks live
+    sketch_plan = handles[0]._jdf.queryExecution().analyzed()
+    assert sketch_plan.getClass().getSimpleName() == "LogicalRDD"
+    sketch_rdd = sketch_plan.rdd()
+    lvl = sketch_rdd.getStorageLevel()
+    assert lvl.useMemory() or lvl.useDisk()
+    # the candidate set: a plain cache
+    assert handles[1].storageLevel.useMemory or handles[1].storageLevel.useDisk
     for df in handles:
-        df.unpersist(blocking=True)
-    assert all(
-        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
-        for df in handles
+        release_frame(df)
+    lvl = sketch_rdd.getStorageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk())
+    assert not (
+        handles[1].storageLevel.useMemory or handles[1].storageLevel.useDisk
     )
 
 

@@ -147,8 +147,10 @@ def test_bucketed_tick_replay_and_growth(spark, tmp_path):
     out2, caches2 = tick()
     r2 = out2.collect()[0]
     assert r2.already_ingested and not r2.is_new
+    from etl_to_iceberg_spark.caching import release_frame
+
     for c in caches + caches2:
-        c.unpersist()
+        release_frame(c)
 
 
 def test_bucketed_tick_empty_batch(spark):

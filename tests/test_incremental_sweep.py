@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+from etl_to_iceberg_spark.caching import release_frame
+
 import pytest
 
 from etl_to_iceberg_spark.ext.incremental import (
@@ -229,7 +231,7 @@ def test_minhash_tick_random_churn_matches_model(spark, chunk):
                 spark_index_rows.append((r.doc_id, r.sig, r.band_hashes))
                 index.append((doc_id, dict(pairs)[doc_id]))
             for c in caches:
-                c.unpersist()
+                release_frame(c)
             assert len(spark_index_rows) == len(index)
 
 

@@ -29,6 +29,8 @@ runs ``max_bucket_size=2`` so 3+-row buckets really are dropped while
 from __future__ import annotations
 
 import random
+
+from etl_to_iceberg_spark.caching import release_frame
 from collections import Counter
 
 import pytest
@@ -250,4 +252,4 @@ def test_minhash_tick_graded_corpora_match_sketch_model(
             new_ids = {r.doc_id for r in rows if r.is_new}
             index_rows.extend(s for s in sketches if s[0] in new_ids)
             for c in caches:
-                c.unpersist()
+                release_frame(c)

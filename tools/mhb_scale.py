@@ -41,6 +41,7 @@ from etl_to_iceberg_spark.ext.incremental import (
     incremental_minhash_tick_bucketed,
     minhash_index_rows,
 )
+from etl_to_iceberg_spark.caching import release_frame
 from etl_to_iceberg_spark.plans import ensure_parallelism
 from etl_to_iceberg_spark.session import SessionConfig, get_spark
 from etl_to_iceberg_spark.sources.tables import load_table
@@ -77,7 +78,7 @@ def timed(tick, runs=3):
         caches = []
         tick(caches).write.format("noop").mode("overwrite").save()
         for c in caches:
-            c.unpersist()
+            release_frame(c)
 
     once()  # warm
     best, sb = None, None
