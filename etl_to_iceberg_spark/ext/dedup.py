@@ -101,7 +101,9 @@ def minhash_signatures(
     from etl_to_iceberg_spark.plans import ensure_parallelism
 
     df = ensure_parallelism(df)  # k×|shingles| hashing must not run on 1 core
-    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    # one parsed expression, not k F.lit/cast py4j round trips — same
+    # constant array<long>, bit-identical fold
+    init = F.expr(f"array_repeat({(1 << 63) - 1}L, {num_hashes})")
 
     def fold(acc, s):
         # One string hash per shingle, then k seeded re-hashes of the

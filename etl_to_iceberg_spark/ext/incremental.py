@@ -292,13 +292,30 @@ def incremental_ann_tick(
 # --- minhash ---------------------------------------------------------------
 
 
+def _band_hashes_sql(sig: str, bands: int) -> str:
+    """SQL-string twin of :func:`band_hashes` for a named column — ONE
+    parsed expression instead of ~30 py4j round trips (the tick's plan
+    construction is py4j-latency-bound; see _minhash_raw_labels). Same
+    operator tree: `/` is double division in Spark SQL exactly like the
+    Column form's `F.size(c) / bands`, so the slice bounds and hashes
+    are bit-identical."""
+    rpb = f"(size({sig}) / {bands})"
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> xxhash64(concat_ws(',', "
+        f"transform(slice({sig}, CAST(b * {rpb} + 1 AS INT), "
+        f"CAST({rpb} AS INT)), x -> CAST(x AS STRING)))))"
+    )
+
+
 def band_hashes(sig: Column | str, *, bands: int = 8) -> Column:
     """array<long>[bands] of LSH band hashes over a minhash signature.
 
     Bit-identical to ext/dedup.py's _explode_bands hashing (xxhash64 over
     the comma-joined band slice), kept as an ARRAY column instead of
     exploded rows so the index stores one row per doc."""
-    c = F.col(sig) if isinstance(sig, str) else sig
+    if isinstance(sig, str):
+        return F.expr(_band_hashes_sql(sig, bands))
+    c = sig
     rows_per_band = F.size(c) / bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -343,10 +360,20 @@ def minhash_index_rows(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
     )
-    return sigs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+    return sigs.selectExpr(
+        f"CAST(`{id_col}` AS BIGINT) AS doc_id",
         "sig",
-        band_hashes("sig", bands=bands).alias("band_hashes"),
+        f"{_band_hashes_sql('sig', bands)} AS band_hashes",
+    )
+
+
+def _sig_est_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`sig_est_jaccard` for named columns
+    (same py4j-lean rationale as _band_hashes_sql; same expression
+    tree, bit-identical estimates)."""
+    return (
+        f"CAST(size(filter(zip_with({a}, {b}, (x, y) -> x = y), e -> e))"
+        f" AS DOUBLE) / size({a})"
     )
 
 
@@ -354,6 +381,8 @@ def sig_est_jaccard(a: Column | str, b: Column | str) -> Column:
     """Signature-estimated Jaccard: fraction of agreeing minhash
     positions (unbiased estimator of shingle-set Jaccard; stderr ≈
     1/sqrt(k))."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sig_est_sql(a, b))
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     agree = F.size(F.filter(F.zip_with(ca, cb, lambda x, y: x == y), lambda e: e))
@@ -364,21 +393,19 @@ def _best_match(
     cands: DataFrame, doc_col: str, cand_col: str, est_col: str
 ) -> DataFrame:
     """Per doc_col, the candidate with max estimate (ties → lowest id):
-    (doc_col, match_id, est)."""
+    (doc_col, match_id, est). Expressions are SQL strings (py4j-lean,
+    same operator tree as the Column forms they replaced)."""
     return (
         cands.groupBy(doc_col)
         .agg(
-            F.max(
-                F.struct(
-                    F.col(est_col).alias("est"),
-                    (-F.col(cand_col)).alias("neg_id"),
-                )
+            F.expr(
+                f"max(struct({est_col} AS est, -{cand_col} AS neg_id))"
             ).alias("b")
         )
-        .select(
-            F.col(doc_col),
-            (-F.col("b.neg_id")).cast("long").alias("match_id"),
-            F.col("b.est").alias("est"),
+        .selectExpr(
+            doc_col,
+            "CAST(-b.neg_id AS BIGINT) AS match_id",
+            "b.est AS est",
         )
     )
 
@@ -399,8 +426,8 @@ def _marked_batch_sketch(brows: DataFrame) -> DataFrame:
     by construction (~300 B/doc). Shared by the flat and bucketed
     ticks; the caller owns the release (via its ``caches`` list +
     caching.release_frame)."""
-    sig_key = F.xxhash64(
-        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+    sig_key = F.expr(
+        "xxhash64(concat_ws(',', transform(sig, x -> CAST(x AS STRING))))"
     )
     wk = Window.partitionBy("__sk").orderBy("doc_id")
     return _materialize(
@@ -438,14 +465,10 @@ def _batch_sketch_views(
     marked = _marked_batch_sketch(brows)
     if caches is not None:
         caches.append(marked)
-    reps = marked.where(F.col("doc_id") == F.col("__rep"))
-    twins = marked.where(F.col("doc_id") != F.col("__rep")).select(
-        "doc_id", "__rep"
-    )
-    bb = reps.select(
-        "doc_id",
-        "sig",
-        F.posexplode("band_hashes").alias("band", "band_hash"),
+    reps = marked.where("doc_id = __rep")
+    twins = marked.where("doc_id <> __rep").select("doc_id", "__rep")
+    bb = reps.selectExpr(
+        "doc_id", "sig", "posexplode(band_hashes) AS (band, band_hash)"
     )
     return reps, twins, bb
 
@@ -472,46 +495,47 @@ def _minhash_raw_labels(
     # A doc's OWN index row (same id, est 1.0) marks a replayed batch,
     # not a duplicate; only OTHER docs are dup candidates.
     replays = (
-        raw.where((F.col("idx_id") == F.col("doc_id")) & (F.col("est") == 1.0))
+        raw.where("idx_id = doc_id AND est = 1.0D")
         .select("doc_id")
         .distinct()
-        .withColumn("__replay", F.lit(True))
+        .selectExpr("doc_id", "true AS __replay")
     )
-    idx_cands = raw.where(F.col("idx_id") != F.col("doc_id"))
+    idx_cands = raw.where("idx_id <> doc_id")
     idx_best = _best_match(idx_cands, "doc_id", "idx_id", "est")
 
     # Within-batch (representatives only): earlier doc is preferred. The
     # residual-bucket cap bounds near-identical (not byte-identical)
     # floods, exactly like lsh_candidate_pairs.
     bbc = _cap_buckets(bb, ["band", "band_hash"], max_bucket_size)
-    later = bbc.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    later = bbc.selectExpr(
+        "doc_id AS id_b", "sig AS sig_b", "band", "band_hash"
     )
-    est_ab = F.round(sig_est_jaccard("sig_b", "sig"), 6)
     batch_cands = (
         later.join(
             F.broadcast(bbc.select("doc_id", "sig", "band", "band_hash")),
             on=["band", "band_hash"],
         )
-        .where(F.col("doc_id") < F.col("id_b"))
-        .select(F.col("id_b"), F.col("doc_id").alias("id_a"), est_ab.alias("est"))
+        .where("doc_id < id_b")
+        .selectExpr(
+            "id_b",
+            "doc_id AS id_a",
+            f"round({_sig_est_sql('sig_b', 'sig')}, 6) AS est",
+        )
         .where(F.col("est") >= threshold)
         # no distinct: _best_match's max-struct agg ignores duplicates
     )
-    batch_best = _best_match(batch_cands, "id_b", "id_a", "est").select(
-        F.col("id_b").alias("doc_id"),
-        F.col("match_id").alias("__b_match"),
-        F.col("est").alias("__b_est"),
+    batch_best = _best_match(batch_cands, "id_b", "id_a", "est").selectExpr(
+        "id_b AS doc_id", "match_id AS __b_match", "est AS __b_est"
     )
 
     rep_labels = (
         reps.select("doc_id")
         .join(
             F.broadcast(
-                idx_best.select(
+                idx_best.selectExpr(
                     "doc_id",
-                    F.col("match_id").alias("__i_match"),
-                    F.col("est").alias("__i_est"),
+                    "match_id AS __i_match",
+                    "est AS __i_est",
                 )
             ),
             on="doc_id",
@@ -519,17 +543,14 @@ def _minhash_raw_labels(
         )
         .join(F.broadcast(batch_best), on="doc_id", how="left")
         .join(F.broadcast(replays), on="doc_id", how="left")
-        .select(
+        .selectExpr(
             "doc_id",
-            F.coalesce("__i_match", "__b_match").alias("dup_of"),
-            F.when(F.col("__i_match").isNotNull(), F.col("__i_est"))
-            .otherwise(F.col("__b_est"))
-            .alias("est_jaccard"),
-            (
-                F.coalesce("__i_match", "__b_match").isNull()
-                & ~F.coalesce("__replay", F.lit(False))
-            ).alias("is_new"),
-            F.coalesce("__replay", F.lit(False)).alias("already_ingested"),
+            "coalesce(__i_match, __b_match) AS dup_of",
+            "CASE WHEN __i_match IS NOT NULL THEN __i_est"
+            " ELSE __b_est END AS est_jaccard",
+            "(coalesce(__i_match, __b_match) IS NULL"
+            " AND NOT coalesce(__replay, false)) AS is_new",
+            "coalesce(__replay, false) AS already_ingested",
         )
     )
     # Twins inherit their rep's index decision (identical signature ⇒
@@ -544,19 +565,19 @@ def _minhash_raw_labels(
     #   sits in the index, so already_ingested must be true. Detected
     #   from the cached candidate set — an est-1.0 raw row (rep ↔ the
     #   twin's own index row) — with no extra index scan.
-    twin_self_hits = raw.where(F.col("est") == 1.0).select(
-        F.col("doc_id").alias("__rep"), F.col("idx_id").alias("doc_id")
+    twin_self_hits = raw.where("est = 1.0D").selectExpr(
+        "doc_id AS __rep", "idx_id AS doc_id"
     )
-    inherited_other = F.when(
-        F.col("__i_match") != F.col("doc_id"), F.col("__i_match")
-    )  # NULL when the inherited match is the twin itself (or absent)
+    # CASE WHEN __i_match <> doc_id THEN __i_match END: NULL when the
+    # inherited match is the twin itself (or absent)
+    inherited_other = "CASE WHEN __i_match <> doc_id THEN __i_match END"
     twin_labels = (
         twins.join(
             F.broadcast(
-                idx_best.select(
-                    F.col("doc_id").alias("__rep"),
-                    F.col("match_id").alias("__i_match"),
-                    F.col("est").alias("__i_est"),
+                idx_best.selectExpr(
+                    "doc_id AS __rep",
+                    "match_id AS __i_match",
+                    "est AS __i_est",
                 )
             ),
             on="__rep",
@@ -564,19 +585,20 @@ def _minhash_raw_labels(
         )
         .join(
             F.broadcast(
-                twin_self_hits.distinct().withColumn("__replay", F.lit(True))
+                twin_self_hits.distinct().selectExpr(
+                    "__rep", "doc_id", "true AS __replay"
+                )
             ),
             on=["__rep", "doc_id"],
             how="left",
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.coalesce(inherited_other, F.col("__rep")).alias("dup_of"),
-            F.when(inherited_other.isNotNull(), F.col("__i_est"))
-            .otherwise(F.lit(1.0))
-            .alias("est_jaccard"),
-            F.lit(False).alias("is_new"),
-            F.coalesce("__replay", F.lit(False)).alias("already_ingested"),
+            f"coalesce({inherited_other}, __rep) AS dup_of",
+            f"CASE WHEN ({inherited_other}) IS NOT NULL THEN __i_est"
+            " ELSE 1.0D END AS est_jaccard",
+            "false AS is_new",
+            "coalesce(__replay, false) AS already_ingested",
         )
     )
     return rep_labels.unionByName(twin_labels)
@@ -644,12 +666,11 @@ def incremental_minhash_tick(
         caches=caches,
     )
     # Index side: narrow explode riding the scan; batch bands broadcast in.
-    ib = index.select(
-        F.col("doc_id").alias("idx_id"),
-        F.col("sig").alias("idx_sig"),
-        F.posexplode("band_hashes").alias("band", "band_hash"),
+    ib = index.selectExpr(
+        "doc_id AS idx_id",
+        "sig AS idx_sig",
+        "posexplode(band_hashes) AS (band, band_hash)",
     )
-    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
     # NOT distinct-ed: a pair colliding in several bands yields up to
     # `bands` duplicate rows, but every consumer is duplicate-insensitive
     # (max-struct agg in _best_match; explicit distinct in replays /
@@ -657,7 +678,11 @@ def incremental_minhash_tick(
     # candidate set to the tick for nothing.
     raw = (
         ib.join(F.broadcast(bb), on=["band", "band_hash"])
-        .select("doc_id", "idx_id", est.alias("est"))
+        .selectExpr(
+            "doc_id",
+            "idx_id",
+            f"round({_sig_est_sql('sig', 'idx_sig')}, 6) AS est",
+        )
         .where(F.col("est") >= threshold)
     ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
     if caches is not None:
@@ -794,20 +819,20 @@ def incremental_minhash_tick_bucketed(
         if touched
         else band_index.where(F.lit(False))  # empty batch: scan nothing
     )
-    ib = pruned.select(
-        F.col("doc_id").alias("idx_id"),
-        F.col("sig").alias("idx_sig"),
-        "band",
-        "band_hash",
+    ib = pruned.selectExpr(
+        "doc_id AS idx_id", "sig AS idx_sig", "band", "band_hash"
     )
-    est = F.round(sig_est_jaccard("sig", "idx_sig"), 6)
     # From here the tick IS the flat tick on a pruned scan: same
     # broadcast of bb, same no-distinct candidate set (duplicates across
     # bands tolerated — all consumers duplicate-insensitive), same
     # shared label derivation.
     raw = (
         ib.join(F.broadcast(bb), on=["band", "band_hash"])
-        .select("doc_id", "idx_id", est.alias("est"))
+        .selectExpr(
+            "doc_id",
+            "idx_id",
+            f"round({_sig_est_sql('sig', 'idx_sig')}, 6) AS est",
+        )
         .where(F.col("est") >= threshold)
     ).cache()  # candidate ids+estimates: bounded, feeds self/other splits
     if caches is not None:
