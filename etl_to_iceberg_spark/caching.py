@@ -71,7 +71,15 @@ def release_frame(df: DataFrame) -> None:
     try:
         node = df._jdf.queryExecution().analyzed()
         if node.getClass().getSimpleName() == "LogicalRDD":
-            node.rdd().unpersist(False)
+            rdd = node.rdd()
+            # Scope the RDD-unpersist to RDDs that localCheckpoint
+            # actually produced (ADVICE r17): a frame whose LogicalRDD
+            # wraps an EXTERNALLY persisted shared RDD (createDataFrame
+            # over a cached RDD) must keep its blocks — other consumers
+            # own them. localCheckpoint marks its RDD, so the check is
+            # intrinsic, no side registry to leak.
+            if rdd.isLocallyCheckpointed():
+                rdd.unpersist(False)
     except Exception:  # noqa: BLE001 — non-RDD plan root / stopped session
         pass
 

@@ -492,25 +492,44 @@ def simhash_pairs(
     reads — the ``dedup_simhash`` registry query does exactly that) and
     the collapse/banding/hamming logic checked independently of the
     xxhash64 sketch, which has no SQL mirror."""
-    w_sig = Window.partitionBy("simhash")
-    # Both output branches (near pairs + rep→member exact edges) read the
-    # collapsed relation; uncached, the sketch scan and collapse window
-    # execute twice per action. The cached rows are fixed-width
-    # (id, simhash, rep ≈ 24 B/doc) — MEMORY_AND_DISK, LRU-evictable —
-    # measured ~20% off the full pipeline at sf0.1.
-    # tracked_cache (see jaccard_verify): lazily-returned, so released
-    # by the caller via caching.release_operator_caches().
-    tagged = tracked_cache(
-        all_sigs.withColumn("__rep", F.min(id_col).over(w_sig))
+    # Identical-signature collapse as ONE partial-aggregating groupBy
+    # (map-side combine: the exchange carries a row per distinct
+    # signature per input partition) instead of the previous
+    # full-relation min-window + shared cache. The cached window was
+    # r17's hottest unresolved inefficiency: the final union's action
+    # launches its consumers (the banded join tree and the rep→member
+    # edge branch) as CONCURRENT jobs, and Spark's block-level
+    # getOrElseUpdate does not block the losers of that race — the scan
+    # + full-row shuffle + window materialized ~2× per action (r17
+    # profile; the eager-populate fix measured net worse, Negative
+    # results #1). The aggregate needs no cache at all: the
+    # representative relation (one row per distinct signature) IS the
+    # aggregate's output, every reference to it below compiles to the
+    # SAME exchange subtree, and exchange reuse is plan-level — AQE
+    # materializes a reused shuffle exactly once, with no racing
+    # consumers by construction. At scale this also strictly shrinks
+    # the shuffle: the window moved every (id, simhash) row; the
+    # aggregate moves one partial row per distinct signature per map
+    # task.
+    rep_map = all_sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n")
     )
-    sigs = (
-        tagged.where(F.col(id_col) == F.col("__rep"))
-        .select(id_col, "simhash")
-    )
-    exact_edges = tagged.where(F.col(id_col) != F.col("__rep")).select(
-        F.col("__rep").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(0).alias("hamming"),
+    sigs = rep_map.select(F.col("__rep").alias(id_col), "simhash")
+    # rep→member edges: re-join the (file-backed, cheap) signature scan
+    # against only the DUPLICATED signature groups. No broadcast hint —
+    # the dup-group count is corpus-shaped (boilerplate floods), so AQE
+    # decides at runtime from the aggregate's real size.
+    exact_edges = (
+        all_sigs.join(
+            rep_map.where(F.col("__n") > 1).select("simhash", "__rep"),
+            on="simhash",
+        )
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
     )
     banded = sigs.select(
         F.col(id_col),

@@ -292,18 +292,32 @@ def incremental_ann_tick(
 # --- minhash ---------------------------------------------------------------
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for SQL-string interpolation, so
+    names that are not plain SQL identifiers (hyphens, spaces, reserved
+    words) resolve as the column the Column-typed overloads would have
+    (ADVICE r17). Already-quoted names pass through; embedded backticks
+    use the standard doubling escape."""
+    if name.startswith("`") and name.endswith("`"):
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _band_hashes_sql(sig: str, bands: int) -> str:
     """SQL-string twin of :func:`band_hashes` for a named column — ONE
     parsed expression instead of ~30 py4j round trips (the tick's plan
     construction is py4j-latency-bound; see _minhash_raw_labels). Same
     operator tree: `/` is double division in Spark SQL exactly like the
     Column form's `F.size(c) / bands`, so the slice bounds and hashes
-    are bit-identical."""
-    rpb = f"(size({sig}) / {bands})"
+    are bit-identical. The column name is backtick-quoted and the lambda
+    variables carry a ``__bh_`` prefix, so a caller's column can neither
+    parse as an expression nor be shadowed by the lambda (ADVICE r17)."""
+    q = _quote_ident(sig)
+    rpb = f"(size({q}) / {bands})"
     return (
-        f"transform(sequence(0, {bands - 1}), b -> xxhash64(concat_ws(',', "
-        f"transform(slice({sig}, CAST(b * {rpb} + 1 AS INT), "
-        f"CAST({rpb} AS INT)), x -> CAST(x AS STRING)))))"
+        f"transform(sequence(0, {bands - 1}), __bh_b -> xxhash64(concat_ws(',', "
+        f"transform(slice({q}, CAST(__bh_b * {rpb} + 1 AS INT), "
+        f"CAST({rpb} AS INT)), __bh_x -> CAST(__bh_x AS STRING)))))"
     )
 
 
@@ -370,10 +384,13 @@ def minhash_index_rows(
 def _sig_est_sql(a: str, b: str) -> str:
     """SQL-string twin of :func:`sig_est_jaccard` for named columns
     (same py4j-lean rationale as _band_hashes_sql; same expression
-    tree, bit-identical estimates)."""
+    tree, bit-identical estimates). Identifiers quoted / lambda
+    variables prefixed for the same non-shadowing reasons as
+    :func:`_band_hashes_sql`."""
+    qa, qb = _quote_ident(a), _quote_ident(b)
     return (
-        f"CAST(size(filter(zip_with({a}, {b}, (x, y) -> x = y), e -> e))"
-        f" AS DOUBLE) / size({a})"
+        f"CAST(size(filter(zip_with({qa}, {qb}, (__se_x, __se_y) ->"
+        f" __se_x = __se_y), __se_e -> __se_e)) AS DOUBLE) / size({qa})"
     )
 
 

@@ -397,7 +397,19 @@ class IceTable:
             by_base.setdefault(fe.base, []).append(fe.path)
         parts: list[DataFrame] = []
         for base, paths in sorted(by_base.items()):
-            reader = self.spark.read.option("basePath", base)
+            # The snapshot manifest already KNOWS the schema — pass it to
+            # the reader instead of letting every read() re-infer it from
+            # parquet footers (driver-side file opens per base per call;
+            # the table ops re-read tables constantly: merge's probe +
+            # rewrite, the ticks' index scans, every read-back). Iceberg
+            # reads likewise plan from manifest schema, never footers.
+            # Per-base files written before a schema evolution simply
+            # miss the newer columns and read as NULL (same result the
+            # previous inferred-schema + unionByName(allowMissing) path
+            # produced); partition columns present in the schema are
+            # recovered from the directory layout as before, with the
+            # schema pinning their types.
+            reader = self.spark.read.schema(schema).option("basePath", base)
             part = reader.parquet(*sorted(paths))
             if tombs:
                 # Each base dir is one commit (data/vN) — tag its version
@@ -797,8 +809,10 @@ class IceTable:
             by_base.setdefault(fe.base, []).append(fe.path)
         parts = []
         for base, paths in sorted(by_base.items()):
+            # manifest schema, not footer inference — see _read_snapshot
             parts.append(
-                self.spark.read.option("basePath", base)
+                self.spark.read.schema(schema)
+                .option("basePath", base)
                 .parquet(*sorted(paths))
                 .withColumn("__file", F.col("_metadata.file_path"))
             )

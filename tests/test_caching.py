@@ -87,8 +87,11 @@ def test_service_loop_storage_returns_to_baseline(spark, sf_dir):
 
 
 def test_operator_caches_are_tracked(spark, sf_dir):
-    """The dedup operators' internal caches (LSH candidate pairs, simhash
-    collapsed relation) register for release — the VERDICT r7 #8 sites."""
+    """The dedup operators' internal caches (LSH candidate pairs + the
+    verify shingle sets) register for release — the VERDICT r7 #8 sites.
+    (The simhash collapsed relation is no longer cached at all: r18
+    replaced the windowed collapse with a groupBy whose exchange is
+    plan-level reused, so simhash contributes zero tracked frames.)"""
     from etl_to_iceberg_spark.ext.dedup import (
         minhash_near_duplicates,
         simhash_near_duplicates,
@@ -127,3 +130,22 @@ def test_release_frame_drops_cache_and_local_checkpoint(spark):
     release_frame(ck)
     assert not cdf.storageLevel.useMemory
     assert not live(ck_rdd.getStorageLevel())
+
+
+def test_release_frame_spares_externally_persisted_rdds(spark):
+    """release_frame's RDD-unpersist is scoped to RDDs localCheckpoint
+    actually produced (ADVICE r17): a frame whose LogicalRDD wraps an
+    EXTERNALLY persisted shared RDD (createDataFrame over a cached RDD)
+    must keep its blocks — other consumers own them."""
+    from etl_to_iceberg_spark.caching import release_frame
+
+    base = spark.sparkContext.parallelize([(1,), (2,), (3,)]).persist()
+    df = spark.createDataFrame(base, "a int")
+    df.count()
+    assert base.getStorageLevel().useMemory
+    release_frame(df)
+    assert base.getStorageLevel().useMemory, (
+        "release_frame dropped a shared RDD's blocks out from under "
+        "other consumers"
+    )
+    base.unpersist()

@@ -223,6 +223,33 @@ def test_sig_est_jaccard_bounds(spark):
     assert df.collect()[0].e == pytest.approx(0.5)
 
 
+def test_sql_string_twins_handle_awkward_column_names(spark):
+    """The SQL-string overloads of band_hashes / sig_est_jaccard quote
+    the interpolated identifier and prefix their lambda variables
+    (ADVICE r17): a column that is not a plain SQL identifier (hyphen)
+    or that collides with a lambda variable name (`b`, `x`, `e`) must
+    resolve exactly like the Column-typed overloads."""
+    from etl_to_iceberg_spark.ext.incremental import band_hashes, sig_est_jaccard
+
+    arr = F.array(*[F.lit(i) for i in range(16)])
+    arr2 = F.array(*[F.lit(i if i % 2 else 99) for i in range(16)])
+    df = spark.range(1).select(
+        arr.alias("my-sig"), arr.alias("b"), arr2.alias("x"), arr2.alias("e")
+    )
+    got = df.select(
+        band_hashes("my-sig", bands=8).alias("h1"),
+        band_hashes("b", bands=8).alias("h2"),
+        sig_est_jaccard("b", "x").alias("e1"),
+        sig_est_jaccard("my-sig", "e").alias("e2"),
+    ).collect()[0]
+    ref = df.select(
+        band_hashes(F.col("my-sig"), bands=8).alias("h1"),
+        sig_est_jaccard(F.col("b"), F.col("x")).alias("e1"),
+    ).collect()[0]
+    assert got.h1 == ref.h1 and got.h2 == ref.h1
+    assert got.e1 == ref.e1 and got.e2 == ref.e1
+
+
 def test_randomized_ticks_equal_batch_exact_dedup(spark, tmp_path):
     """Randomized sweep: ingesting a corpus as a sequence of id-ordered
     incremental exact ticks must reproduce batch-mode exact_dedup exactly

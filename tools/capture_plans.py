@@ -1,9 +1,9 @@
-"""Capture .explain('formatted') for headline queries into plans/r17/.
+"""Capture .explain('formatted') for headline queries into plans/r18/.
 
 Optimization-round instrument (guide §1: measure first, §7.2: read the
 plan): builds each bench HEADLINE query exactly as bench.py does
 (fn(spark, SF_DIR)) and writes the formatted physical plan to
-plans/r17/<name>_<tag>.txt, so plan-shape claims in OPTIMIZATION_r17.md
+plans/r18/<name>_<tag>.txt, so plan-shape claims in OPTIMIZATION_r18.md
 (Exchange counts, join strategies, PushedFilters) are checkable without
 running Spark.
 
@@ -40,7 +40,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r17")
+    out_dir = os.path.join(
+        os.path.dirname(__file__), "..", "plans",
+        os.environ.get("E2IS_PLANS_ROUND", "r18"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spark.sparkContext.setJobDescription(f"plan-capture: {name}")
