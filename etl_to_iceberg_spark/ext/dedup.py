@@ -29,7 +29,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_to_iceberg_spark.caching import tracked_cache
-from etl_to_iceberg_spark.ext.text import fingerprint, normalize_text, words
+from etl_to_iceberg_spark.ext.text import _let, fingerprint, normalize_text, words
 from etl_to_iceberg_spark.scratch import scratch_dir
 
 
@@ -57,19 +57,35 @@ def exact_dedup(
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    The token array is LET-BOUND (ext/text._let) so tokenization runs
+    once per row. The unbound form referenced the
+    ``regexp_extract_all`` tokenizer subtree from INSIDE the sliding-
+    window ``transform`` lambda — and higher-order functions are
+    CodegenFallback (interpreted, no common-subexpression elimination),
+    so every shingle POSITION re-tokenized the text: |tokens|+3
+    tokenizations per row instead of one. Measured r18 (guide §1.2
+    per-task work): the minhash sketch fold over the sf0.1 tick batch
+    dropped ~8s → ~1.3s of executor CPU, bit-identical signatures
+    (same expressions, only bound to a lambda slot)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = words(normalize_text(c))
     if n == 1:
-        return F.array_distinct(toks)
-    # sliding window join of n consecutive tokens
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+        return F.array_distinct(words(normalize_text(c)))
+
+    def body(toks: Column) -> Column:
+        # sliding window join of n consecutive tokens
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+
+    from etl_to_iceberg_spark.ext.text import _let
+
+    return _let(words(normalize_text(c)), body)
 
 
 # --- minhash + LSH ---------------------------------------------------------
@@ -114,9 +130,17 @@ def minhash_signatures(
         # accumulator is updated with an INDEXED transform (the position
         # is the seed) instead of zip_with over a materialized k-hash
         # array — measured ~40% faster sketch stage (no per-shingle array
-        # allocation), bit-identical signatures.
-        h = F.xxhash64(s)
-        return F.transform(acc, lambda a, i: F.least(a, F.xxhash64(i, h)))
+        # allocation), bit-identical signatures. The base hash is
+        # LET-BOUND (r18): referenced from inside the per-position
+        # lambda it would otherwise be re-evaluated k times per shingle
+        # — interpreted HOF evaluation has no CSE — which silently
+        # reinstated the k string hashes this fold exists to avoid.
+        return _let(
+            F.xxhash64(s),
+            lambda h: F.transform(
+                acc, lambda a, i: F.least(a, F.xxhash64(i, h))
+            ),
+        )
 
     extra = list(extra_cols or [])
     base = df.select(

@@ -181,26 +181,36 @@ def lsh_bucket_expr(vec: Column, *, planes: int, dim: int) -> Column:
     # element (~0.3s of driver time per call site at planes=6·dim=64)
     signs = F.expr(f"array({','.join(str(s) for s in flat)})")
 
-    def sign(p: Column) -> Column:
-        # identical decimal(28,10) projection arithmetic to the
-        # reference; only the sign source moved from expression to
-        # literal.
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.slice(signs, p * F.lit(dim) + 1, dim),
-                lambda x, s: (x.cast("decimal(28,10)") * s),
-            ),
-            F.lit(0).cast("decimal(28,10)"),
-            lambda acc, x: (acc + x).cast("decimal(28,10)"),
-        )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    def bucket_of(v: Column) -> Column:
+        def sign(p: Column) -> Column:
+            # identical decimal(28,10) projection arithmetic to the
+            # reference; only the sign source moved from expression to
+            # literal.
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.slice(signs, p * F.lit(dim) + 1, dim),
+                    lambda x, s: (x.cast("decimal(28,10)") * s),
+                ),
+                F.lit(0).cast("decimal(28,10)"),
+                lambda acc, x: (acc + x).cast("decimal(28,10)"),
+            )
+            return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
-    bucket = F.aggregate(
-        F.sequence(F.lit(planes - 1), F.lit(0), F.lit(-1)),
-        F.lit(0),
-        lambda acc, p: acc * F.lit(2) + sign(p),
-    )
+        return F.aggregate(
+            F.sequence(F.lit(planes - 1), F.lit(0), F.lit(-1)),
+            F.lit(0),
+            lambda acc, p: acc * F.lit(2) + sign(p),
+        )
+
+    # The input vector is LET-BOUND: callers pass the _to_double cast
+    # transform, which the per-plane fold would otherwise re-evaluate
+    # once per PLANE per row (interpreted HOFs have no CSE — the same
+    # r18 finding as dedup.word_shingles). A NULL vector still folds to
+    # bucket 0 through the when/otherwise chain exactly as before.
+    from etl_to_iceberg_spark.ext.text import _let
+
+    bucket = _let(vec, bucket_of)
     # coalesce for NULLABILITY, not value: the when/otherwise chain already
     # yields 0 for a null vec (as the unrolled reference did), but Catalyst
     # marks the aggregate HOF nullable — and a nullable join key gets an

@@ -63,20 +63,27 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of word tokens that are (English) stopwords."""
+    """Fraction of word tokens that are (English) stopwords. Token array
+    let-bound (:func:`_let`) so the text tokenizes once, not once per
+    reference."""
     sw = stopwords or LANG_MARKERS["en"]
     lit = F.array(*[F.lit(w) for w in sw])
-    toks = words(F.lower(_c(col)))
-    hits = F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
-    n = F.size(toks)
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    def body(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
+        n = F.size(toks)
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    return _let(words(F.lower(_c(col))), body)
 
 
 def avg_word_len(col: Column | str) -> Column:
-    c = _c(col)
-    n = word_count(c)
-    total = F.length(F.concat_ws("", words(c)))
-    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        total = F.length(F.concat_ws("", toks))
+        return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+    return _let(words(_c(col)), body)
 
 
 def _let(bound: Column, body) -> Column:
@@ -216,27 +223,35 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
+
     # NULL text coalesces to '' BEFORE tokenizing: size(NULL)=NULL makes
     # greatest/least SKIP the null operand (not propagate it), so an
     # unguarded NULL doc would yield one chunk claiming n_tokens =
     # chunk_tokens — corrupting downstream token accounting. '' yields
     # one empty chunk with n_tokens=0 (same convention as the dedup
     # index builders: NULL and empty text both carry no content).
-    toks = words(normalize_text(F.coalesce(_c(col), F.lit(""))))
-    n = F.size(toks)
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_tokens)
-            ).alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), n - i * stride)
-            .cast("int")
-            .alias("n_tokens"),
-        ),
-    )
+    #
+    # The token array is let-bound (:func:`_let`): the unbound form
+    # referenced the tokenizer from inside the per-chunk transform
+    # lambda, and interpreted HOF evaluation re-tokenized the text once
+    # per CHUNK (same r18 finding as dedup.word_shingles).
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text"),
+                F.least(F.lit(chunk_tokens), n - i * stride)
+                .cast("int")
+                .alias("n_tokens"),
+            ),
+        )
+
+    return _let(words(normalize_text(F.coalesce(_c(col), F.lit("")))), body)
